@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over the engine's query registry
+(``mknssh_11_bigdata_spark/queries.py``): every implemented operator from
+SURVEY.md §2 is a named (Spark, oracle-SQL) pair there; this module just
+exposes the registry in the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +12,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mknssh_11_bigdata_spark.queries import QUERIES
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+FLAGSHIP = "yearly_returnflag_trend"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the genre-year trends shape from the reference
+    (SURVEY.md §3.3): join facts, group by (year, key), mean/sum.
+    """
+    return QUERIES[FLAGSHIP].spark(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.spark for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted => the driver
+    records a weaker rows-only check; only done for genuinely
+    non-SQL-expressible ops)."""
+    return {
+        name: spec.oracle
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+    }

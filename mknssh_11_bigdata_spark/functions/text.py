@@ -1,0 +1,132 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+All pure Column expressions (split/size/filter/transform/md5 — JVM-side,
+codegen'd); no UDFs, so a 100 TB documents table is processed at scan
+speed. These extend the reference's string surface (SURVEY.md §2.6 —
+split/explode only) to the BASELINE.json north-star set: language ID,
+quality scoring, token counting, fingerprinting, shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "regex_token_count",
+    "avg_token_length",
+    "stopword_ratio",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "shingles",
+    "EN_STOPWORDS",
+]
+
+#: Small English stopword list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+)
+
+#: BPE-ish tokenizer regex: word pieces, numbers, or single non-space
+#: punctuation — a deterministic stand-in for a real BPE vocab.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column, pattern: str = " ") -> Column:
+    """Whitespace tokens, empties removed (so ``split``'s trailing-empty
+    behavior can't skew counts)."""
+    return F.filter(F.split(text, pattern), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (letters/digits/punct pieces)."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(f"({BPE_ISH_PATTERN})"), 1),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / F.size(toks),
+    )
+
+
+def stopword_ratio(
+    text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS
+) -> Column:
+    toks = tokens(F.lower(text))
+    stops = F.filter(
+        toks, lambda t: t.isin(*[F.lit(s) for s in stopwords])
+    )
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks))
+
+
+def lang_id(
+    text: Column,
+    threshold: float = 0.05,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+) -> Column:
+    """Heuristic language ID: English if the stopword ratio clears the
+    threshold, ASCII-latin otherwise 'und'. (A real pipeline swaps in a
+    fastText model behind the same column signature via pandas_udf.)"""
+    ratio = stopword_ratio(text, stopwords)
+    is_ascii = text.rlike(r"^[\x00-\x7F]*$")
+    return (
+        F.when(ratio >= threshold, F.lit("en"))
+        .when(is_ascii, F.lit("latin-und"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] document-quality score: length, word-length sanity,
+    stopword presence, alpha ratio. Deterministic, heuristic — the shape
+    (not the constants) is the contract."""
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    awl = F.coalesce(avg_token_length(text), F.lit(0.0))
+    stop = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 100000), 1.0).otherwise(0.0)
+    awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(stop >= 0.01, 1.0).otherwise(0.0)
+    toks_ok = F.when(n_toks >= 10, 1.0).otherwise(0.0)
+    return (len_ok + awl_ok + stop_ok + toks_ok) / F.lit(4.0)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Equal fingerprints = exact near-duplicate
+    modulo case/whitespace; usable as a dedup key at any scale."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), the unit set for
+    Jaccard / MinHash dedup. Documents shorter than n words yield their
+    whole text as a single shingle so they still participate."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)

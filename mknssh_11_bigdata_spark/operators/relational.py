@@ -1,0 +1,253 @@
+"""Relational operator library — SURVEY.md §2.2-2.5 inventory.
+
+Everything here composes built-in Column expressions (JVM-side,
+whole-stage-codegen'd); there are deliberately zero Python UDFs. Each
+function is a pure ``DataFrame -> DataFrame`` transform so callers build
+one fused Catalyst plan.
+
+Reference citations point into /root/reference/ and mark which inventory
+row (SURVEY.md §2) a function re-expresses; ⚠ rows are places where the
+reference's implementation was an anti-pattern and this module implements
+the *intent* with a scale-safe primitive (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "conditional_counts",
+    "top_n",
+    "top_k_per_group",
+    "one_hot",
+    "bucketize",
+    "membership_flag",
+    "null_profile",
+    "cumulative_sum",
+    "histogram",
+]
+
+
+def conditional_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    conditions: dict[str, Column],
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Group and count rows matching each named condition (pivot-free).
+
+    Re-expresses the reference's principals profile (inventory A2,
+    ``scripts/data_processing.py:147-154``): one hash aggregation with
+    map-side partial combine; each condition becomes
+    ``sum(when(cond, 1) else 0)``. Adding conditions adds expressions,
+    not shuffles — O(1) passes regardless of how many flags you need.
+    """
+    aggs = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+        for name, cond in conditions.items()
+    ]
+    return df.groupBy(*group_cols).agg(*aggs, *extra_aggs)
+
+
+def top_n(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n: int,
+    tie_breakers: Sequence[Column] = (),
+) -> DataFrame:
+    """Deterministic global top-N.
+
+    The reference's entity ranking (inventory T1,
+    ``scripts/data_processing.py:284-286``) used ``orderBy().limit(N)``
+    with no total order — ties at rank N varied run to run (SURVEY §4.4.5).
+    Appending ``tie_breakers`` (typically the primary key) makes the
+    ordering total. Physically this stays a ``TakeOrderedAndProject`` —
+    each partition keeps a size-N heap and only N rows per partition reach
+    the driver-side merge, no global sort. Scale: O(partitions × N), safe
+    at any row count for the N≈1000 the pipeline uses.
+    """
+    return df.orderBy(*order_by, *tie_breakers).limit(n)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via a ranking window.
+
+    The window the reference was missing (SURVEY §2.7): its global
+    orderBy+limit cannot answer "best k per group". ``row_number`` over
+    ``partitionBy`` shuffles once on the group key; with AQE skew-join
+    handling a hot group splits across tasks at the sort stage.
+    ``order_by`` must be a total order (append a key column) or ranks are
+    nondeterministic.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def one_hot(
+    df: DataFrame,
+    column: str,
+    vocabulary: Sequence[str] | None = None,
+    prefix: str | None = None,
+    is_array: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """One-hot 0/1 int flag columns for each vocabulary value.
+
+    Re-expresses the reference's dynamic genre one-hot (inventory F3/F5,
+    ``scripts/data_processing.py:122-137``) with two fixes (SURVEY §4.3):
+
+    * **Deterministic column order** — the reference's column set came
+      from an unordered ``collect()``; we sort the vocabulary.
+    * **Cheap vocabulary pass** — when ``vocabulary`` is None we run one
+      ``agg(collect_set)`` on the (pruned, possibly exploded) column
+      instead of the reference's ``distinct().rdd.flatMap().collect()``
+      RDD hop (inventory S7 ⚠).
+
+    The data-dependent-schema pattern is inherently two-phase (an action
+    must run to learn the vocabulary); at 100 TB pass an explicit
+    ``vocabulary`` to skip the extra job.
+    """
+    col = F.col(column)
+    if vocabulary is None:
+        if is_array:
+            vocab_expr = F.array_distinct(F.flatten(F.collect_set(col)))
+            row = df.select(col).na.drop().agg(vocab_expr).first()
+        else:
+            row = df.agg(F.collect_set(col)).first()
+        vocabulary = sorted(v for v in (row[0] or []) if v is not None)
+    prefix = prefix if prefix is not None else f"{column}_"
+    names: list[str] = []
+    for value in vocabulary:
+        name = f"{prefix}{value}"
+        names.append(name)
+        flag = (
+            F.array_contains(col, value) if is_array else (col == F.lit(value))
+        )
+        df = df.withColumn(
+            name, F.coalesce(flag.cast("int"), F.lit(0))
+        )
+    return df, names
+
+
+def bucketize(
+    df: DataFrame,
+    column: str,
+    edges: Sequence[float],
+    out: str,
+    null_bucket: int | None = None,
+) -> DataFrame:
+    """Assign ``out`` = i for value in [edges[i-1], edges[i]) — a chained
+    ``when`` ladder, i.e. the reference's runtimeMinutes bucket (inventory
+    F6, ``scripts/data_processing.py:158-164``) generalized.
+
+    Bucket 0 is ``value < edges[0]``; bucket ``len(edges)`` is
+    ``value >= edges[-1]``. NULLs get ``null_bucket`` (default: stay NULL
+    — the reference silently sent NULLs to the last bucket, SURVEY §4.4.3).
+    """
+    col = F.col(column)
+    expr = F.when(col < F.lit(edges[0]), F.lit(0))
+    for i, edge in enumerate(edges[1:], start=1):
+        expr = expr.when(col < F.lit(edge), F.lit(i))
+    expr = expr.otherwise(F.lit(len(edges)))
+    if null_bucket is not None:
+        expr = F.when(col.isNull(), F.lit(null_bucket)).otherwise(expr)
+    else:
+        expr = F.when(col.isNull(), F.lit(None).cast("int")).otherwise(expr)
+    return df.withColumn(out, expr.cast("int"))
+
+
+def membership_flag(
+    df: DataFrame,
+    key_col: str,
+    ids: DataFrame,
+    out: str,
+    is_array: bool = False,
+) -> DataFrame:
+    """Flag rows whose key (or any element of an array key) is in ``ids``.
+
+    Re-expresses the reference's regex membership test (inventory J7 ⚠,
+    ``scripts/data_processing.py:290-298``): a 1000-term unanchored
+    ``rlike`` alternation that (a) cost O(rows × terms) and (b) matched id
+    *prefixes* (``nm123`` flagged ``nm1234``, SURVEY §4.4.1). Here:
+    broadcast left-semi join → exact membership, one codegen'd hash probe
+    per row, no shuffle of the big side while ``ids`` stays broadcastable
+    (N≈1000 ids ≪ the 10 MB default threshold).
+
+    ``ids`` must have exactly one column.
+    """
+    id_name = ids.columns[0]
+    if is_array:
+        # Array case: explode the distinct key arrays once, semi-join the
+        # elements against ids, and join the matched arrays back.
+        matched = (
+            df.select(key_col)
+            .distinct()
+            .withColumn("__mf_elem", F.explode(F.col(key_col)))
+            .join(
+                F.broadcast(ids.withColumnRenamed(id_name, "__mf_elem")),
+                "__mf_elem",
+                "left_semi",
+            )
+            .select(key_col)
+            .distinct()
+            .withColumn(out, F.lit(1))
+        )
+        return df.join(matched, key_col, "left").na.fill({out: 0})
+    flagged = (
+        ids.withColumnRenamed(id_name, key_col)
+        .distinct()
+        .withColumn(out, F.lit(1))
+    )
+    return df.join(F.broadcast(flagged), key_col, "left").na.fill({out: 0})
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """Per-column null/NaN counts in ONE pass.
+
+    The reference's EDA (inventory M8 ⚠, ``scripts/data_analysis.py:28-41``)
+    ran ``df.count()`` repeatedly uncached; this is a single aggregation —
+    one scan regardless of column count. Output: one row,
+    ``<col>_nulls`` per column plus ``row_count``.
+    """
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for name, dtype in df.dtypes:
+        cond = F.col(name).isNull()
+        if dtype in ("double", "float"):
+            cond = cond | F.isnan(F.col(name))
+        aggs.append(F.sum(cond.cast("long")).alias(f"{name}_nulls"))
+    return df.agg(*aggs)
+
+
+def cumulative_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    out: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Running total — the Spark-side version of the pandas ``cumsum`` the
+    reference dropped to the driver for (inventory A11,
+    ``analysis.ipynb#cell30``). Unpartitioned cumulative sums serialize
+    into a single task; at scale always pass ``partition_by``."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out, F.sum(value_col).over(w))
+
+
+def histogram(df: DataFrame, column: str, count_col: str = "cnt") -> DataFrame:
+    """Value histogram via groupBy-count (inventory A9,
+    ``analysis.ipynb#cell30`` — rating histogram). Map-side partial
+    aggregation makes this one small shuffle of (distinct values) rows."""
+    return df.groupBy(column).agg(F.count(F.lit(1)).alias(count_col))

@@ -1,0 +1,528 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark, oracle-SQL) pair.
+
+Each entry is a named query over the driver's testdata tables
+(TESTDATA.md). The Spark side composes the engine's operator library; the
+oracle side is ANSI SQL DuckDB runs on the same parquet files. The driver
+compares row counts, schemas and order-insensitive value hashes — so both
+sides alias computed columns identically and round floating aggregates to
+a fixed scale (doubles summed in different orders differ in the last ulps;
+rounding makes the comparison well-defined).
+
+Reference citations in each query's docstring say which inventory row
+(SURVEY.md §2) it exercises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.relational import (
+    bucketize,
+    conditional_counts,
+    cumulative_sum,
+    histogram,
+    membership_flag,
+    null_profile,
+    one_hot,
+    top_k_per_group,
+    top_n,
+)
+from .sources.readers import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: SparkQuery
+    oracle: str | None  # None => non-SQL-expressible (rows-only check)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                            AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                       AS avg_price,
+           ROUND(AVG(l_discount), 6)                            AS avg_disc,
+           COUNT(*)                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → hash agg with multiple measures (inventory P4, A5/A10-style;
+    the classic scan-heavy aggregation). Map-side partial agg + pushed
+    shipdate filter: .explain shows PushedFilters on the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "yearly_returnflag_trend",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           l.l_returnflag,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(AVG(l.l_discount), 6) AS avg_disc,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def yearly_returnflag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the genre-year trends shape (inventory A5 + J1,
+    ``/root/reference/scripts/data_analysis.py:44-116`` — filter → join →
+    group by (key, year) → mean/sum). Fact-to-fact equi-join: shuffles
+    both sides on the join key once; the (year, flag) agg reuses nothing
+    but is tiny after the join. At 100 TB, AQE handles skewed order keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("l_returnflag"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim filter → join → agg → deterministic top-N (inventory
+    J1 + T1; the reference's T1 had nondeterministic ties, SURVEY §4.4.5 —
+    fixed here by the o_orderkey tie-breaker). The filtered customer side
+    is small → AQE converts to broadcast join; top-N is
+    TakeOrderedAndProject, not a global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return top_n(
+        agg,
+        order_by=[F.col("revenue").desc()],
+        n=10,
+        tie_breakers=[F.col("o_orderkey").asc()],
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+      AND EXTRACT(YEAR FROM o.o_orderdate) = 1996
+    GROUP BY 1, 2
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join (inventory J1-J6 generalized; TPC-H Q5 shape:
+    local-supplier volume). Dims (supplier/nation/region) are explicitly
+    broadcast — zero shuffle for them; only the orders⋈lineitem fact join
+    shuffles. This is THE plan shape that must hold at 100 TB: facts
+    shuffle once, dims never do."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(s.s_nationkey == c.c_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "segment_profile",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation profile (inventory A2 — the principals
+    profile shape, ``data_processing.py:147-154``): count / count_distinct
+    / N× sum(when) in ONE hash aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    return conditional_counts(
+        c,
+        ["c_mktsegment"],
+        {
+            "n_negative": F.col("c_acctbal") < 0,
+            "n_rich": F.col("c_acctbal") > 5000,
+        },
+        extra_aggs=[
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        ],
+    )
+
+
+@register(
+    "priority_onehot_totals",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "prio_1-URGENT",
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "prio_2-HIGH",
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "prio_3-MEDIUM",
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "prio_4-NOT SPECIFIED",
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "prio_5-LOW",
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def priority_onehot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic one-hot (inventory F3/F5, the genre one-hot of
+    ``data_processing.py:122-137``) with a deterministic, sorted
+    vocabulary discovered via one collect_set agg (SURVEY §4.3), then
+    aggregated so the oracle stays fixed-schema."""
+    o = _t(spark, sf_dir, "orders")
+    flagged, names = one_hot(o, "o_orderpriority", prefix="prio_")
+    return flagged.groupBy("o_orderstatus").agg(
+        *[F.sum(n).alias(n) for n in names],
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "quantity_buckets",
+    """
+    SELECT CASE WHEN l_quantity IS NULL THEN NULL
+                WHEN l_quantity < 10 THEN 0
+                WHEN l_quantity < 25 THEN 1
+                WHEN l_quantity < 40 THEN 2
+                ELSE 3 END AS qty_bucket,
+           COUNT(*) AS n_items,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketize (inventory F6 — the runtimeMinutes bucket ladder,
+    ``data_processing.py:158-164``), with explicit NULL semantics instead
+    of the reference's silent NULL→last-bucket (SURVEY §4.4.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        bucketize(li, "l_quantity", edges=[10, 25, 40], out="qty_bucket")
+        .groupBy("qty_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "top_customer_order_flags",
+    """
+    WITH top_cust AS (
+        SELECT c_custkey FROM customer
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 100
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM top_cust)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_top_cust_orders,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def top_customer_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership flag via broadcast join (inventory J7 ⚠ — the
+    reference's unanchored 1000-term regex, ``data_processing.py:290-298``,
+    which cost O(rows×terms) and matched id prefixes; SURVEY §4.4.1).
+    Here: deterministic top-N ids → broadcast hash probe, exact equality."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    top_ids = top_n(
+        c.select("c_custkey", "c_acctbal"),
+        order_by=[F.col("c_acctbal").desc()],
+        n=100,
+        tie_breakers=[F.col("c_custkey").asc()],
+    ).select("c_custkey")
+    flagged = membership_flag(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+        top_ids,
+        out="is_top",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.sum("is_top").cast("long").alias("n_top_cust_orders"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "discount_histogram",
+    """
+    SELECT l_discount, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_discount
+    """,
+)
+def discount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram by raw double key (inventory A9 — the rating histogram,
+    ``analysis.ipynb#cell30``). Grouping by stored doubles is exact (no
+    arithmetic), so both engines bucket identically."""
+    return histogram(_t(spark, sf_dir, "lineitem"), "l_discount")
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (inventory T4). Partial-aggregate dedup before shuffle."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "cumulative_yearly_revenue",
+    """
+    WITH yearly AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY order_year
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_revenue
+    FROM yearly
+    """,
+)
+def cumulative_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window cumulative sum (SURVEY §2.7 — the reference did cumsum in
+    pandas, ``analysis.ipynb#cell30``; inventory A11). The running total
+    operates on the already-aggregated (tiny) yearly table, so the
+    single-task unpartitioned window is fine at any input scale."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    out = cumulative_sum(
+        yearly, order_by=["order_year"], value_col="revenue", out="cum_revenue"
+    )
+    return out.withColumn("cum_revenue", F.round("cum_revenue", 2))
+
+
+@register(
+    "top3_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER)
+                   AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (SURVEY §2.7 gap — the
+    reference could only do global top-N). Total order (price DESC, key
+    ASC) makes ranks deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partition_cols=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+    GROUP BY 1
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — absent from the reference (SURVEY §2.3:
+    equi-joins only); first-class here. The 1995 filter keeps the result
+    non-trivially non-empty at every SF. Broadcast the nation dim."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "orders_null_profile",
+    """
+    SELECT COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls
+    FROM orders
+    """,
+)
+def orders_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass null/NaN profile (inventory P8 + M8 ⚠ — replaces the
+    reference's 6× uncached ``df.count()`` EDA, ``data_analysis.py:28-41``)."""
+    return null_profile(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "region_nation_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — beyond the reference (SURVEY §2.4: plain
+    groupBy only). Subtotals + grand total in one shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "custkeys_1995_not_1996",
+    """
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    """,
+)
+def custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT) — set ops were absent from the reference
+    (SURVEY §2.7). Customers active in 1995 but not 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct set semantics); exceptAll would keep
+    # multiplicity and diverge from the oracle.
+    return y95.subtract(y96)

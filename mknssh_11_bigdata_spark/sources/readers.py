@@ -1,0 +1,97 @@
+"""Schema'd readers.
+
+Replaces the reference's ``load_tables``
+(``/root/reference/scripts/data_processing.py:10-67``, inventory rows
+S1-S3 in SURVEY.md §2.1) with scale-safe equivalents:
+
+* **No ``inferSchema``** — the reference's ``inferSchema=True`` forces an
+  extra full pass over every file (at 100 TB that's a second 100 TB scan
+  before any work starts). All readers here take an explicit
+  ``StructType``.
+* **``nullValue``** subsumes the reference's seven hand-written
+  ``when(col == '\\N', None)`` projections
+  (``data_processing.py:45-51``) — the sentinel never reaches the plan.
+* **Array-ification at ingest**: csv-list string columns become real
+  ``ArrayType`` columns once, so every downstream explode /
+  ``array_contains`` works on arrays instead of re-splitting strings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "TESTDATA_TABLES",
+    "read_tsv",
+    "read_parquet",
+    "load_table",
+    "load_tables",
+    "arrayify",
+]
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Default null sentinel used by IMDb TSV dumps (reference
+#: data_processing.py:45-51 rewrote it with per-column projections).
+IMDB_NULL_SENTINEL = r"\N"
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    null_value: str = IMDB_NULL_SENTINEL,
+) -> DataFrame:
+    """Single-pass TSV scan with explicit schema and null sentinel."""
+    return spark.read.csv(
+        path,
+        sep="\t",
+        header=True,
+        schema=schema,
+        nullValue=null_value,
+        # Malformed rows become nulls instead of aborting a 100 TB job.
+        mode="PERMISSIVE",
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def arrayify(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    """Turn delimited-string pseudo-array columns into real arrays.
+
+    ``columns`` maps column name -> delimiter. The reference stored
+    "Action,Comedy" style lists as strings and re-split them at every use
+    (``data_processing.py:123,212-213,218-219``); we split once at ingest.
+    """
+    for name, delim in columns.items():
+        df = df.withColumn(name, F.split(F.col(name), delim))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}

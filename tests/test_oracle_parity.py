@@ -1,0 +1,87 @@
+"""Local mirror of the driver's t2 correctness gate (SURVEY.md §5.2).
+
+For every registered query with an oracle, run the Spark side and the
+DuckDB side on the same parquet tables and compare row count, column
+names, and order-insensitive values. This is the same bar the driver's
+CORRECTNESS_r{N}.json applies, so a green run here de-risks the gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mknssh_11_bigdata_spark.queries import QUERIES
+from mknssh_11_bigdata_spark.sources.readers import TESTDATA_TABLES
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # guard against -0.0 and representation drift below round scale
+        return round(v, 9) + 0.0
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    return v
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(name, spark, duck):
+    spec = QUERIES[name]
+    sdf = spec.spark(spark, SF_ORACLE)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(spec.oracle)
+    duck_cols = [c[0].lower() for c in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    canon_spark = _canon(spark_rows, spark_cols)
+    canon_duck = _canon(duck_rows, duck_cols)
+    mismatches = [
+        (a, b) for a, b in zip(canon_spark, canon_duck) if a != b
+    ]
+    assert not mismatches, f"{name}: first diffs {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
