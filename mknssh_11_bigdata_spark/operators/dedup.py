@@ -1,0 +1,258 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Part of the BASELINE.json north star (the reference itself has no dedup —
+SURVEY.md §0; its closest relative is the ``distinct()`` at
+``/root/reference/scripts/data_processing.py:125``). Four families:
+
+* **exact** — hash-groupBy on a content fingerprint; one shuffle.
+* **MinHash + LSH** — shingle → k-min-hash signature → banded buckets →
+  candidate pairs from bucket joins only. This is the 100 TB path: the
+  quadratic all-pairs comparison is replaced by a self-equi-join on
+  ``(band_idx, band_key)``, so cost is driven by bucket collision counts,
+  not corpus size squared.
+* **SimHash** — near-dup bitstring fingerprint; Hamming-close docs share
+  band substrings (same banded-join trick on fingerprint quarters).
+* **n-gram Jaccard** — exact verification of candidate pairs (run AFTER
+  LSH at scale; standalone only for small corpora / tests).
+
+Cross-engine determinism: every hash is ``md5`` over explicit strings and
+minima are taken LEXICOGRAPHICALLY over the hex digests, so a SQL oracle
+(DuckDB) reproduces signatures bit-for-bit — no engine-specific hash or
+hex→int conversion anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+__all__ = [
+    "exact_duplicate_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash",
+    "minhash_dedup_pairs",
+]
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact (normalized) dedup: group by content fingerprint.
+
+    Output: ``(fp, n_docs, keeper)`` — keeper is the smallest id, the
+    deterministic survivor. One hash aggregation; at 100 TB this is a
+    single shuffle of (fingerprint, id) pairs, ~36 bytes/row.
+    """
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def _seed_hash(shingle: Column, seed: int) -> Column:
+    """Portable seeded hash: md5 of 'seed|shingle' (hex string)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``sig`` = array of ``num_hashes``
+    lexicographic minima of seeded md5 digests over the shingle set.
+
+    Plan shape: explode shingles once, then ONE aggregation computes all
+    k minima as parallel agg expressions (map-side partial min → tiny
+    shuffle). Cost grows with k as expressions, not passes or shuffles.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    aggs = [
+        F.min(_seed_hash(F.col("s"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures → candidate pairs (id_a < id_b).
+
+    Two docs become candidates iff some band of ``rows_per_band``
+    signature entries matches exactly. The pair generation is an
+    equi-join on ``(band_idx, band_key)`` — never an all-pairs scan; AQE
+    splits any hot bucket. With (bands=4, r=3), Jaccard≈0.9 pairs are
+    caught with P≈1-(1-0.9³)⁴≈0.986.
+    """
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(j)),
+                F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+            )
+        ).alias(f"b{j}")
+        for j in range(bands)
+    ]
+    banded = sig_df.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[f"b{j}" for j in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Implementation: explode distinct shingles → self-equi-join on the
+    shingle → per-pair intersection counts → join per-doc set sizes →
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. If ``candidates`` (id_a, id_b) is given
+    (from LSH), pairs are semi-joined against it right after generation —
+    the scale path. Standalone all-pairs-with-a-shared-shingle is only
+    for small corpora and verification.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    inter = inter.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    sa = sizes.select(
+        F.col("__id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("__id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+#: Hex digits whose low bit is 1 — used to read one bit per md5 hex char.
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash near-dup fingerprint as a ``bits``-char '0'/'1' string.
+
+    Bit b is the sign of Σ_tokens (±1 by the low bit of the b-th hex char
+    of the token's md5). Token multiplicity counts (it's a weighted
+    projection). All portable string ops, so a SQL oracle reproduces it
+    exactly; one explode + one aggregation with ``bits`` parallel sums.
+    Hamming-close fingerprints share quarter-substrings, so banded
+    equi-joins find near-dup candidates without all-pairs (same trick as
+    LSH).
+    """
+    assert bits <= 32, "md5 hex has 32 chars; one bit per char"
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.md5(F.col("tok")).alias("th"))
+    sums = [
+        F.sum(
+            F.when(
+                F.substring(F.col("th"), b + 1, 1).isin(*_ODD_HEX), 1
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    bit_chars = [
+        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash → LSH candidates → exact
+    Jaccard verification ≥ threshold. The composition a 100 TB dedup job
+    runs: cost = shingling scan + k-min agg + bucket joins + verification
+    of the (tiny) candidate set."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    return jaccard_pairs(
+        df, id_col, text_col, shingle_n, threshold, candidates=cands
+    )

@@ -14,9 +14,6 @@ Reference citations in each query's docstring say which inventory row
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,26 +28,8 @@ from .operators.relational import (
     top_k_per_group,
     top_n,
 )
+from .registry import QUERIES, register  # noqa: F401  (re-exported)
 from .sources.readers import load_table
-
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    spark: SparkQuery
-    oracle: str | None  # None => non-SQL-expressible (rows-only check)
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle)
-        return fn
-
-    return deco
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -526,3 +505,9 @@ def custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (distinct set semantics); exceptAll would keep
     # multiplicity and diverge from the oracle.
     return y95.subtract(y96)
+
+
+# Extension registrations (LLM-data-pipeline + events/streaming-batch).
+# Imported last so their @register calls land in the same QUERIES dict.
+from . import queries_llm  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401

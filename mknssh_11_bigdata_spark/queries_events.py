@@ -1,0 +1,129 @@
+"""Event/streaming-shaped queries over the ``events`` table.
+
+These run the SAME window expressions the streaming module plans
+statefully over a stream (``streaming/windows.py``) — certifying the
+expressions batch-side against SQL oracles, while
+``tests/test_streaming.py`` exercises the stateful path end-to-end.
+Also covers the JSON-extraction surface (the reference left its
+``characters`` JSON column unparsed — SURVEY.md §2.6 "no JSON functions").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.readers import load_table
+from .streaming.windows import hourly_tumbling_agg, session_counts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "hourly_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (the batch twin of the
+    streaming aggregation; ``F.window`` evaluates identically on both)."""
+    e = _t(spark, sf_dir, "events")
+    return hourly_tumbling_agg(
+        e,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    ).select("window_start", "event_type", "n_events", "total_value", "avg_value")
+
+
+@register(
+    "event_props_k_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+               AS avg_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (``get_json_object``) + typed aggregation over a
+    semi-structured props column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "user_session_counts",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked
+    GROUP BY user_id
+    """,
+)
+def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-minute inactivity gap) via Spark's
+    native ``session_window``; the oracle reproduces the half-open gap
+    semantics with lag(). Per-user session/event counts."""
+    e = _t(spark, sf_dir, "events")
+    return session_counts(e, "ts", "user_id", gap="5 minutes")
+
+
+@register(
+    "daily_event_type_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional counts) — daily event-type matrix. Uses
+    ``groupBy().pivot(values=...)`` with an explicit vocabulary: one
+    shuffle, no vocabulary-discovery job, fixed output schema."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, subset=types)

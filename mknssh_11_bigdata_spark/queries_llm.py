@@ -1,0 +1,349 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+North-star extensions (BASELINE.json) over the ``documents`` and
+``embeddings`` tables. Every oracle reproduces the Spark computation
+exactly — hashes are md5-over-strings, minima are lexicographic, vector
+math is double-precision left-to-right folds — so even MinHash+LSH dedup
+is hash-checked against DuckDB, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .operators.dedup import (
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    simhash,
+)
+from .operators.similarity import brute_force_topk, ivf_topk
+from .registry import register
+from .sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (must mirror functions/text.py exactly)
+# ---------------------------------------------------------------------------
+
+#: tokens(text): whitespace split, empties removed
+SQL_TOKS = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+#: shingles(text, n=3): distinct word 3-grams (whole text if < 3 tokens)
+SQL_SHINGLES3 = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(t)-1), "
+    "i -> array_to_string(t[i:i+2], ' '))) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS)
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+TOPK = 5
+N_QUERY_VECS = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_fingerprint",
+    r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint (hash-groupBy; one
+    shuffle of ~36-byte rows regardless of document size)."""
+    return exact_duplicate_groups(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {j} AS band_idx, md5(concat_ws('|', '{j}', {hs})) AS band_key FROM sig".format(
+            j=j,
+            hs=", ".join(
+                f"h{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for j in range(BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {sig_cols}
+        FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM ex a
+        JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) → banded LSH(4×3) → exact-Jaccard-verified near-dup
+    pairs ≥ 0.8. The full 100 TB dedup composition, hash-checked against
+    a SQL oracle that reproduces every hash bit-for-bit."""
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _simhash_oracle() -> str:
+    odd = ", ".join(f"'{h}'" for h in ("1", "3", "5", "7", "9", "b", "d", "f"))
+    bit_exprs = ",\n        ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(th, {b + 1}, 1) IN ({odd}) "
+        "THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({SQL_TOKS.format(col='text')}) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, md5(tok) AS th FROM ex)
+    SELECT doc_id, concat(
+        {bit_exprs}
+    ) AS simhash
+    FROM th GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) fingerprints for every document — near-dups land
+    within small Hamming distance; banded substring equi-joins find them
+    without all-pairs."""
+    return simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "ROUND(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "embedding_topk_cosine",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast the
+    query set, score the corpus in one scan, rank per query. Vector math
+    is a JVM-side double fold — bit-reproducible by the SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOPK,
+    )
+
+
+@register("embedding_topk_ivf", None)  # approximate: rows-only gate;
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scan ~n_probe/n_centroids of the
+    corpus). Approximate ⇒ no SQL oracle; recall vs the brute-force
+    baseline is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOPK,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_language_id",
+    f"""
+    WITH t AS (
+        SELECT lang, text,
+               {SQL_TOKS.format(col='lower(text)')} AS lt
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN len(lt) > 0
+                     AND len(list_filter(lt, x -> x IN ({_STOPS_SQL})))
+                         / len(lt) >= 0.05
+                THEN 'en'
+                WHEN regexp_matches(text, '^[\\x00-\\x7F]*$')
+                THEN 'latin-und'
+                ELSE 'und' END AS predicted,
+           COUNT(*) AS n_docs
+    FROM t
+    GROUP BY 1, 2
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-ratio + ASCII check) — confusion
+    counts against the labeled ``lang`` column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_token_stats",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS total_bpe_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + BPE-ish regex
+    tokens (both pure Column expressions — scan-speed at 100 TB)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(TX.regex_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def _quality_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    lower_toks = SQL_TOKS.format(col="lower(text)")
+    return f"""
+    WITH t AS (
+        SELECT lang, length(text) AS n_chars, {toks} AS t,
+               {lower_toks} AS lt
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+            (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(t) > 0
+                       AND list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t) >= 2.0
+                       AND list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t) <= 12.0
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(lt) > 0
+                       AND len(list_filter(lt, x -> x IN ({_STOPS_SQL}))) / len(lt) >= 0.01
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(t) >= 10 THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+        FROM t
+    )
+    SELECT lang,
+           ROUND(AVG(q), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_quality,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang
+    """
+
+
+@register("doc_quality_scores", _quality_oracle())
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / word-length / stopword / token
+    count), aggregated per language."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    return d.select("lang", q.alias("q")).groupBy("lang").agg(
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.sum(F.when(F.col("q") >= 0.75, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

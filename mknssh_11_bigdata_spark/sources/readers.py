@@ -86,9 +86,27 @@ def arrayify(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     return df
 
 
+#: Columns written as parquet TIMESTAMP(NANOS), which Spark's reader
+#: rejects outright. We read them as raw nanos (legacy flag) and convert
+#: to microsecond timestamps with integer division — exactly the
+#: truncation DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP,
+#: so oracle comparisons see identical values. (`div`, not `/`: the nano
+#: epoch ≈ 1.7e18 exceeds double's 2^53 integer range.)
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated testdata table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    nanos_cols = NANOS_TS_COLUMNS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in nanos_cols:
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
 
 
 def load_tables(

@@ -1,0 +1,139 @@
+"""Operator-level unit tests (SURVEY.md §5.1) — tiny in-memory frames,
+asserting the *chosen* semantics for the document-and-diverge items
+(SURVEY §4.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mknssh_11_bigdata_spark.operators.relational import (
+    bucketize,
+    cumulative_sum,
+    membership_flag,
+    null_profile,
+    one_hot,
+    top_k_per_group,
+    top_n,
+)
+
+
+def test_top_n_tie_determinism(spark):
+    # Reference bug §4.4.5: ties at rank N were nondeterministic.
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0), ("d", 2.0)], ["id", "score"]
+    )
+    out = [
+        r.id
+        for r in top_n(
+            df, [F.col("score").desc()], 2, tie_breakers=[F.col("id").asc()]
+        ).collect()
+    ]
+    assert out == ["d", "a"]
+
+
+def test_membership_flag_exact_not_prefix(spark):
+    # Reference bug §4.4.1: unanchored regex matched id prefixes
+    # (nm1 in the top list flagged nm10 too). Ours must be exact.
+    df = spark.createDataFrame(
+        [("t1", "nm1"), ("t2", "nm10"), ("t3", "nm2")], ["tconst", "person"]
+    )
+    ids = spark.createDataFrame([("nm1",)], ["id"])
+    out = {
+        r.tconst: r.flag
+        for r in membership_flag(df, "person", ids, out="flag").collect()
+    }
+    assert out == {"t1": 1, "t2": 0, "t3": 0}
+
+
+def test_membership_flag_array_semantics(spark):
+    # Array mode: any element in the id set flags the row (the J7
+    # crew-list intent).
+    df = spark.createDataFrame(
+        [("t1", ["nm1", "nm99"]), ("t2", ["nm10"]), ("t3", [])],
+        ["tconst", "crew"],
+    )
+    ids = spark.createDataFrame([("nm1",)], ["id"])
+    out = {
+        r.tconst: r.flag
+        for r in membership_flag(
+            df, "crew", ids, out="flag", is_array=True
+        ).collect()
+    }
+    assert out == {"t1": 1, "t2": 0, "t3": 0}
+
+
+def test_one_hot_deterministic_sorted_vocabulary(spark):
+    # Reference quirk §4.3: one-hot column order followed collect()
+    # order. Ours sorts the vocabulary.
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], ["g"])
+    _, names = one_hot(df, "g")
+    assert names == ["g_a", "g_b", "g_c"]
+    flagged, _ = one_hot(df, "g", vocabulary=["a", "b", "c"])
+    rows = flagged.orderBy("g").collect()
+    assert [r.g_a for r in rows] == [1, 1, 0, 0]
+
+
+def test_one_hot_array_mode(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["y"]), (3, None)], ["id", "tags"]
+    )
+    flagged, names = one_hot(df, "tags", is_array=True)
+    assert names == ["tags_x", "tags_y"]
+    got = {r.id: (r.tags_x, r.tags_y) for r in flagged.collect()}
+    # NULL array => 0 flags (not NULL), matching one-hot-for-ML intent.
+    assert got == {1: (1, 1), 2: (0, 1), 3: (0, 0)}
+
+
+def test_bucketize_edges_and_nulls(spark):
+    # Reference quirk §4.4.3: NULL runtime silently fell into the last
+    # bucket. Ours keeps NULL (or an explicit null_bucket).
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 39.9), (4, 40.0), (5, None)],
+        ["id", "v"],
+    )
+    out = {
+        r.id: r.b
+        for r in bucketize(df, "v", edges=[10, 25, 40], out="b").collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: None}
+    out2 = {
+        r.id: r.b
+        for r in bucketize(
+            df, "v", edges=[10, 25, 40], out="b", null_bucket=-1
+        ).collect()
+    }
+    assert out2[5] == -1
+
+
+def test_cumulative_sum_partitioned(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 1.0)], ["k", "t", "v"]
+    )
+    out = {
+        (r.k, r.t): r.cum
+        for r in cumulative_sum(
+            df, ["t"], "v", "cum", partition_by=["k"]
+        ).collect()
+    }
+    assert out == {("a", 1): 10.0, ("a", 2): 15.0, ("b", 1): 1.0}
+
+
+def test_top_k_per_group_rank_determinism(spark):
+    df = spark.createDataFrame(
+        [("g", "x", 1.0), ("g", "y", 1.0), ("g", "z", 0.5)],
+        ["grp", "id", "v"],
+    )
+    out = top_k_per_group(
+        df, ["grp"], [F.col("v").desc(), F.col("id").asc()], k=2
+    ).collect()
+    assert [(r.id, r.rank) for r in out] == [("x", 1), ("y", 2)]
+
+
+def test_null_profile_counts_nan_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.0)], ["id", "v"]
+    )
+    row = null_profile(df).collect()[0]
+    assert row.row_count == 3
+    assert row.id_nulls == 0
+    assert row.v_nulls == 2
