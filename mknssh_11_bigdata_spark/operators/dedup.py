@@ -15,10 +15,11 @@ SURVEY.md §0; its closest relative is the ``distinct()`` at
 * **n-gram Jaccard** — exact verification of candidate pairs (run AFTER
   LSH at scale; standalone only for small corpora / tests).
 
-Cross-engine determinism: every hash is ``md5`` over explicit strings and
-minima are taken LEXICOGRAPHICALLY over the hex digests, so a SQL oracle
-(DuckDB) reproduces signatures bit-for-bit — no engine-specific hash or
-hex→int conversion anywhere.
+Cross-engine determinism: the base hash is ``md5`` over explicit strings
+(15 hex chars parsed base-16 — in int64 range for both engines) and the
+MinHash family is universal hashing ``(a·x+b) mod (2³¹−1)`` with
+coefficients shared between the operator and the SQL oracle generator, so
+DuckDB reproduces signatures bit-for-bit.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+from ..plans.layout import spread
 
 __all__ = [
     "exact_duplicate_groups",
@@ -45,7 +47,9 @@ def exact_duplicate_groups(
 
     Output: ``(fp, n_docs, keeper)`` — keeper is the smallest id, the
     deterministic survivor. One hash aggregation; at 100 TB this is a
-    single shuffle of (fingerprint, id) pairs, ~36 bytes/row.
+    single shuffle of (fingerprint, id) pairs, ~36 bytes/row. No
+    repartition: per-row md5 is cheap relative to the scan, and the
+    groupBy provides the only shuffle this operator needs.
     """
     return (
         df.select(
@@ -59,9 +63,34 @@ def exact_duplicate_groups(
     )
 
 
-def _seed_hash(shingle: Column, seed: int) -> Column:
-    """Portable seeded hash: md5 of 'seed|shingle' (hex string)."""
-    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+#: Universal-hash modulus (2^31 - 1, prime). Coefficients a,b < P and the
+#: base hash is reduced mod P first, so a*base+b stays < 2^62 — no int64
+#: overflow in Spark (long) OR DuckDB (BIGINT), keeping the two engines
+#: bit-identical.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod P`` — shared by the Spark operator and
+    the SQL oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5, parsed
+    base-16. One md5 per shingle; every MinHash permutation derives from
+    this with two integer ops (vs k md5 calls per shingle)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
 
 
 def minhash_signatures(
@@ -70,20 +99,23 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 12,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per document: ``sig`` = array of ``num_hashes``
-    lexicographic minima of seeded md5 digests over the shingle set.
+    minima of a universal hash family over the shingle set.
 
-    Plan shape: explode shingles once, then ONE aggregation computes all
-    k minima as parallel agg expressions (map-side partial min → tiny
-    shuffle). Cost grows with k as expressions, not passes or shuffles.
+    Plan shape: explode shingles once, md5 each shingle ONCE, then ONE
+    aggregation computes all k minima as parallel agg expressions
+    (map-side partial min → tiny shuffle). Cost grows with k as integer
+    multiply-adds, not hash invocations, passes, or shuffles.
     """
-    sh = df.select(
+    coeffs = minhash_coefficients(num_hashes, seed)
+    sh = spread(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    )
+    ).select(F.col(id_col), shingle_base_hash(F.col("s")).alias("x"))
     aggs = [
-        F.min(_seed_hash(F.col("s"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
@@ -110,7 +142,10 @@ def lsh_candidate_pairs(
             F.concat_ws(
                 "|",
                 F.lit(str(j)),
-                F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+                F.transform(
+                    F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
             )
         ).alias(f"b{j}")
         for j in range(bands)
@@ -156,11 +191,22 @@ def jaccard_pairs(
     the scale path. Standalone all-pairs-with-a-shared-shingle is only
     for small corpora and verification.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        # Scale path: shrink the exploded table to candidate docs BEFORE
+        # the self-join — the quadratic stage then runs over only the
+        # LSH-bucketed sliver of the corpus, not every shared-shingle
+        # pair. The candidate set is small by construction => broadcast.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("__id"))
+            .union(candidates.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "__id", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -174,7 +220,7 @@ def jaccard_pairs(
         )
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
     inter = inter.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("inter")
     )
@@ -218,7 +264,7 @@ def simhash(
     LSH).
     """
     assert bits <= 32, "md5 hex has 32 chars; one bit per char"
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), F.md5(F.col("tok")).alias("th"))
     sums = [

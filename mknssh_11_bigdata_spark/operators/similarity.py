@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+from ..plans.layout import spread
 
 __all__ = ["brute_force_topk", "ivf_topk"]
 
@@ -58,8 +59,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cosine",
@@ -101,20 +104,28 @@ def ivf_topk(
             F.col(vec_col).alias("__cent"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
     )
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__csim").desc(), F.col("centroid_id").asc()
-    )
+    # argmax via max_by on (sim, -centroid_id): one partial-aggregating
+    # groupBy instead of a sort window — no per-row rank shuffle. Ties
+    # break toward the smaller centroid id (matching the probe order).
     assigned = (
         c.crossJoin(F.broadcast(cent))
         .withColumn(
             "__csim",
             F.round(cosine_similarity(F.col("__cv"), F.col("__cent")), 6),
         )
-        .withColumn("__rn", F.row_number().over(assign_w))
-        .filter(F.col("__rn") == 1)
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__csim"), -F.col("centroid_id")),
+            ).alias("centroid_id"),
+            F.first("__cv").alias("__cv"),
+        )
         .select("neighbor_id", "__cv", "centroid_id")
     )
     q = queries.select(

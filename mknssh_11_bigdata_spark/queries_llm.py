@@ -76,14 +76,19 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from .operators.dedup import MINHASH_P, minhash_coefficients
+
+    coeffs = minhash_coefficients(NUM_HASHES)
     sig_cols = ",\n           ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_selects = "\n    UNION ALL\n".join(
         "    SELECT doc_id, {j} AS band_idx, md5(concat_ws('|', '{j}', {hs})) AS band_key FROM sig".format(
             j=j,
             hs=", ".join(
-                f"h{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                f"CAST(h{j * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
             ),
         )
         for j in range(BANDS)
@@ -96,10 +101,16 @@ def _minhash_oracle() -> str:
         SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks
     ),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    exh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM ex
+    ),
     sig AS (
         SELECT doc_id,
            {sig_cols}
-        FROM ex GROUP BY doc_id
+        FROM exh GROUP BY doc_id
     ),
     bands AS (
 {band_selects}
