@@ -21,9 +21,17 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "rolling_fingerprint",
     "shingles",
     "EN_STOPWORDS",
 ]
+
+#: Karp–Rabin rolling-hash parameters. acc < MOD and token hashes are
+#: reduced mod MOD before the fold, so acc*BASE + x < 2^38 — no int64
+#: overflow in Spark (long) or DuckDB (BIGINT); both engines reproduce
+#: the hash bit-for-bit.
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
 
 #: Small English stopword list for the n-gram/stopword language heuristic.
 EN_STOPWORDS = (
@@ -115,6 +123,28 @@ def fingerprint(text: Column) -> Column:
     modulo case/whitespace; usable as a dedup key at any scale."""
     normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Karp–Rabin polynomial rolling hash over the token stream:
+    ``h = fold(tokens, 0, (acc, t) -> (acc*BASE + hash(t)) mod MOD)``.
+
+    Order-sensitive (unlike the md5 set :func:`fingerprint`): documents
+    with the same words in a different order hash differently. The
+    per-token base hash is the portable md5-prefix integer (same trick
+    as MinHash), so a SQL oracle reproduces the fold exactly. Pure
+    Column fold — scan-speed, no shuffle, no UDF.
+    """
+    tok_hashes = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % ROLL_MOD,
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -14,6 +14,9 @@ SURVEY.md §0; its closest relative is the ``distinct()`` at
   band substrings (same banded-join trick on fingerprint quarters).
 * **n-gram Jaccard** — exact verification of candidate pairs (run AFTER
   LSH at scale; standalone only for small corpora / tests).
+* **embedding-cosine** — near-dup over an ``array<float>`` embedding
+  column: exact pair scoring for verification, random-hyperplane LSH
+  (sign bits → banded buckets) as the 100 TB candidate generator.
 
 Cross-engine determinism: the base hash is ``md5`` over explicit strings
 (15 hex chars parsed base-16 — in int64 range for both engines) and the
@@ -28,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+from ..functions.vectors import cosine_similarity, dot
 from ..plans.layout import spread
 
 __all__ = [
@@ -37,6 +41,9 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "minhash_dedup_pairs",
+    "embedding_cosine_pairs",
+    "hyperplane_signatures",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -281,6 +288,150 @@ def simhash(
         for b in range(bits)
     ]
     return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    Standalone (``candidates=None``) this is the exact all-pairs scorer —
+    quadratic, for verification/small corpora only. With ``candidates``
+    (id_a, id_b) from :func:`hyperplane_signatures` bucketing, only the
+    candidate slice is scored — the scale path. Cosine is a JVM-side
+    double fold (functions/vectors.py), rounded to 6 digits before the
+    threshold so results are oracle-reproducible.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = spread(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    )
+    if candidates is not None:
+        # Score only LSH-bucketed candidates: two broadcast-able joins
+        # attach the vectors to the (small) candidate pair set.
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "cosine",
+                F.round(
+                    cosine_similarity(F.col("__va"), F.col("__vb")), 6
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    return (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplane_coefficients(
+    n_bits: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for signed-random-projection
+    LSH — shared by operator, tests, and any oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection signature: bit j = sign(v · h_j), as an
+    ``n_bits``-char '0'/'1' string (column ``sig``).
+
+    P(bit match) = 1 − angle/π, so cosine-close vectors agree on most
+    bits and land in the same banded buckets — the candidate generator
+    that replaces the quadratic all-pairs scan at scale. Hyperplanes are
+    literal arrays in the plan (no broadcast join, no data pass).
+    """
+    planes = hyperplane_coefficients(n_bits, dim, seed)
+    bit_chars = [
+        F.when(
+            dot(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return df.select(F.col(id_col), F.concat(*bit_chars).alias("sig"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end embedding near-dup: hyperplane signatures → banded
+    bucket join → exact cosine verification ≥ threshold.
+
+    Same composition shape as :func:`minhash_dedup_pairs`: candidate
+    cost is bucket-collision-driven, not corpus², and verification
+    touches only the candidate sliver. Recall vs the exact scorer is
+    asserted in tests/test_dedup.py on planted near-duplicates.
+    """
+    rows = n_bits // bands
+    sigs = hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("sig"), j * rows + 1, rows)
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return embedding_cosine_pairs(
+        df, id_col, vec_col, threshold, candidates=cands
+    )
 
 
 def minhash_dedup_pairs(

@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from .functions import text as TX
 from .operators.dedup import (
+    embedding_cosine_pairs,
+    embedding_near_dup_pairs,
     exact_duplicate_groups,
+    jaccard_pairs,
     minhash_dedup_pairs,
     simhash,
 )
@@ -43,9 +46,12 @@ NUM_HASHES = 12
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 JACCARD_THRESHOLD = 0.8
+NGRAM_JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 TOPK = 5
 N_QUERY_VECS = 10
+EMB_DIM = 64
+COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pair ≈ 0.51 @ sf0.01
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -181,6 +187,135 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     without all-pairs."""
     return simhash(
         _t(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM ex a
+        JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6)
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_ngram_jaccard", _ngram_jaccard_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone exact n-gram Jaccard pairs ≥ 0.5 (no LSH pre-filter):
+    the verification operator run on its own — correctness anchor for
+    the MinHash path and the right tool when the corpus slice is small."""
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=NGRAM_JACCARD_THRESHOLD,
+    )
+
+
+@register(
+    "doc_rolling_fingerprint",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {SQL_TOKS.format(col='text')} AS t
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id, source,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(t, s ->
+                           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                               % {TX.ROLL_MOD})),
+                   (acc, x) -> (acc * {TX.ROLL_BASE} + x) % {TX.ROLL_MOD}
+               ) AS roll_fp
+        FROM toks
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT roll_fp) AS n_distinct_fp,
+           MIN(roll_fp) AS min_fp,
+           MAX(roll_fp) AS max_fp
+    FROM fp GROUP BY source
+    """,
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash fingerprint per document (order-sensitive,
+    pure fold), profiled per source: distinct-fp count = exact-dup signal
+    at scan speed."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", TX.rolling_fingerprint(F.col("text")).alias("roll_fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("roll_fp").alias("n_distinct_fp"),
+            F.min("roll_fp").alias("min_fp"),
+            F.max("roll_fp").alias("max_fp"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs ≥ threshold — the all-pairs
+    verification scorer (quadratic; the oracle anchor for the LSH path
+    below)."""
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=COSINE_DUP_THRESHOLD,
+    )
+
+
+@register("dedup_embedding_cosine_lsh", None)  # approximate: rows-only
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidates → exact cosine verification:
+    the 100 TB embedding-dedup composition (bucket joins, not corpus²).
+    Approximate recall ⇒ no SQL oracle; recall vs the exact scorer is
+    asserted in tests/test_dedup.py on planted near-duplicates."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_bits=16,
+        bands=8,
     )
 
 

@@ -99,3 +99,114 @@ def test_simhash_identical_docs_equal_near_dups_close(spark, docs):
     # near-dup: small hamming distance; unrelated: larger
     assert hamming(fps[1], fps[3]) <= 6
     assert hamming(fps[1], fps[4]) > hamming(fps[1], fps[3])
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup family
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vecs(spark):
+    """8-dim embeddings: 1≈2 (tiny perturbation), 3 = scaled copy of 1
+    (cosine 1.0), 4/5 unrelated directions."""
+    rows = [
+        (1, [1.0, 0.5, -0.2, 0.8, 0.0, 0.3, -0.7, 0.1]),
+        (2, [1.01, 0.49, -0.21, 0.8, 0.01, 0.3, -0.69, 0.1]),
+        (3, [2.0, 1.0, -0.4, 1.6, 0.0, 0.6, -1.4, 0.2]),
+        (4, [-0.9, 0.1, 0.8, -0.3, 0.5, -0.6, 0.2, 0.9]),
+        (5, [0.0, -1.0, 0.0, 0.2, -0.8, 0.1, 0.9, -0.4]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_cosine_pairs_exact(spark, vecs):
+    from mknssh_11_bigdata_spark.operators.dedup import embedding_cosine_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs(
+            vecs, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert pairs[(1, 2)] > 0.99
+    assert pairs[(1, 3)] == 1.0  # scaled copy: cosine exactly 1
+    assert (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_embedding_lsh_recall_on_planted_near_dups(spark, vecs):
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            vecs, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            vecs,
+            "vec_id",
+            "embedding",
+            dim=8,
+            threshold=0.95,
+            n_bits=16,
+            bands=8,
+        ).collect()
+    }
+    # verified candidates are a subset of the exact result…
+    assert approx <= exact
+    # …and cosine≈1 planted dups agree on nearly every sign bit, so the
+    # banded buckets must recover them (recall 1.0 on this fixture).
+    assert approx == exact
+
+
+def test_hyperplane_signatures_shape_and_determinism(spark, vecs):
+    from mknssh_11_bigdata_spark.operators.dedup import hyperplane_signatures
+
+    s1 = {
+        r.vec_id: r.sig
+        for r in hyperplane_signatures(
+            vecs, "vec_id", "embedding", dim=8, n_bits=16
+        ).collect()
+    }
+    s2 = {
+        r.vec_id: r.sig
+        for r in hyperplane_signatures(
+            vecs, "vec_id", "embedding", dim=8, n_bits=16
+        ).collect()
+    }
+    assert s1 == s2
+    assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in s1.values())
+    # scaled copy has identical signs
+    assert s1[1] == s1[3]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha  beta   gamma"),  # whitespace-insensitive
+            (3, "gamma beta alpha"),  # order-sensitive
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert fps[4] == 0
