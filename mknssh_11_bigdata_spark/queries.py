@@ -511,3 +511,4 @@ def custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Imported last so their @register calls land in the same QUERIES dict.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
+from . import queries_multimodal  # noqa: E402,F401
