@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import dot, l2_norm
 from ..plans.layout import spread
 
 __all__ = [
@@ -306,11 +306,27 @@ def embedding_cosine_pairs(
     double fold (functions/vectors.py), rounded to 6 digits before the
     threshold so results are oracle-reproducible.
     """
+    # Precompute each vector's norm ONCE in the row projection: the
+    # per-pair expression is then a single zip_with/aggregate fold
+    # (dot) plus two scalar ops — 3× fewer folds than recomputing
+    # ‖a‖, ‖b‖ per pair. sqrt-per-row vs sqrt-per-pair is value-
+    # identical, so the SQL oracle still matches bit-for-bit.
     a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
     )
     b = spread(
-        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            l2_norm(F.col(vec_col)).alias("__nb"),
+        )
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(
+        denom > 0,
+        F.round(dot(F.col("__va"), F.col("__vb")) / denom, 6),
     )
     if candidates is not None:
         # Score only LSH-bucketed candidates: two broadcast-able joins
@@ -318,22 +334,14 @@ def embedding_cosine_pairs(
         return (
             candidates.join(a, "id_a")
             .join(b, "id_b")
-            .withColumn(
-                "cosine",
-                F.round(
-                    cosine_similarity(F.col("__va"), F.col("__vb")), 6
-                ),
-            )
+            .withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
     return (
         b.crossJoin(F.broadcast(a))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6),
-        )
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

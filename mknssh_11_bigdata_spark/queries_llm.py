@@ -308,14 +308,19 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB embedding-dedup composition (bucket joins, not corpus²).
     Approximate recall ⇒ no SQL oracle; recall vs the exact scorer is
     asserted in tests/test_dedup.py on planted near-duplicates."""
+    # 4 bands × 8 bits: random pairs collide per band with P≈2⁻⁸, so
+    # candidates ≈ 4·n²/512 of all-pairs — the pruning that makes this
+    # the scale path. Tuned for the near-dup regime (cosine ≥ 0.9 ⇒
+    # P(bit)≈0.86 ⇒ recall ≈ 0.74; ≥0.95 ⇒ ≈0.89); at this demo
+    # threshold (0.4) recall is intentionally partial.
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         dim=EMB_DIM,
         threshold=COSINE_DUP_THRESHOLD,
-        n_bits=16,
-        bands=8,
+        n_bits=32,
+        bands=4,
     )
 
 
