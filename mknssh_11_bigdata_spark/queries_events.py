@@ -103,6 +103,53 @@ def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_sessionization",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 300000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (streaming/stateful.py) on its batch
+    path: per-user session boundaries + aggregates folded in explicit
+    state via applyInPandas — the same code that runs under
+    applyInPandasWithState on a stream. Oracle = gaps-and-islands SQL.
+    """
+    from .streaming.stateful import sessionize_with_state
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize_with_state(e, gap_seconds=300)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@register(
     "daily_event_type_pivot",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
