@@ -41,6 +41,7 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "minhash_dedup_pairs",
+    "duplicate_components",
     "embedding_cosine_pairs",
     "hyperplane_signatures",
     "embedding_near_dup_pairs",
@@ -440,6 +441,67 @@ def embedding_near_dup_pairs(
     return embedding_cosine_pairs(
         df, id_col, vec_col, threshold, candidates=cands
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → duplicate
+    GROUPS (doc_id, component), component = min doc id reachable.
+
+    Pairwise dedup output is not yet dedup policy: A≈B and B≈C must
+    collapse into one group {A,B,C} with one keeper even when A≉C
+    directly. This is the iterative min-label-propagation algorithm
+    (Spark has no native connected components):
+
+    each round: label(v) ← min(label(v), min label over neighbors);
+    converged when no label changes. Rounds needed = graph diameter —
+    for dedup graphs typically ≤ a handful. Each round is one join +
+    one aggregation on the (tiny) pair graph, with ``localCheckpoint``
+    truncating the lineage so the plan doesn't grow superlinearly.
+
+    Driver-side convergence check: one scalar count per round — the
+    only non-declarative control flow, which is exactly the class of
+    iterative algorithm Catalyst can't express in one plan.
+    """
+    # Undirected edge list, both directions.
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
 
 
 def minhash_dedup_pairs(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .functions import text as TX
 from .operators.dedup import (
@@ -322,6 +323,94 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=32,
         bands=4,
     )
+
+
+VOCAB_K = 100
+
+
+@register(
+    "corpus_vocabulary",
+    f"""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest({SQL_TOKS.format(col='lower(text)')}) AS token
+        FROM documents
+    ),
+    agg AS (
+        SELECT token,
+               COUNT(*) AS term_freq,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM ex GROUP BY token
+    )
+    SELECT token, term_freq, doc_freq, rank FROM (
+        SELECT token, term_freq, doc_freq,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY term_freq DESC, token ASC) AS INTEGER) AS rank
+        FROM agg
+    ) WHERE rank <= {VOCAB_K}
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus vocabulary by term frequency (tokenizer-building
+    shape): explode tokens → one partial-aggregating groupBy →
+    TakeOrderedAndProject top-k → rank the k survivors. The global
+    window runs on k rows, never on the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    agg = (
+        d.select(
+            "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+    )
+    top = agg.orderBy(
+        F.col("term_freq").desc(), F.col("token").asc()
+    ).limit(VOCAB_K)
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _components_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root
+        FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(root) AS component
+    FROM reach GROUP BY id
+    """
+
+
+@register("dedup_connected_components", _components_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUP resolution: MinHash near-dup pairs → connected
+    components by iterative min-label propagation (transitively closes
+    A≈B≈C chains into one group with one keeper = the min id). The
+    oracle computes the same closure with a recursive CTE."""
+    from .operators.dedup import duplicate_components
+
+    pairs = minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return duplicate_components(pairs)
 
 
 # ---------------------------------------------------------------------------

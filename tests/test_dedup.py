@@ -210,3 +210,26 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
     assert fps[4] == 0
+
+
+def test_duplicate_components_transitive_closure(spark):
+    from mknssh_11_bigdata_spark.operators.dedup import duplicate_components
+
+    # chain 1-2-3 (1≈2, 2≈3 but NOT 1≈3), separate pair 7-9, pair 4-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (8, 4)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4}
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    from mknssh_11_bigdata_spark.operators.dedup import duplicate_components
+
+    # a 12-node path: worst-case diameter for propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 13
