@@ -156,3 +156,20 @@ def test_embedding_udf_deterministic(spark, dataset):
     b = M.add_title_embeddings(dataset, text_col="tconst", dim=8)
     vb = {r.tconst: tuple(r.title_emb) for r in b.select("tconst", "title_emb").collect()}
     assert va == vb
+
+
+def test_viz_trends_for_plot_topn_reduction(tables, spark):
+    import mknssh_11_bigdata_spark.pipelines.imdb_analysis as A
+    from mknssh_11_bigdata_spark.pipelines.viz import (
+        top_genres_by_votes,
+        trends_for_plot,
+    )
+
+    trends = A.trends_dataframe(tables["title_basics"], tables["title_ratings"])
+    top2 = [r.genre for r in top_genres_by_votes(trends, top_n=2).collect()]
+    assert len(top2) == 2
+    pdf = trends_for_plot(trends, top_n=2)
+    assert set(pdf["genre"].unique()) == set(top2)
+    # sorted by (genre, startYear) for line plotting
+    assert list(pdf.sort_values(["genre", "startYear"]).index) == list(pdf.index)
+    assert {"mean_rating", "total_votes"} <= set(pdf.columns)
