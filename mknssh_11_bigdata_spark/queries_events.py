@@ -150,6 +150,51 @@ def stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_last_click",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_ts, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attach to every purchase the
+    user's most recent click at-or-before it (last-touch attribution).
+    The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent
+    implementation of the same operator, so the union+window
+    composition is cross-checked against a purpose-built engine."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["click_ts", "click_value"],
+        suffix="",
+    )
+
+
+@register(
     "daily_event_type_pivot",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
