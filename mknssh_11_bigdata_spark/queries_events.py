@@ -195,6 +195,38 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.90), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB the exact
+    version needs a per-group sort; swap in ``approx_percentile``
+    (t-digest sketch, one pass, mergeable) behind the same column
+    names when error tolerance allows."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(name)
+            for name, q in [
+                ("p25", 0.25),
+                ("p50", 0.50),
+                ("p90", 0.90),
+                ("p99", 0.99),
+            ]
+        ]
+    )
+
+
+@register(
     "daily_event_type_pivot",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet"]
+__all__ = ["write_parquet", "write_bucketed_table"]
 
 
 def write_parquet(
@@ -28,3 +28,31 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) managed-table sink.
+
+    Two tables bucketed on the same join key with the same bucket count
+    join WITHOUT a shuffle (SortMergeJoin reads co-located buckets) —
+    at 100 TB this converts every recurring fact⋈fact join from a
+    full-data exchange into a local merge, the biggest write-side win
+    after partition pruning. ``sort_cols`` additionally pre-sorts each
+    bucket, eliminating the join's sort step too.
+    (Bucketing requires ``saveAsTable``; plain ``.parquet(path)`` drops
+    bucket metadata.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
