@@ -355,9 +355,11 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): explode tokens → one partial-aggregating groupBy →
     TakeOrderedAndProject top-k → rank the k survivors. The global
     window runs on k rows, never on the corpus."""
+    from .plans.layout import spread
+
     d = _t(spark, sf_dir, "documents")
     agg = (
-        d.select(
+        spread(d).select(
             "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
         )
         .groupBy("token")

@@ -80,22 +80,44 @@ def sessionize_with_state(
     def _fold(
         rows: "pd.DataFrame", state: tuple[Any, ...] | None
     ) -> tuple[list[tuple], tuple[Any, ...] | None]:
-        """Fold sorted event (us, value) rows into (closed_sessions, state)."""
-        import pandas as pd  # noqa: F401
+        """Fold sorted event (us, value) rows into (closed_sessions, state).
 
-        closed: list[tuple] = []
+        Vectorized: session breaks via np.diff, per-session aggregates
+        via reduceat — no per-event Python. NOTE the value sums run
+        left-to-right within a session either way, so results match the
+        scalar fold bit-for-bit.
+        """
+        import numpy as np
+
+        if len(rows) == 0:
+            return [], state
         rows = rows.sort_values("__us")
-        for us, val in zip(rows["__us"], rows["__val"]):
-            us = int(us)
-            val = float(val)
-            if state is None:
-                state = (us, us, 1, val)
-            elif us - state[1] >= us_gap:
-                closed.append(state)
-                state = (us, us, 1, val)
+        us = rows["__us"].to_numpy(dtype=np.int64)
+        vals = rows["__val"].to_numpy(dtype=np.float64)
+        breaks = np.empty(len(us), dtype=bool)
+        breaks[0] = state is None or us[0] - state[1] >= us_gap
+        breaks[1:] = np.diff(us) >= us_gap
+        starts = np.flatnonzero(breaks)  # first-row index per new session
+        # Aggregate each [start, next_start) slice.
+        bounds = np.append(starts, len(us))
+        seg_first = us[bounds[:-1]]
+        seg_last = us[bounds[1:] - 1]
+        seg_n = np.diff(bounds)
+        seg_sum = np.add.reduceat(vals, bounds[:-1])
+        sessions = [
+            (int(a), int(b), int(n), float(s))
+            for a, b, n, s in zip(seg_first, seg_last, seg_n, seg_sum)
+        ]
+        if state is not None:
+            if breaks[0]:
+                sessions.insert(0, state)  # old open session closes as-is
             else:
-                state = (state[0], us, state[2] + 1, state[3] + val)
-        return closed, state
+                # first slice continues the carried-over session
+                a, b, n, s = sessions[0]
+                sessions[0] = (
+                    state[0], b, state[2] + n, state[3] + s
+                )
+        return sessions[:-1], sessions[-1]
 
     def _emit(user_id: int, sessions: list[tuple]) -> "pd.DataFrame":
         import pandas as pd
