@@ -507,6 +507,122 @@ def custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)
 
 
+SPEND_EDGES = [100_000.0, 1_000_000.0, 2_000_000.0]
+TOP_SPENDERS = 100
+
+
+def _feature_table_oracle() -> str:
+    seg_flags = ",\n           ".join(
+        f"CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END"
+        f" AS c_mktsegment_{s}"
+        for s in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                  "MACHINERY")
+    )
+    e0, e1, e2 = SPEND_EDGES
+    return f"""
+    WITH agg AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_partial,
+               ROUND(SUM(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    top_ids AS (
+        SELECT o_custkey FROM agg
+        ORDER BY total_spend DESC, o_custkey ASC LIMIT {TOP_SPENDERS}
+    ),
+    joined AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+               COALESCE(a.n_orders, 0) AS n_orders,
+               COALESCE(a.n_finished, 0) AS n_finished,
+               COALESCE(a.n_open, 0) AS n_open,
+               COALESCE(a.n_partial, 0) AS n_partial,
+               COALESCE(a.total_spend, 0.0) AS total_spend
+        FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+    )
+    SELECT j.c_custkey,
+           n.n_name,
+           {seg_flags},
+           j.n_orders, j.n_finished, j.n_open, j.n_partial,
+           j.total_spend,
+           CASE WHEN j.total_spend < {e0} THEN 0
+                WHEN j.total_spend < {e1} THEN 1
+                WHEN j.total_spend < {e2} THEN 2
+                ELSE 3 END AS spend_bucket,
+           CASE WHEN j.c_custkey IN (SELECT o_custkey FROM top_ids)
+                THEN 1 ELSE 0 END AS is_top_spender
+    FROM joined j JOIN nation n ON j.c_nationkey = n.n_nationkey
+    """
+
+
+@register("customer_feature_table", _feature_table_oracle())
+def customer_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship COMPOSITION: the reference's whole
+    ``generate_dataset`` shape (``data_processing.py:340-374``) on the
+    driver's star schema — conditional-count profile (A2) ⋈ left join
+    with explicit null semantics (J2-J4/§4.4.6) → dynamic one-hot (F3,
+    deterministic vocabulary) → bucketize (F6) → deterministic top-N
+    (T1) → broadcast semi-join membership flag (J7) → dimension join.
+    One oracle certifies all the library operators working together."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    agg = conditional_counts(
+        o,
+        ["o_custkey"],
+        {
+            "n_finished": F.col("o_orderstatus") == "F",
+            "n_open": F.col("o_orderstatus") == "O",
+            "n_partial": F.col("o_orderstatus") == "P",
+        },
+        extra_aggs=[
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        ],
+    )
+    top_ids = top_n(
+        agg.select("o_custkey", "total_spend"),
+        [F.col("total_spend").desc()],
+        TOP_SPENDERS,
+        tie_breakers=[F.col("o_custkey").asc()],
+    ).select("o_custkey")
+    joined = (
+        c.select("c_custkey", "c_mktsegment", "c_nationkey")
+        .join(agg, c.c_custkey == agg.o_custkey, "left")
+        .drop("o_custkey")
+        .na.fill(
+            {
+                "n_orders": 0,
+                "n_finished": 0,
+                "n_open": 0,
+                "n_partial": 0,
+                "total_spend": 0.0,
+            }
+        )
+    )
+    onehot, _seg_cols = one_hot(joined, "c_mktsegment")
+    bucketed = bucketize(
+        onehot, "total_spend", SPEND_EDGES, out="spend_bucket"
+    )
+    flagged = membership_flag(
+        bucketed, "c_custkey",
+        top_ids.withColumnRenamed("o_custkey", "c_custkey"),
+        out="is_top_spender",
+    )
+    return (
+        flagged.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            flagged.c_nationkey == F.col("n_nationkey"),
+        )
+        .drop("c_mktsegment", "c_nationkey", "n_nationkey")
+    )
+
+
 # Extension registrations (LLM-data-pipeline + events/streaming-batch).
 # Imported last so their @register calls land in the same QUERIES dict.
 from . import queries_llm  # noqa: E402,F401
