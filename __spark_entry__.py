@@ -15,14 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 from mknssh_11_bigdata_spark.queries import QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
-FLAGSHIP = "yearly_returnflag_trend"
+FLAGSHIP = "customer_feature_table"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The flagship is the genre-year trends shape from the reference
-    (SURVEY.md §3.3): join facts, group by (year, key), mean/sum.
+    The flagship is the reference's full ``generate_dataset``
+    composition (SURVEY.md §3.1) on the driver's star schema:
+    conditional-count profile → left join → one-hot → bucketize →
+    deterministic top-N → membership semi-join → dimension join.
     """
     return QUERIES[FLAGSHIP].spark(spark, SMOKE_SF_DIR)
 
