@@ -280,6 +280,7 @@ def generate_dataset(
     tables: dict[str, DataFrame],
     genre_vocabulary: list[str] | None = None,
     top_n_entities: int = 1000,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """The full feature pipeline (``generate_dataset``,
     ``data_processing.py:340-374``): one fused lazy plan from six input
@@ -299,4 +300,5 @@ def generate_dataset(
         tables["title_ratings"],
         top_n_entities=top_n_entities,
     )
-    return cleanup_columns(df)
+    drop = tuple(c for c in DROP_COLUMNS if c not in keep)
+    return cleanup_columns(df, drop=drop)

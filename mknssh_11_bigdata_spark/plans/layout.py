@@ -14,9 +14,12 @@ balances skewed documents, and AQE coalesces if the estimate overshoots.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
 
-__all__ = ["spread"]
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["spread", "salted_agg"]
 
 
 def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
@@ -33,3 +36,62 @@ def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+#: Combine functions for the second phase of a salted aggregation.
+_COMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for HOT grouping keys.
+
+    ``aggs`` maps output name → (column, fn) with fn ∈ sum|count|min|max
+    (algebraic aggs; express avg as sum/count afterwards). Phase 1
+    groups by (keys, salt) — a deterministic row-content hash mod
+    ``salt`` — splitting a hot key's rows across ``salt`` reducers;
+    phase 2 combines the ``salt`` partials per key, shuffling only
+    ``salt`` rows per distinct key.
+
+    When to use: a groupBy whose key distribution is so skewed that one
+    reducer takes the whole stage (AQE splits skewed JOIN partitions,
+    but a skewed AGGREGATION key cannot be split — partial map-side
+    aggregation already helps, so reach for this only when map-side
+    partials are defeated, e.g. high-cardinality compound values or
+    ``count_distinct`` rewrites).
+    """
+    for _, (c, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"unsupported agg fn {fn!r}")
+    salt_col = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns]), F.lit(salt)
+    ).alias("__salt")
+    phase1 = df.select(*df.columns, salt_col).groupBy(
+        *keys, "__salt"
+    ).agg(
+        *[
+            _PARTIAL[fn](c).alias(f"__p_{name}")
+            for name, (c, fn) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            _COMBINE[fn](f"__p_{name}").alias(name)
+            for name, (c, fn) in aggs.items()
+        ]
+    )

@@ -173,3 +173,30 @@ def test_viz_trends_for_plot_topn_reduction(tables, spark):
     # sorted by (genre, startYear) for line plotting
     assert list(pdf.sort_values(["genre", "startYear"]).index) == list(pdf.index)
     assert {"mean_rating", "total_votes"} <= set(pdf.columns)
+
+
+def test_run_pipeline_end_to_end(spark, imdb_dir, tmp_path):
+    from mknssh_11_bigdata_spark.pipelines.imdb_main import run_pipeline
+
+    out = run_pipeline(
+        spark,
+        imdb_dir,
+        str(tmp_path / "dataset.parquet"),
+        top_n_entities=10,
+        emb_out_dim=4,
+    )
+    assert out["n_rows"] > 0
+    assert out["n_features"] > 10
+    m = out["metrics"]
+    assert 0.0 <= m["accuracy"] <= 1.0 and 0.0 <= m["f1"] <= 1.0
+    assert sum(sum(r) for r in m["confusion"]) > 0
+    assert len(out["top_factors"]) == 10
+    # determinism: a second run returns identical metrics
+    out2 = run_pipeline(
+        spark,
+        imdb_dir,
+        str(tmp_path / "dataset2.parquet"),
+        top_n_entities=10,
+        emb_out_dim=4,
+    )
+    assert out2["metrics"] == m

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the determinism-critical
+column functions, plus salted-agg equivalence (SURVEY.md §5.4-5.5)."""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TOKEN = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKEN, min_size=1, max_size=12), st.integers(1, 5))
+def test_rolling_fingerprint_whitespace_invariant(spark, toks, pad):
+    from mknssh_11_bigdata_spark.functions.text import rolling_fingerprint
+
+    single = " ".join(toks)
+    padded = (" " * pad).join(toks) + " " * pad
+    df = spark.createDataFrame([(single,), (padded,)], ["text"])
+    fps = [
+        r.fp
+        for r in df.select(
+            rolling_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    ]
+    assert fps[0] == fps[1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=10
+    ),
+    st.lists(
+        st.floats(-1e5, 1e5, allow_nan=False),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_bucketize_matches_bisect(spark, values, raw_edges):
+    from mknssh_11_bigdata_spark.operators.relational import bucketize
+
+    edges = sorted(raw_edges)
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    got = {
+        r.v: r.b
+        for r in bucketize(df, "v", edges, out="b").collect()
+    }
+    # bisect_right puts v == edge into the next bucket, matching the
+    # operator's half-open [lo, hi) contract
+    for v in values:
+        assert got[v] == bisect.bisect_right(edges, v)
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from mknssh_11_bigdata_spark.plans.layout import salted_agg
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    from conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        r.event_type: (r.n, round(r.s, 2), r.mn, r.mx)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.event_type: (r.n, round(r.s, 2), r.mn, r.mx)
+        for r in salted_agg(
+            e.select("event_type", "value"),
+            ["event_type"],
+            {
+                "n": ("*", "count"),
+                "s": ("value", "sum"),
+                "mn": ("value", "min"),
+                "mx": ("value", "max"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
