@@ -507,6 +507,56 @@ def custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)
 
 
+@register(
+    "custkeys_both_years",
+    """
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    """,
+)
+def custkeys_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT) — completes the set-op surface with
+    subtract/anti-join. Customers active in both 1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "segment_priority_cube",
+    """
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four marginal combinations in ONE
+    shuffle via Expand) — the OLAP completion of the rollup query."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("segment", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 SPEND_EDGES = [100_000.0, 1_000_000.0, 2_000_000.0]
 TOP_SPENDERS = 100
 
