@@ -195,6 +195,42 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_6h_event_volume",
+    """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT))
+                   AS window_start,
+               value
+        FROM events, unnest(range(0, 6)) AS u(k)
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY window_start
+    """,
+)
+def sliding_6h_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (6h window, 1h slide — each event lands
+    in 6 windows). Same expression plans statefully on a stream
+    (streaming/windows.py sliding_agg); the oracle materializes the
+    window membership with an unnest."""
+    from .streaming.windows import sliding_agg
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_agg(
+        e,
+        "ts",
+        "6 hours",
+        "1 hour",
+        [],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select("window_start", "n_events", "total_value")
+
+
+@register(
     "event_value_quantiles",
     """
     SELECT event_type,
