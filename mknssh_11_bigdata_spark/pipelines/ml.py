@@ -37,6 +37,7 @@ __all__ = [
     "hash_embedding_udf",
     "add_title_embeddings",
     "pca_reduce",
+    "tsne_2d",
     "train_test_split",
     "train_model",
     "score_model",
@@ -101,6 +102,23 @@ def pca_reduce(
     signs = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
     comps = comps * signs[:, None]
     return centered @ comps.T, comps
+
+
+def tsne_2d(emb: np.ndarray, seed: int = 42) -> np.ndarray:
+    """2-d projection helper (``apply_tsne``,
+    ``/root/reference/scripts/data_analysis.py:119-134``): sklearn t-SNE
+    when installed, deterministic 2-component PCA otherwise. Driver-side
+    by design — t-SNE is a global fit over an already-reduced sample
+    (visualization scale, never the 100 TB table)."""
+    try:
+        from sklearn.manifold import TSNE
+
+        return TSNE(
+            n_components=2, random_state=seed, init="pca"
+        ).fit_transform(emb)
+    except ImportError:
+        reduced, _ = pca_reduce(emb, out_dim=2)
+        return reduced
 
 
 def train_test_split(

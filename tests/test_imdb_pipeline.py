@@ -200,3 +200,16 @@ def test_run_pipeline_end_to_end(spark, imdb_dir, tmp_path):
         emb_out_dim=4,
     )
     assert out2["metrics"] == m
+
+
+def test_tsne_2d_shape_and_determinism():
+    import numpy as np
+
+    from mknssh_11_bigdata_spark.pipelines.ml import tsne_2d
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((50, 8))
+    a = tsne_2d(emb)
+    b = tsne_2d(emb)
+    assert a.shape == (50, 2)
+    assert np.allclose(a, b)
