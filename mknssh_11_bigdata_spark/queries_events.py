@@ -231,6 +231,57 @@ def sliding_6h_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_click_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           COUNT(c.ts) AS n_clicks_30m
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.event_id, p.user_id, p.ts, p.value
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks within the 30-minute attribution
+    window of each purchase, counted per purchase. The same
+    ``interval_join`` expressions plan as a watermark-bounded
+    stream-stream join (streaming/joins.py,
+    tests/test_streaming_joins.py)."""
+    from .streaming.joins import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = interval_join(
+        purchases, clicks, ["user_id"], "p_ts", "c_ts", "30 minutes"
+    )
+    # left semantics via count-over-group after an inner join + union of
+    # zero-click purchases would cost an extra pass; aggregate the inner
+    # result and left-join it back to keep purchases with no clicks.
+    counts = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_30m")
+    )
+    return (
+        purchases.join(counts, "event_id", "left")
+        .na.fill({"n_clicks_30m": 0})
+        .select(
+            "event_id",
+            "user_id",
+            F.col("p_ts").alias("ts"),
+            "value",
+            "n_clicks_30m",
+        )
+    )
+
+
+@register(
     "event_value_quantiles",
     """
     SELECT event_type,
