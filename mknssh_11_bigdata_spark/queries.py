@@ -508,6 +508,72 @@ def custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_describe",
+    """
+    SELECT 'l_quantity' AS column_name,
+           COUNT(l_quantity) AS n_non_null,
+           ROUND(AVG(l_quantity), 6) AS mean,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev,
+           ROUND(MIN(l_quantity), 6) AS min_val,
+           ROUND(MAX(l_quantity), 6) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(l_extendedprice),
+           ROUND(AVG(l_extendedprice), 6),
+           ROUND(STDDEV_SAMP(l_extendedprice), 6),
+           ROUND(MIN(l_extendedprice), 6),
+           ROUND(MAX(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(l_discount),
+           ROUND(AVG(l_discount), 6),
+           ROUND(STDDEV_SAMP(l_discount), 6),
+           ROUND(MIN(l_discount), 6),
+           ROUND(MAX(l_discount), 6)
+    FROM lineitem
+    """,
+)
+def lineitem_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``describe()``-shape summary stats (inventory A10/M8 — the
+    reference ran ``df.describe()`` plus 6 uncached ``count()``s,
+    ``data_analysis.py:28-41``): ONE aggregation over all columns,
+    unpivoted to the long (column, stats) layout. Spark's stddev is
+    the sample stddev ≡ STDDEV_SAMP."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            F.round(F.stddev(c), 6).alias(f"{c}__sd"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__n").alias("n_non_null"),
+                        F.col(f"{c}__mean").alias("mean"),
+                        F.col(f"{c}__sd").alias("stddev"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")
+
+
+@register(
     "custkeys_both_years",
     """
     SELECT o_custkey FROM orders
