@@ -375,6 +375,79 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+TFIDF_TOPK = 3
+
+
+@register(
+    "doc_tfidf_top_terms",
+    f"""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest({SQL_TOKS.format(col='lower(text)')}) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM ex GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+                     6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, rank, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {TFIDF_TOPK}
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))+1, the sklearn convention): one explode, two
+    aggregations sharing the token key, scalar doc count broadcast via
+    crossJoin, per-doc ranking window. The keyword-extraction shape of
+    a training-data pipeline, all JVM-side."""
+    from .plans.layout import spread
+
+    d = _t(spark, sf_dir, "documents")
+    ex = spread(d).select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "token", "tfidf")
+    )
+
+
 def _components_oracle() -> str:
     pairs = _minhash_oracle()
     return f"""
