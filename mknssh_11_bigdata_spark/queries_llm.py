@@ -488,6 +488,44 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs)
 
 
+def _keep_list_oracle() -> str:
+    components = _components_oracle()
+    return f"""
+    WITH comp AS ({components})
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN comp ON d.doc_id = comp.doc_id
+    WHERE comp.doc_id IS NULL OR comp.component = d.doc_id
+    """
+
+
+@register("dedup_keep_list", _keep_list_oracle())
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup POLICY output — the corpus that survives: every doc not
+    in any near-dup group, plus one keeper (the min id) per group.
+    Closes the loop pairs → components → kept corpus; at 100 TB the
+    component map is tiny relative to the corpus, so the final filter is
+    a broadcast anti-join-shaped pass over the full table."""
+    from .operators.dedup import duplicate_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return d.select("doc_id").join(
+        F.broadcast(losers), "doc_id", "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
