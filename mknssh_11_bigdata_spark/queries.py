@@ -14,7 +14,7 @@ Reference citations in each query's docstring say which inventory row
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.relational import (
@@ -736,6 +736,176 @@ def customer_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             flagged.c_nationkey == F.col("n_nationkey"),
         )
         .drop("c_mktsegment", "c_nationkey", "n_nationkey")
+    )
+
+
+@register(
+    "yearly_revenue_yoy",
+    """
+    WITH yearly AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY order_year), 2)
+               AS yoy_delta,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY order_year))
+                 / LAG(revenue) OVER (ORDER BY order_year), 4) AS yoy_pct
+    FROM yearly
+    """,
+)
+def yearly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window analytics — year-over-year revenue delta/percent, the
+    trends extension SURVEY §2.7 calls for (reference did cumsum in
+    pandas, ``analysis.ipynb#cell30``). The unpartitioned window runs on
+    the post-agg frame (one row per year), so the single-partition sort
+    is O(#years) regardless of input SF — safe at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "order_year",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    """
+    WITH spend AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT total_spend,
+               NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey ASC)
+                   AS decile
+        FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(total_spend), 2) AS min_spend,
+           ROUND(MAX(total_spend), 2) AS max_spend,
+           ROUND(AVG(total_spend), 6) AS avg_spend
+    FROM tiled GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation of customers by lifetime spend — the
+    ranking-window counterpart of the bucketize operator (F6) with
+    data-driven edges. Total order (spend DESC, custkey ASC) makes tile
+    assignment deterministic. NTILE needs a global sort of the per-customer
+    agg (#customers rows, ~1/10000th of fact rows); at larger scale swap
+    for approx_percentile edges + bucketize, same output contract."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    return (
+        spend.select(
+            "total_spend", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+            F.round(F.avg("total_spend"), 6).alias("avg_spend"),
+        )
+    )
+
+
+PRICE_BANDS = [
+    ("budget", 900.0, 930.0),
+    ("mid", 930.0, 960.0),
+    ("premium", 960.0, 1000.0),
+]
+
+
+@register(
+    "part_price_band_join",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES {values}
+    )
+    SELECT b.band,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 6) AS avg_price,
+           ROUND(AVG(p.p_size), 6) AS avg_size
+    FROM part p
+    JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """.format(
+        values=", ".join(
+            f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS
+        )
+    ),
+)
+def part_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi RANGE join — fact rows matched to [lo, hi) interval dims.
+    The reference has no range joins (SURVEY §2.3 'no theta/range');
+    this is the idiomatic Spark plan for one: broadcast the tiny band
+    table so the theta condition runs as BroadcastNestedLoopJoin (no
+    shuffle, no cartesian blowup — O(rows × bands) with bands constant).
+    At 100 TB the same plan holds: bands stay driver-small."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.round(F.avg("p_size"), 6).alias("avg_size"),
+        )
+    )
+
+
+@register(
+    "nation_priority_grouping_sets",
+    """
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority))
+    """,
+)
+def nation_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-set shape alongside
+    the rollup and cube queries: two disjoint marginals ((nation),
+    (priority)) computed in ONE pass via Expand, where naive SQL would
+    UNION two scans. Dimension joins broadcast (nation: 25 rows,
+    customer pruned to 2 cols)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+    )
+    return joined.groupingSets(
+        [["nation"], ["priority"]], "nation", "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
 
 
