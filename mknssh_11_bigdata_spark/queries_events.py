@@ -338,3 +338,35 @@ def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     return out.na.fill(0, subset=types)
+
+
+@register(
+    "tier_crossing_alerts",
+    """
+    WITH cum AS (
+        SELECT user_id, ts, event_id,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running_total
+        FROM events
+    ),
+    edges(tier, edge) AS (VALUES (1, 1000.0), (2, 2500.0), (3, 4500.0)),
+    crossings AS (
+        SELECT c.user_id, e.tier, c.ts, c.running_total,
+               ROW_NUMBER() OVER (PARTITION BY c.user_id, e.tier
+                                  ORDER BY c.ts, c.event_id) AS rn
+        FROM cum c JOIN edges e ON c.running_total >= e.edge
+    )
+    SELECT user_id, tier, ts AS crossed_at,
+           ROUND(running_total, 2) AS running_total
+    FROM crossings WHERE rn = 1
+    """,
+)
+def tier_crossing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithState spend-tier alert operator
+    (streaming/tws.py): first event where each user's running value total
+    reaches each tier edge. The streaming side is certified against this
+    exact frame in tests/test_streaming_tws.py."""
+    from .streaming.tws import tier_alerts_batch
+
+    return tier_alerts_batch(_t(spark, sf_dir, "events"))

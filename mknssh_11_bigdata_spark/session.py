@@ -18,7 +18,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "ROCKSDB_STATE_CONF"]
+
+#: transformWithState requires the RocksDB state store provider; set this
+#: on the session (spark.conf.set) before starting such a query. Runtime-
+#: settable: it is read at stream-query start, not session build.
+ROCKSDB_STATE_CONF = (
+    "spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+)
 
 
 def get_spark(
