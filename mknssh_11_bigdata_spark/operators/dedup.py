@@ -131,11 +131,38 @@ def minhash_signatures(
     )
 
 
+def cap_bucket_size(
+    melted: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` rows.
+
+    The band self-join emits O(k²) pairs for a k-row bucket; AQE's
+    skew-join splitting spreads those pairs across tasks but cannot
+    reduce their COUNT — one boilerplate cluster of 10⁶ near-identical
+    docs at 100 TB would alone emit 5·10¹¹ pairs. Production dedup
+    pipelines cap the bucket size: a bucket that large is (a) almost
+    certainly template/boilerplate, (b) already connected through other
+    bands at lower cost. Mechanics: map-side-partial count per bucket →
+    the over-cap key list is tiny → broadcast anti-join, so the guard
+    itself adds no full shuffle of the melted frame.
+    """
+    hot = (
+        melted.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+        .select("band_idx", "band_key")
+    )
+    return melted.join(
+        F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures → candidate pairs (id_a < id_b).
 
@@ -144,6 +171,11 @@ def lsh_candidate_pairs(
     equi-join on ``(band_idx, band_key)`` — never an all-pairs scan; AQE
     splits any hot bucket. With (bands=4, r=3), Jaccard≈0.9 pairs are
     caught with P≈1-(1-0.9³)⁴≈0.986.
+
+    ``max_bucket_size`` arms the hot-bucket guard (see
+    ``cap_bucket_size``) — the knob that keeps the self-join's pair
+    count bounded under adversarial skew at 100 TB. Default off so
+    small-corpus results stay exact.
     """
     band_cols = [
         F.md5(
@@ -165,6 +197,8 @@ def lsh_candidate_pairs(
             "band_idx", "band_key"
         ),
     )
+    if max_bucket_size is not None:
+        melted = cap_bucket_size(melted, max_bucket_size)
     a = melted.alias("a")
     b = melted.alias("b")
     return (
@@ -401,6 +435,7 @@ def embedding_near_dup_pairs(
     n_bits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end embedding near-dup: hyperplane signatures → banded
     bucket join → exact cosine verification ≥ threshold.
@@ -409,6 +444,9 @@ def embedding_near_dup_pairs(
     cost is bucket-collision-driven, not corpus², and verification
     touches only the candidate sliver. Recall vs the exact scorer is
     asserted in tests/test_dedup.py on planted near-duplicates.
+    ``max_bucket_size`` arms the same hot-bucket guard as
+    :func:`lsh_candidate_pairs` (embedding corpora skew too: zero/near-
+    zero vectors all share a signature).
     """
     rows = n_bits // bands
     sigs = hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed)
@@ -423,6 +461,8 @@ def embedding_near_dup_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

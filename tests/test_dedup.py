@@ -233,3 +233,25 @@ def test_duplicate_components_long_chain_converges(spark):
     out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 13
+
+
+def test_hot_bucket_guard_drops_pathological_bucket(spark):
+    """A boilerplate cluster (many identical docs) floods one LSH bucket;
+    with max_bucket_size set, its O(k²) pairs are excluded while a small
+    distinct near-dup pair elsewhere still comes through."""
+    boiler = [(i, "identical boilerplate text repeated verbatim " * 3)
+              for i in range(100, 140)]
+    docs = spark.createDataFrame(
+        boiler + [(1, BASE), (3, NEAR)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    uncapped = lsh_candidate_pairs(sigs, "doc_id").collect()
+    capped = lsh_candidate_pairs(
+        sigs, "doc_id", max_bucket_size=10
+    ).collect()
+    boiler_ids = {i for i, _ in boiler}
+    assert any(r.id_a in boiler_ids for r in uncapped)  # flood present
+    assert not any(
+        r.id_a in boiler_ids or r.id_b in boiler_ids for r in capped
+    )
+    assert {(r.id_a, r.id_b) for r in capped} == {(1, 3)}  # planted pair kept
