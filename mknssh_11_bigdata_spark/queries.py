@@ -856,7 +856,17 @@ def part_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no cartesian blowup — O(rows × bands) with bands constant).
     At 100 TB the same plan holds: bands stay driver-small."""
     p = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    # VALUES literal, not createDataFrame: stays JVM-side (createDataFrame
+    # on local rows goes through a Python RDD => one Python worker spin-up
+    # per run just to ship 3 constant rows).
+    bands = spark.sql(
+        "SELECT * FROM VALUES {} AS bands(band, lo, hi)".format(
+            ", ".join(
+                f"('{b}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+                for b, lo, hi in PRICE_BANDS
+            )
+        )
+    )
     return (
         p.join(
             F.broadcast(bands),

@@ -113,3 +113,26 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic schema'd reader for json / orc / csv / avro.
+
+    Same stance as read_tsv: pass an explicit schema for the schemaless
+    formats (json/csv) — schema inference is an extra full pass over the
+    data, which at 100 TB doubles the scan before any work starts. ORC
+    carries its own schema (like parquet) so ``schema=None`` is fine
+    there.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)

@@ -8,7 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_bucketed_table"]
+__all__ = [
+    "write_parquet",
+    "write_bucketed_table",
+    "write_format",
+]
 
 
 def write_parquet(
@@ -56,3 +60,30 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Generic sink for the non-parquet formats (json / orc / csv / avro —
+    the connectors the reference lacked, SURVEY.md §2.1 "no other
+    connectors").
+
+    Format notes for scale:
+    * ``orc`` — columnar like parquet; same pruning/pushdown properties.
+    * ``json``/``csv`` — row formats, no pushdown, no types (csv) or
+      slow parse (json): interchange only, never the analytic store.
+    * ``avro`` — needs the external ``spark-avro`` package; callers
+      should treat its absence as an environment gate.
+    """
+    writer = df.write.mode(mode).format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -184,8 +184,16 @@ def tier_alerts_batch(
         F.col("__eid").alias("event_id"),
         F.sum("__val").over(w).alias("running_total"),
     )
+    # VALUES literal keeps the 3-row edge table JVM-side (no Python-RDD
+    # worker spin-up as createDataFrame on local rows would incur).
     edges = F.broadcast(
-        cum.sparkSession.createDataFrame(TIER_EDGES, "tier int, edge double")
+        cum.sparkSession.sql(
+            "SELECT * FROM VALUES {} AS edges(tier, edge)".format(
+                ", ".join(
+                    f"({t}, CAST({e} AS DOUBLE))" for t, e in TIER_EDGES
+                )
+            )
+        )
     )
     rank_w = Window.partitionBy("user_id", "tier").orderBy(
         "crossed_at", "event_id"

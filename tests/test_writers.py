@@ -60,3 +60,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # buckets are co-located: no shuffle
     assert joined.count() > 0
+
+
+@pytest.mark.parametrize("fmt", ["json", "orc", "csv"])
+def test_format_roundtrip(spark, tmp_path, fmt):
+    """json/orc/csv round-trips preserve rows; schemaless formats read
+    back with the explicit schema (no inference pass)."""
+    from mknssh_11_bigdata_spark.sources.readers import read_format
+    from mknssh_11_bigdata_spark.sources.writers import write_format
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / f"nation_{fmt}")
+    opts = {"header": "true"} if fmt == "csv" else {}
+    write_format(nation, out, fmt, options=opts)
+    back = read_format(
+        spark, out, fmt,
+        schema=None if fmt == "orc" else nation.schema,
+        options=opts,
+    )
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
+def test_orc_pushdown_in_plan(spark, tmp_path):
+    """ORC scans must push filters like parquet (columnar contract)."""
+    from mknssh_11_bigdata_spark.sources.readers import read_format
+    from mknssh_11_bigdata_spark.sources.writers import write_format
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_format(orders, out, "orc")
+    plan = (
+        read_format(spark, out, "orc")
+        .filter(F.col("o_custkey") == 7)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
