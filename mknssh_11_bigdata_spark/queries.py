@@ -740,6 +740,47 @@ def customer_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_status_totals",
+    """
+    SELECT l_linestatus AS status,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on a pathologically hot key:
+    l_linestatus has ~2 distinct values, so a naive groupBy funnels the
+    whole table through 2 reducers. ``salted_agg`` (plans/layout.py)
+    splits each key across 16 salt partials and recombines — semantics
+    identical to the plain GROUP BY, which is exactly what the oracle
+    certifies. ROUND placement differs on purpose: partial sums combine
+    unrounded, rounding applies once at the end."""
+    from .plans.layout import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out = salted_agg(
+        li,
+        ["l_linestatus"],
+        {
+            "n_items": ("*", "count"),
+            "total_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+    return out.select(
+        F.col("l_linestatus").alias("status"),
+        "n_items",
+        F.round("total_qty", 2).alias("total_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
     "yearly_revenue_yoy",
     """
     WITH yearly AS (

@@ -370,3 +370,23 @@ def tier_crossing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.tws import tier_alerts_batch
 
     return tier_alerts_batch(_t(spark, sf_dir, "events"))
+
+
+@register("event_type_sketch_stats", None)  # approximate by nature
+def event_type_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations — the one-pass, MERGEABLE path for 100 TB:
+    HyperLogLog++ distinct users and t-digest median value per event
+    type. Both are algebraic sketches (partials merge associatively
+    across partitions/days), unlike their exact counterparts which need
+    a full shuffle (count_distinct) or a per-group sort (percentile).
+    Approximate => no value oracle; tests/test_properties.py bounds the
+    relative error against the exact aggregates instead (HLL++ rsd
+    defaults to 5%)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 6
+        ).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

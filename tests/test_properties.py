@@ -92,3 +92,38 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_sketch_stats_error_bounds(spark):
+    """HLL++ distinct estimate within 3x its 5% default rsd; t-digest
+    median within 2% of the exact interpolated median."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    from conftest import SF_ORACLE
+
+    approx = {
+        r.event_type: r
+        for r in QUERIES["event_type_sketch_stats"]
+        .spark(spark, SF_ORACLE)
+        .collect()
+    }
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("median_value"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, a in approx.items():
+        x = exact[et]
+        assert abs(a.approx_users - x.users) <= max(0.15 * x.users, 2), et
+        assert abs(a.approx_median_value - x.median_value) <= 0.02 * abs(
+            x.median_value
+        ), et
