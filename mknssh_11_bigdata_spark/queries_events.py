@@ -390,3 +390,49 @@ def event_type_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "unattributed_purchases",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(p.value, 2) AS value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+            SELECT 1 FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      )
+    """,
+)
+def unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER interval join: purchases with NO click in their 30-minute
+    attribution window (the complement of purchase_click_attribution).
+    Uses interval_join(how='left_outer') + IS NULL filter — the plan
+    Catalyst turns into the same range join with null-padding; on
+    streams the identical expressions run as a watermark-bounded outer
+    stream-stream join (emission deferred to watermark passage)."""
+    from .streaming.joins import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    return (
+        interval_join(
+            purchases, clicks, ["user_id"], "p_ts", "c_ts",
+            "30 minutes", how="left_outer",
+        )
+        .filter(F.col("c_ts").isNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("p_ts").alias("ts"),
+            F.round("value", 2).alias("value"),
+        )
+    )
