@@ -960,6 +960,58 @@ def nation_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "brand_price_extremes",
+    """
+    SELECT p_brand,
+           arg_max(p_name, p_retailprice + p_partkey / 1e12) AS priciest_part,
+           ROUND(MAX(p_retailprice), 2) AS max_price,
+           arg_min(p_name, p_retailprice + p_partkey / 1e12) AS cheapest_part,
+           ROUND(MIN(p_retailprice), 2) AS min_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def brand_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN aggregates (``max_by``/``min_by`` ≡ DuckDB
+    arg_max/arg_min) — "which part is the priciest per brand" in ONE
+    hash-agg pass, where a window row_number would shuffle + sort. The
+    ordering measure adds p_partkey (globally unique) scaled to 1e-12 —
+    below any real price gap — so price ties break identically in both
+    engines (plain max_by on a tied measure is nondeterministic)."""
+    p = _t(spark, sf_dir, "part")
+    ord_measure = F.col("p_retailprice") + F.col("p_partkey") / F.lit(1e12)
+    return p.groupBy("p_brand").agg(
+        F.max_by("p_name", ord_measure).alias("priciest_part"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.min_by("p_name", ord_measure).alias("cheapest_part"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+    )
+
+
+@register(
+    "revenue_by_dow",
+    """
+    SELECT CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INTEGER) AS dow,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(AVG(o_totalprice), 6) AS avg_order
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def revenue_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension aggregation: day-of-week seasonality. Spark's
+    ``dayofweek`` is 1=Sunday..7=Saturday; DuckDB's EXTRACT(DOW) is
+    0=Sunday..6 — the oracle shifts by one to the same convention."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_order"),
+    )
+
+
 # Extension registrations (LLM-data-pipeline + events/streaming-batch).
 # Imported last so their @register calls land in the same QUERIES dict.
 from . import queries_llm  # noqa: E402,F401
