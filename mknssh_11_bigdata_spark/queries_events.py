@@ -436,3 +436,25 @@ def unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "event_stream_dedup",
+    """
+    SELECT user_id, event_type, MIN(ts) AS ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def event_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest dedup (streaming/dedup.py
+    ``dedup_stream``): one surviving row per (user_id, event_type) with
+    the earliest timestamp. On a stream the same operator runs as
+    ``dropDuplicatesWithinWatermark`` with state bounded by the
+    watermark horizon — certified equivalent on keys in
+    tests/test_streaming_dedup.py."""
+    from .streaming.dedup import dedup_stream
+
+    return dedup_stream(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], "ts"
+    )
