@@ -514,10 +514,17 @@ def duplicate_components(
     edges = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
+    # Initialize label(v) = min(v, min direct neighbor) — one aggregation
+    # over the edge list (no join), which IS round 1 of the propagation:
+    # saves a full join+checkpoint round every call. (Every node appears
+    # as src because edges are symmetrized above.)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__nbr")).alias("component"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
