@@ -528,22 +528,34 @@ def duplicate_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+        # One shuffle join (propagate labels across edges) + one
+        # aggregation per round. The own-label rows ride along in the
+        # same aggregation (tagged __own) instead of a second join:
+        # min over the union == least(own, neighbor-min), and
+        # `neighbor-min < own` detects change without rejoining old
+        # labels. Halves the per-round shuffle-join count — the
+        # dominant cost when the pair graph is large.
+        propagated = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"),
+            "component",
+            F.lit(False).alias("__own"),
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("__chg"),
+            labels.select("id", "component", F.lit(True).alias("__own"))
+            .unionByName(propagated)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("__own"), F.col("component"))
+                ).alias("__own_label"),
             )
-        ).localCheckpoint(eager=True)
+            .withColumn(
+                "__chg", F.col("component") < F.col("__own_label")
+            )
+            .drop("__own_label")
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
