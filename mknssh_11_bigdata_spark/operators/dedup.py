@@ -528,39 +528,45 @@ def duplicate_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        # One shuffle join (propagate labels across edges) + one
-        # aggregation per round. The own-label rows ride along in the
-        # same aggregation (tagged __own) instead of a second join:
-        # min over the union == least(own, neighbor-min), and
-        # `neighbor-min < own` detects change without rejoining old
-        # labels. Halves the per-round shuffle-join count — the
-        # dominant cost when the pair graph is large.
-        propagated = edges.join(labels, edges.dst == labels.id).select(
-            F.col("src").alias("id"),
-            "component",
-            F.lit(False).alias("__own"),
-        )
-        new_labels = (
-            labels.select("id", "component", F.lit(True).alias("__own"))
-            .unionByName(propagated)
-            .groupBy("id")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(
-                    F.when(F.col("__own"), F.col("component"))
-                ).alias("__own_label"),
-            )
-            .withColumn(
-                "__chg", F.col("component") < F.col("__own_label")
-            )
-            .drop("__own_label")
-            .localCheckpoint(eager=True)
+        new_labels = _propagate_round(edges, labels).localCheckpoint(
+            eager=True
         )
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: exactly ONE shuffle join
+    (push each label across its edges) + ONE aggregation.
+
+    The own-label rows ride along in the same aggregation (tagged
+    ``__own``) instead of a second labels join: min over the union ==
+    least(own, neighbor-min), and ``neighbor-min < own`` yields the
+    ``__chg`` convergence bit without rejoining old labels. Halves the
+    per-round shuffle-join count — the dominant cost when the pair
+    graph is large. Plan shape is asserted in tests/test_plans.py.
+    """
+    propagated = edges.join(labels, edges.dst == labels.id).select(
+        F.col("src").alias("id"),
+        "component",
+        F.lit(False).alias("__own"),
+    )
+    return (
+        labels.select("id", "component", F.lit(True).alias("__own"))
+        .unionByName(propagated)
+        .groupBy("id")
+        .agg(
+            F.min("component").alias("component"),
+            F.min(
+                F.when(F.col("__own"), F.col("component"))
+            ).alias("__own_label"),
+        )
+        .withColumn("__chg", F.col("component") < F.col("__own_label"))
+        .drop("__own_label")
+    )
 
 
 def minhash_dedup_pairs(

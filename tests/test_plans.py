@@ -69,3 +69,29 @@ def test_membership_flag_no_bnl_join(spark):
     never a nested-loop over the id list."""
     plan = _plan(spark, "top_customer_order_flags")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cc_propagation_round_single_shuffle_join(spark):
+    """One label-propagation round of connected components compiles to
+    exactly ONE join — the tagged-union trick must not reintroduce a
+    second join for the old labels, because at scale each extra join is
+    a full shuffle of the label table per iteration."""
+    from mknssh_11_bigdata_spark.operators.dedup import _propagate_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "id long, component long"
+    )
+    plan = (
+        _propagate_round(edges, labels)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert joins == 1, plan
+    aggs = plan.count("HashAggregate")
+    # one logical aggregation = partial + final pair (2), nothing more
+    assert aggs <= 2, plan
