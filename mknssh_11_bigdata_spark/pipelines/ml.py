@@ -39,6 +39,7 @@ __all__ = [
     "pca_reduce",
     "tsne_2d",
     "train_test_split",
+    "deterministic_split",
     "train_model",
     "score_model",
     "explain_model",
@@ -137,6 +138,64 @@ def train_test_split(
         test_idx.append(idx[: max(1, int(round(len(idx) * test_frac)))])
     test_mask = pdf.index.isin(np.concatenate(test_idx))
     return pdf[~test_mask], pdf[test_mask]
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    salt: str = "v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test assignment by hashed-id bucket.
+
+    The scale-path counterpart of :func:`train_test_split` (reference
+    ``model_train_explain.py:60-83`` splits a collected pandas frame —
+    impossible at 100 TB). Each row's split is a pure function of
+    (salt, id): md5-prefix integer mod 100 → contiguous percentile
+    buckets. Properties a production curation pipeline needs:
+
+    * deterministic across runs/cluster sizes/partitionings (no RNG,
+      no ``rand()`` re-rolling per retry);
+    * stable under data growth — a doc keeps its split when new docs
+      arrive (unlike percentile ranks or ``randomSplit``);
+    * narrow-only: no shuffle, no sample pass; the assignment inlines
+      into whatever scan reads the table;
+    * ``salt`` versions the assignment so a re-split is an explicit,
+      auditable choice.
+
+    ``splits`` is a list of (name, percent) summing to 100, default
+    80/10/10 train/val/test.
+    """
+    if splits is None:
+        splits = [("train", 80), ("val", 10), ("test", 10)]
+    if sum(p for _, p in splits) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    expr = F.lit(splits[-1][0])  # last split takes the remainder
+    cum = 0
+    conds = []
+    for name, pct in splits[:-1]:
+        cum += pct
+        conds.append((cum, name))
+    for cum, name in reversed(conds):
+        expr = F.when(bucket < cum, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
 
 
 class _NumpyLogReg:

@@ -700,3 +700,41 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_high_quality"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+_SPLIT_ORACLE = """
+WITH b AS (
+    SELECT CAST(('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket,
+           n_chars
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM b
+GROUP BY 1
+"""
+
+
+@register("doc_deterministic_split", _SPLIT_ORACLE)
+def doc_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment over the corpus
+    (``pipelines.ml.deterministic_split``): split is a pure function of
+    (salt, doc_id) — no RNG, no shuffle, stable under data growth. The
+    scale path for the reference's collected-pandas split
+    (``model_train_explain.py:60-83``). Hash-checked: DuckDB reproduces
+    the md5-bucket assignment exactly."""
+    from .pipelines.ml import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )

@@ -137,3 +137,37 @@ def test_null_profile_counts_nan_and_null(spark):
     assert row.row_count == 3
     assert row.id_nulls == 0
     assert row.v_nulls == 2
+
+
+def test_deterministic_split_properties(spark):
+    """Split must be a pure function of (salt, id): identical across
+    runs and partitionings, all rows covered, salt changes the
+    assignment, and rows keep their split when the table grows."""
+    from mknssh_11_bigdata_spark.pipelines.ml import deterministic_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = deterministic_split(df, "doc_id")
+    b = deterministic_split(df.repartition(7), "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    counts = {
+        r["split"]: r["n"]
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    # growth stability: first half's assignment unchanged within full table
+    half = deterministic_split(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    full_first_half = {r.doc_id: r.split for r in a.collect() if r.doc_id < 1000}
+    assert {r.doc_id: r.split for r in half.collect()} == full_first_half
+
+    salted = deterministic_split(df, "doc_id", salt="v2")
+    assert {tuple(r) for r in salted.collect()} != {tuple(r) for r in a.collect()}
+
+    import pytest
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", splits=[("a", 50), ("b", 40)])
