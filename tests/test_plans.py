@@ -95,3 +95,15 @@ def test_cc_propagation_round_single_shuffle_join(spark):
     aggs = plan.count("HashAggregate")
     # one logical aggregation = partial + final pair (2), nothing more
     assert aggs <= 2, plan
+
+
+def test_deterministic_split_prunes_text_column(spark):
+    """The split assignment is a pure function of doc_id — the scan must
+    not read the (huge) text column at 100 TB."""
+    import re
+
+    plan = _plan(spark, "doc_deterministic_split")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    assert "text" not in m.group(1), m.group(1)
+    assert "doc_id" in m.group(1), m.group(1)
