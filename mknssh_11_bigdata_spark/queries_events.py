@@ -106,7 +106,7 @@ def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stateful_sessionization",
     """
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                             >= 300000000
@@ -117,7 +117,7 @@ def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
         SELECT user_id, ts, value,
                SUM(new_session) OVER
-                   (PARTITION BY user_id ORDER BY ts
+                   (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
     )

@@ -58,6 +58,7 @@ def sessionize_with_state(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    event_id_col: str = "event_id",
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Per-user sessionization with explicit state + event-time timeout.
@@ -91,7 +92,10 @@ def sessionize_with_state(
 
         if len(rows) == 0:
             return [], state
-        rows = rows.sort_values("__us")
+        # (__us, __eid) is a total order: with duplicate timestamps at a
+        # session boundary the within-session float-sum order (and the
+        # oracle's numbered window) would otherwise be nondeterministic.
+        rows = rows.sort_values(["__us", "__eid"])
         us = rows["__us"].to_numpy(dtype=np.int64)
         vals = rows["__val"].to_numpy(dtype=np.float64)
         breaks = np.empty(len(us), dtype=bool)
@@ -141,6 +145,7 @@ def sessionize_with_state(
         f"CAST({ts_col} AS TIMESTAMP) AS __ts",
         f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS __us",
         f"CAST({value_col} AS DOUBLE) AS __val",
+        f"{event_id_col} AS __eid",
     )
 
     def update(

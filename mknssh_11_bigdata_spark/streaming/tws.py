@@ -80,31 +80,39 @@ def _fold_alerts(
     alerts: list[tuple] = []
     for tier, edge in TIER_EDGES:
         bit = 1 << tier
-        if mask & bit or len(cum) == 0 or cum[-1] < edge:
+        if mask & bit or len(cum) == 0:
             continue
-        i = int(np.searchsorted(cum, edge, side="left"))
-        # searchsorted gives first cum >= edge for nondecreasing cum;
-        # values are positive in this dataset, but guard anyway:
-        while i < len(cum) and cum[i] < edge:  # pragma: no cover
-            i += 1
-        if i < len(cum):
-            alerts.append(
-                (
-                    int(pdf["__uid"].iloc[i]),
-                    tier,
-                    pdf["__ts"].iloc[i],
-                    float(cum[i]),
-                )
+        # First index where the running total reaches the edge. A linear
+        # first-true scan, NOT searchsorted: with negative event values the
+        # cumsum is non-monotonic, so binary search (and a final-total
+        # check) could miss or misplace the FIRST crossing.
+        hit = cum >= edge
+        if not hit.any():
+            continue
+        i = int(np.argmax(hit))
+        alerts.append(
+            (
+                int(pdf["__uid"].iloc[i]),
+                tier,
+                pdf["__ts"].iloc[i],
+                float(cum[i]),
             )
-            mask |= bit
+        )
+        mask |= bit
     return alerts, float(cum[-1]) if len(cum) else total, mask
 
 
-def _prep(events: DataFrame, ts_col: str, user_col: str, value_col: str):
+def _prep(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    value_col: str,
+    event_id_col: str,
+):
     return events.selectExpr(
         f"{user_col} AS __uid",
         f"CAST({ts_col} AS TIMESTAMP) AS __ts",
-        "event_id AS __eid",
+        f"{event_id_col} AS __eid",
         f"CAST({value_col} AS DOUBLE) AS __val",
     )
 
@@ -114,6 +122,7 @@ def tier_alerts_stream(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    event_id_col: str = "event_id",
 ) -> DataFrame:
     """Streaming tier alerts via ``transformWithStateInPandas``.
 
@@ -153,7 +162,7 @@ def tier_alerts_stream(
             pass
 
     return (
-        _prep(events, ts_col, user_col, value_col)
+        _prep(events, ts_col, user_col, value_col, event_id_col)
         .groupBy("__uid")
         .transformWithStateInPandas(
             statefulProcessor=TierProcessor(),
@@ -169,12 +178,13 @@ def tier_alerts_batch(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    event_id_col: str = "event_id",
 ) -> DataFrame:
     """Batch twin: window cumsum per user in (ts, event_id) order, then
     the first row per (user, tier) whose running total reaches the edge.
     Pure built-ins — one shuffle (window by user), broadcast edge join,
     ranking filter."""
-    prepped = _prep(events, ts_col, user_col, value_col)
+    prepped = _prep(events, ts_col, user_col, value_col, event_id_col)
     w = Window.partitionBy("__uid").orderBy("__ts", "__eid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
