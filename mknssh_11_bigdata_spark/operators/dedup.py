@@ -577,14 +577,18 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash → LSH candidates → exact
     Jaccard verification ≥ threshold. The composition a 100 TB dedup job
     runs: cost = shingling scan + k-min agg + bucket joins + verification
-    of the (tiny) candidate set."""
+    of the (tiny) candidate set. ``max_bucket_size`` arms the hot-bucket
+    guard (see :func:`cap_bucket_size`)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, rows, max_bucket_size=max_bucket_size
+    )
     return jaccard_pairs(
         df, id_col, text_col, shingle_n, threshold, candidates=cands
     )

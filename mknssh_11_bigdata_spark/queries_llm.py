@@ -158,6 +158,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         shingle_n=3,
         threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 
@@ -303,12 +304,73 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_cosine_lsh", None)  # approximate: rows-only
+SRP_BITS = 32
+SRP_BANDS = 4
+#: Hot-bucket guard cap, armed on every registered LSH query. Far above
+#: any bucket at test SFs (max observed: 36 at sf0.1), so local output
+#: stays exact and oracle-checked — while the anti-join guard path is
+#: exercised by the driver gate. At 100 TB tune per corpus (a 10⁶-doc
+#: boilerplate cluster in one bucket would alone emit 5·10¹¹ pairs).
+LSH_MAX_BUCKET = 1000
+
+
+def _srp_lsh_oracle() -> str:
+    """The SRP-LSH pipeline is seed-fixed and fully deterministic — the
+    hyperplanes are literal arrays — so DuckDB reproduces every sign bit
+    (verified bit-for-bat at sf0.01/sf0.1: list_dot_product folds doubles
+    in the same left-to-right order as Spark's ``aggregate``)."""
+    from .operators.dedup import hyperplane_coefficients
+
+    planes = hyperplane_coefficients(SRP_BITS, EMB_DIM, seed=42)
+    rows = SRP_BITS // SRP_BANDS
+    bit_sql = ",\n        ".join(
+        "CASE WHEN list_dot_product(v, [%s]) > 0 THEN '1' ELSE '0' END"
+        % ", ".join(repr(x) for x in plane)
+        for plane in planes
+    )
+    cos = (
+        "ROUND(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * "
+        "sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, concat(
+        {bit_sql}
+        ) AS sig FROM e
+    ),
+    bands AS (
+        SELECT vec_id, j AS band_idx, substr(sig, j * {rows} + 1, {rows})
+                   AS band_key
+        FROM sig CROSS JOIN (
+            SELECT unnest([{", ".join(str(j) for j in range(SRP_BANDS))}])
+                   AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_cosine_lsh", _srp_lsh_oracle())
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidates → exact cosine verification:
     the 100 TB embedding-dedup composition (bucket joins, not corpus²).
-    Approximate recall ⇒ no SQL oracle; recall vs the exact scorer is
-    asserted in tests/test_dedup.py on planted near-duplicates."""
+    Approximate RECALL, but deterministic OUTPUT (seed-fixed literal
+    hyperplanes) — the SQL oracle reproduces the sign bits, band buckets
+    and verification bit-for-bit. Recall vs the exact scorer is
+    additionally asserted in tests/test_dedup.py on planted dups."""
     # 4 bands × 8 bits: random pairs collide per band with P≈2⁻⁸, so
     # candidates ≈ 4·n²/512 of all-pairs — the pruning that makes this
     # the scale path. Tuned for the near-dup regime (cosine ≥ 0.9 ⇒
@@ -320,8 +382,9 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         dim=EMB_DIM,
         threshold=COSINE_DUP_THRESHOLD,
-        n_bits=32,
-        bands=4,
+        n_bits=SRP_BITS,
+        bands=SRP_BANDS,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 
@@ -484,6 +547,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         shingle_n=3,
         threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
     return duplicate_components(pairs)
 
@@ -516,6 +580,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         shingle_n=3,
         threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
     comp = duplicate_components(pairs)
     losers = comp.filter(F.col("component") != F.col("doc_id")).select(
@@ -574,11 +639,80 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_topk_ivf", None)  # approximate: rows-only gate;
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    """The IVF pipeline is deterministic end-to-end (min-id centroids,
+    rounded-cosine argmax assignment with id tie-break, rounded probe
+    ranking), so every stage is window SQL."""
+    cos_ac = (
+        "ROUND(list_dot_product(cv, cent) / "
+        "(sqrt(list_dot_product(cv, cv)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    cos_qc = (
+        "ROUND(list_dot_product(qv, cent) / "
+        "(sqrt(list_dot_product(qv, qv)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cent FROM e
+        ORDER BY vec_id ASC LIMIT {IVF_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT neighbor_id, cv, centroid_id FROM (
+            SELECT e.vec_id AS neighbor_id, e.v AS cv, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_ac} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probed AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY {cos_qc} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               ROUND(list_dot_product(p.qv, a.cv) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+        WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+@register("embedding_topk_ivf", _ivf_oracle())
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (scan ~n_probe/n_centroids of the
-    corpus). Approximate ⇒ no SQL oracle; recall vs the brute-force
-    baseline is asserted in tests/test_similarity.py."""
+    corpus). Approximate RECALL, but deterministic OUTPUT (min-id
+    centroids, rounded-cosine assignment/probe ranking with id
+    tie-breaks) — the SQL oracle replays every stage as window SQL.
+    Recall vs the brute-force baseline is additionally asserted in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
         corpus=emb,
@@ -586,8 +720,8 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         k=TOPK,
-        n_centroids=16,
-        n_probe=4,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
     )
 
 

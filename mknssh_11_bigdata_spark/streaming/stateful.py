@@ -140,12 +140,20 @@ def sessionize_with_state(
             }
         )
 
+    # __eid breaks ties between duplicate timestamps (total order). Inputs
+    # without an id column fall back to a constant — their within-tie order
+    # is inherently arbitrary, but the fold still runs.
+    eid_expr = (
+        f"{event_id_col} AS __eid"
+        if event_id_col is not None and event_id_col in events.columns
+        else "CAST(0 AS BIGINT) AS __eid"
+    )
     prepped = events.selectExpr(
         f"{user_col} AS user_id",
         f"CAST({ts_col} AS TIMESTAMP) AS __ts",
         f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS __us",
         f"CAST({value_col} AS DOUBLE) AS __val",
-        f"{event_id_col} AS __eid",
+        eid_expr,
     )
 
     def update(

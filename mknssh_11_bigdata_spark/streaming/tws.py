@@ -109,10 +109,17 @@ def _prep(
     value_col: str,
     event_id_col: str,
 ):
+    # __eid breaks ties between duplicate timestamps (total order); inputs
+    # without an id column fall back to a constant.
+    eid_expr = (
+        f"{event_id_col} AS __eid"
+        if event_id_col is not None and event_id_col in events.columns
+        else "CAST(0 AS BIGINT) AS __eid"
+    )
     return events.selectExpr(
         f"{user_col} AS __uid",
         f"CAST({ts_col} AS TIMESTAMP) AS __ts",
-        f"{event_id_col} AS __eid",
+        eid_expr,
         f"CAST({value_col} AS DOUBLE) AS __val",
     )
 
