@@ -488,85 +488,130 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → duplicate
     GROUPS (doc_id, component), component = min doc id reachable.
 
     Pairwise dedup output is not yet dedup policy: A≈B and B≈C must
     collapse into one group {A,B,C} with one keeper even when A≉C
-    directly. This is the iterative min-label-propagation algorithm
-    (Spark has no native connected components):
+    directly. Spark has no native connected components; this is the
+    alternating **large-star / small-star** algorithm (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    in MapReduce and Beyond", ACM SoCC 2014, public):
 
-    each round: label(v) ← min(label(v), min label over neighbors);
-    converged when no label changes. Rounds needed = graph diameter —
-    for dedup graphs typically ≤ a handful. Each round is one join +
-    one aggregation on the (tiny) pair graph, with ``localCheckpoint``
-    truncating the lineage so the plan doesn't grow superlinearly.
+    * large-star: every node attaches its LARGER neighbors to the
+      minimum of its neighborhood (incl. itself);
+    * small-star: every node attaches itself and its smaller neighbors
+      to its minimum smaller neighbor.
 
-    Driver-side convergence check: one scalar count per round — the
-    only non-declarative control flow, which is exactly the class of
-    iterative algorithm Catalyst can't express in one plan.
+    Each half-round is ONE aggregation (per-node neighborhood min) +
+    ONE shuffle join (push that min across the edges) on an edge set
+    that only shrinks toward the final star forest. Rounds to converge
+    are **O(log n) regardless of graph diameter** — the property
+    min-label propagation lacks (a diameter-d chain needs d rounds; a
+    100 TB boilerplate near-dup chain can have huge diameter). The
+    long-chain round-count bound is asserted in tests/test_dedup.py.
+
+    ``localCheckpoint`` truncates lineage per round; the driver-side
+    convergence check (edge set unchanged) is the only non-declarative
+    control flow — exactly the class of iterative algorithm Catalyst
+    can't express in one plan.
+
+    ``_stats``, when given, receives ``{"rounds": k, "converged": b}``
+    (test/observability hook).
     """
-    # Undirected edge list, both directions.
-    fwd = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
-    edges = fwd.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    # Initialize label(v) = min(v, min direct neighbor) — one aggregation
-    # over the edge list (no join), which IS round 1 of the propagation:
-    # saves a full join+checkpoint round every call. (Every node appears
-    # as src because edges are symmetrized above.)
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__nbr"))
-        .select(
-            F.col("src").alias("id"),
-            F.least(F.col("src"), F.col("__nbr")).alias("component"),
+    import warnings
+
+    # Canonical directed edge list: (src, dst) with src > dst, no self
+    # loops, distinct. Both star operations preserve this invariant
+    # (they only ever emit (v, m) with m < v), so the star forest at
+    # convergence reads off directly as (node, component-min).
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
         )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        new_labels = _propagate_round(edges, labels).localCheckpoint(
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
             eager=True
         )
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if converged:
             break
-    return labels.select(F.col("id").alias("doc_id"), "component")
+    if not converged:
+        warnings.warn(
+            f"duplicate_components: not converged after {max_iters} "
+            "rounds — labels below may be partial (supersets split); "
+            "raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["converged"] = converged
+    # Star forest → labels: every non-root node has exactly one edge to
+    # its component min; roots label themselves. The min-agg is a no-op
+    # at convergence but makes the (warned) unconverged output sane.
+    return (
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("id"), F.col("dst").alias("component")
+            )
+        )
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("id").alias("doc_id"), "component")
+    )
 
 
-def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """One min-label propagation round: exactly ONE shuffle join
-    (push each label across its edges) + ONE aggregation.
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
-    The own-label rows ride along in the same aggregation (tagged
-    ``__own``) instead of a second labels join: min over the union ==
-    least(own, neighbor-min), and ``neighbor-min < own`` yields the
-    ``__chg`` convergence bit without rejoining old labels. Halves the
-    per-round shuffle-join count — the dominant cost when the pair
-    graph is large. Plan shape is asserted in tests/test_plans.py.
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: for each node u with neighborhood minimum
+    m = min(N(u) ∪ {u}), emit (v, m) for every neighbor v > u.
+    ONE aggregation + ONE join (plan shape pinned in tests/test_plans.py).
     """
-    propagated = edges.join(labels, edges.dst == labels.id).select(
-        F.col("src").alias("id"),
-        "component",
-        F.lit(False).alias("__own"),
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.col("src"), F.min("dst")).alias("__m")
     )
     return (
-        labels.select("id", "component", F.lit(True).alias("__own"))
-        .unionByName(propagated)
-        .groupBy("id")
-        .agg(
-            F.min("component").alias("component"),
-            F.min(
-                F.when(F.col("__own"), F.col("component"))
-            ).alias("__own_label"),
-        )
-        .withColumn("__chg", F.col("component") < F.col("__own_label"))
-        .drop("__own_label")
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .distinct()
     )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: for each node u with smaller neighbors N₋(u) ≠ ∅ and
+    m = min(N₋(u)), emit (u, m) and (v, m) for every v ∈ N₋(u), v ≠ m.
+    Operates on the canonical (src > dst) edge list directly — no
+    symmetrize pass needed. ONE aggregation + ONE join."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("__m"))
+    attach_self = mins.select("src", F.col("__m").alias("dst"))
+    attach_nbrs = (
+        edges.join(mins, "src")
+        .filter(F.col("dst") != F.col("__m"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+    )
+    return attach_self.union(attach_nbrs).distinct()
 
 
 def minhash_dedup_pairs(

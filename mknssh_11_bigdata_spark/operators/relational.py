@@ -128,16 +128,19 @@ def one_hot(
         vocabulary = sorted(v for v in (row[0] or []) if v is not None)
     prefix = prefix if prefix is not None else f"{column}_"
     names: list[str] = []
+    flags: list[Column] = []
     for value in vocabulary:
         name = f"{prefix}{value}"
         names.append(name)
         flag = (
             F.array_contains(col, value) if is_array else (col == F.lit(value))
         )
-        df = df.withColumn(
-            name, F.coalesce(flag.cast("int"), F.lit(0))
-        )
-    return df, names
+        flags.append(F.coalesce(flag.cast("int"), F.lit(0)).alias(name))
+    # ONE select, not a withColumn-per-value loop: each withColumn is a
+    # full analyzer pass over a growing projection — O(vocab²) analysis
+    # cost that stalls the driver on wide vocabularies (1k-value test in
+    # tests/test_relational.py).
+    return df.select(*df.columns, *flags), names
 
 
 def bucketize(

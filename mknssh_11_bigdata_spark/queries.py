@@ -1017,3 +1017,58 @@ def revenue_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_llm  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window management (VERDICT r1 "Next round" #1).
+#
+# The round-1 driver recorded CORRECTNESS rows for only the FIRST 50
+# registered queries, so the extension tail (all multimodal + 7 late
+# event/streaming-batch queries) never earned a hard driver-gate row.
+# The registry order is therefore explicit: queries with no green driver
+# row yet come first; trivially-certified core queries cede the tail
+# slots (their operators remain covered by pytest and the full local
+# driver simulation in tools/drive_entry.py, and their round-1 green
+# rows stand in CORRECTNESS_r01.json).
+# ---------------------------------------------------------------------------
+
+#: No CORRECTNESS_r01 row — must land inside the driver's check window.
+_DRIVER_FIRST = [
+    "multimodal_payload_profile",
+    "multimodal_frame_sample",
+    "multimodal_media_features",
+    "purchase_click_attribution",
+    "unattributed_purchases",
+    "tier_crossing_alerts",
+    "daily_event_type_pivot",
+    "event_value_quantiles",
+    "event_stream_dedup",
+    "event_type_sketch_stats",
+]
+
+#: Round-1 green + trivially re-certifiable locally — cede window slots.
+_DRIVER_LAST = [
+    "distinct_segments",
+    "revenue_by_dow",
+    "custkeys_1995_not_1996",
+    "custkeys_both_years",
+    "discount_histogram",
+    "quantity_buckets",
+    "cumulative_yearly_revenue",
+    "orders_null_profile",
+    "lineitem_describe",
+    "salted_status_totals",
+]
+
+
+def _reorder_registry() -> None:
+    middle = [
+        n for n in QUERIES if n not in _DRIVER_FIRST and n not in _DRIVER_LAST
+    ]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for name in [*_DRIVER_FIRST, *middle, *_DRIVER_LAST]:
+        QUERIES[name] = snapshot[name]
+
+
+_reorder_registry()

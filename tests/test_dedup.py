@@ -223,16 +223,25 @@ def test_duplicate_components_transitive_closure(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4}
 
 
-def test_duplicate_components_long_chain_converges(spark):
+def test_duplicate_components_long_chain_log_rounds(spark):
+    """A planted 64-node path is the worst case for diameter-bound
+    label propagation (63 rounds); the large-star/small-star algorithm
+    must collapse it in O(log n) rounds — the property that makes
+    connected components viable on a 100 TB boilerplate chain."""
     from mknssh_11_bigdata_spark.operators.dedup import duplicate_components
 
-    # a 12-node path: worst-case diameter for propagation rounds
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
     )
-    out = {r.doc_id: r.component for r in duplicate_components(pairs).collect()}
+    stats: dict = {}
+    out = {
+        r.doc_id: r.component
+        for r in duplicate_components(pairs, _stats=stats).collect()
+    }
     assert set(out.values()) == {0}
-    assert len(out) == 13
+    assert len(out) == 64
+    assert stats["converged"]
+    assert stats["rounds"] <= 8, stats  # log₂(64)=6 + slack, ≪ 63
 
 
 def test_hot_bucket_guard_drops_pathological_bucket(spark):

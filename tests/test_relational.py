@@ -84,6 +84,22 @@ def test_one_hot_array_mode(spark):
     assert got == {1: (1, 1), 2: (0, 1), 3: (0, 0)}
 
 
+def test_one_hot_wide_vocabulary_single_projection(spark):
+    """1k-value vocabulary: must stay a single select (one analyzer
+    pass), not a withColumn-per-value loop whose analysis cost grows
+    quadratically with vocabulary width (VERDICT r1 #8)."""
+    vocab = [f"v{i:04d}" for i in range(1000)]
+    df = spark.createDataFrame([("v0007",), ("v0999",)], ["g"])
+    flagged, names = one_hot(df, "g", vocabulary=vocab)
+    assert len(names) == 1000
+    # exactly one Project over the scan — the loop version stacks 1000
+    plan = flagged._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") <= 1, plan[:500]
+    rows = flagged.orderBy("g").collect()
+    assert rows[0].g_v0007 == 1 and rows[0].g_v0999 == 0
+    assert rows[1].g_v0999 == 1 and sum(rows[1][1:]) == 1
+
+
 def test_bucketize_edges_and_nulls(spark):
     # Reference quirk §4.4.3: NULL runtime silently fell into the last
     # bucket. Ours keeps NULL (or an explicit null_bucket).
