@@ -27,7 +27,7 @@ DuckDB reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
@@ -142,18 +142,17 @@ def cap_bucket_size(
     docs at 100 TB would alone emit 5·10¹¹ pairs. Production dedup
     pipelines cap the bucket size: a bucket that large is (a) almost
     certainly template/boilerplate, (b) already connected through other
-    bands at lower cost. Mechanics: map-side-partial count per bucket →
-    the over-cap key list is tiny → broadcast anti-join, so the guard
-    itself adds no full shuffle of the melted frame.
+    bands at lower cost. Mechanics: a window count partitioned by the
+    bucket key — the SAME key the candidate self-join shuffles on, so
+    the guard rides the join's own exchange (ReusedExchange on the
+    second side) instead of adding an aggregate + anti-join that would
+    recompute the signature scan a third time.
     """
-    hot = (
-        melted.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket_size)
-        .select("band_idx", "band_key")
-    )
-    return melted.join(
-        F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+    w = Window.partitionBy("band_idx", "band_key")
+    return (
+        melted.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
     )
 
 

@@ -55,6 +55,80 @@ def test_stream_matches_batch_twin(spark):
     assert len(got) > 0
 
 
+def test_incremental_fold_across_microbatches_matches_batch(spark):
+    """What the protobuf-gated e2e would certify, without protobuf:
+    ``_fold_alerts`` is exactly the fold TierProcessor runs per trigger,
+    so slicing the input into time-ordered microbatches and carrying
+    (running_total, emitted_mask) across slices must reproduce the
+    batch twin's alert set — state carry-over and the exactly-once
+    emission mask, end to end."""
+    from mknssh_11_bigdata_spark.streaming.tws import _fold_alerts, _prep
+
+    events = load_table(spark, SF_SMOKE, "events")
+    pdf = _prep(events, "ts", "user_id", "value", "event_id").toPandas()
+    cuts = pdf["__ts"].quantile([0.33, 0.66]).tolist()
+    slices = [
+        pdf[pdf["__ts"] <= cuts[0]],
+        pdf[(pdf["__ts"] > cuts[0]) & (pdf["__ts"] <= cuts[1])],
+        pdf[pdf["__ts"] > cuts[1]],
+    ]
+    assert all(len(s) > 0 for s in slices)
+    state: dict[int, tuple[float, int]] = {}
+    got = []
+    for batch in slices:
+        for uid, rows in batch.groupby("__uid"):
+            total, mask = state.get(uid, (0.0, 0))
+            alerts, total, mask = _fold_alerts(rows, total, mask)
+            state[uid] = (total, mask)
+            got.extend(alerts)
+    batch_rows = tier_alerts_batch(events).collect()
+    canon_got = {
+        (int(u), t, ts.to_pydatetime(), round(float(rt), 2))
+        for u, t, ts, rt in got
+    }
+    assert canon_got == _canon(batch_rows)
+    assert len(canon_got) > 0
+
+
+def test_first_crossing_with_negative_values_non_monotonic(spark):
+    """Negative event values make the running total non-monotonic: the
+    first crossing must be the FIRST index reaching the edge (linear
+    scan, not binary search), a dip below an edge must not re-fire it,
+    and the incremental fold must agree with the batch twin even when
+    the dip and the re-cross land in different microbatches."""
+    from mknssh_11_bigdata_spark.streaming.tws import _fold_alerts, _prep
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [600.0, 600.0, -300.0, 1400.0, 3000.0]
+    # cum: 600, 1200*, 900 (dip below tier1), 2300, 5300* (tiers 2+3)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batch = sorted(tier_alerts_batch(ev).collect(), key=lambda r: r.tier)
+    assert [(r.tier, r.running_total) for r in batch] == [
+        (1, 1200.0),
+        (2, 5300.0),
+        (3, 5300.0),
+    ]
+    assert batch[0].crossed_at == base + dt.timedelta(minutes=1)
+    # incremental: split so the dip ends batch 1 and the re-cross is in
+    # batch 2 — the mask must suppress a second tier-1 alert
+    pdf = _prep(ev, "ts", "user_id", "value", "event_id").toPandas()
+    alerts1, total, mask = _fold_alerts(pdf.iloc[:3], 0.0, 0)
+    alerts2, total, mask = _fold_alerts(pdf.iloc[3:], total, mask)
+    assert [(a[1], a[3]) for a in alerts1] == [(1, 1200.0)]
+    assert sorted((a[1], a[3]) for a in alerts2) == [
+        (2, 5300.0),
+        (3, 5300.0),
+    ]
+    assert total == 5300.0
+
+
 def test_exactly_once_across_batches(spark):
     """An edge crossed in batch N must not re-fire in batch N+1, and a
     carried-over running total must count toward later edges."""
