@@ -23,6 +23,12 @@ __all__ = [
     "fingerprint",
     "rolling_fingerprint",
     "shingles",
+    "bigrams",
+    "dup_token_ratio",
+    "dup_bigram_ratio",
+    "term_pattern",
+    "term_match_count",
+    "scrub_terms",
     "EN_STOPWORDS",
 ]
 
@@ -145,6 +151,72 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
     )
+
+
+def bigrams(text: Column) -> Column:
+    """All word 2-grams of the document, duplicates KEPT (unlike
+    :func:`shingles`, whose distinct sets feed MinHash). The multiset is
+    what repetition metrics need: a boilerplate page that repeats one
+    phrase 100 times must count 100, not 1. Documents under 2 words
+    yield an empty array."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_ratio(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of token occurrences that
+    are repeats of an earlier token, ``1 - distinct/total``. 0 = every
+    word unique; →1 = the page is one word over and over. Pure Column
+    expression (split + array_distinct) — scan-speed."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
+    )
+
+
+def dup_bigram_ratio(text: Column) -> Column:
+    """Duplicate-2-gram fraction — catches repeated *phrases* that
+    unigram repetition misses (boilerplate headers, templated spam)."""
+    bg = bigrams(text)
+    return F.when(
+        F.size(bg) > 0,
+        1.0 - F.size(F.array_distinct(bg)) / F.size(bg),
+    )
+
+
+def term_pattern(terms: tuple[str, ...]) -> str:
+    """Word-boundary alternation regex for a denylist of literal terms.
+    ``\\b`` and plain alternation behave identically in Java regex
+    (Spark) and RE2 (DuckDB), so oracles can reuse the string."""
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+
+
+def term_match_count(text: Column, terms: tuple[str, ...]) -> Column:
+    """How many denylist-term occurrences the document contains."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(term_pattern(terms)), 0)
+    )
+
+
+def scrub_terms(
+    text: Column, terms: tuple[str, ...], replacement: str = "[REDACTED]"
+) -> Column:
+    """Benchmark-decontamination scrub: replace every whole-word
+    occurrence of the denylist terms (eval-set strings, PII literals,
+    canary tokens) with a marker. One vectorized ``regexp_replace`` —
+    no UDF, applies at scan speed to a 100 TB corpus."""
+    return F.regexp_replace(text, term_pattern(terms), replacement)
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -1017,6 +1017,7 @@ def revenue_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_llm  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1044,6 +1045,13 @@ _DRIVER_FIRST = [
     "event_value_quantiles",
     "event_stream_dedup",
     "event_type_sketch_stats",
+    # Round-2 curation wave — no driver row yet, must land in-window.
+    "doc_repetition_profile",
+    "doc_decontaminate",
+    "doc_stratified_sample",
+    "corpus_bigram_top_terms",
+    "embedding_centroid_by_label",
+    "embedding_norm_quantiles",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.
@@ -1058,6 +1066,12 @@ _DRIVER_LAST = [
     "orders_null_profile",
     "lineitem_describe",
     "salted_status_totals",
+    "segment_profile",
+    "top3_orders_per_priority",
+    "customers_without_orders",
+    "region_nation_rollup",
+    "yearly_revenue_yoy",
+    "customer_spend_deciles",
 ]
 
 

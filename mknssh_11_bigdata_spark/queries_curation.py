@@ -1,0 +1,396 @@
+"""Corpus-curation queries: repetition filtering, decontamination,
+stratified sampling, n-gram statistics, embedding-column diagnostics.
+
+Second wave of the LLM-data-pipeline surface (first wave:
+``queries_llm.py``). These are the operators a training-data curation
+pass runs between raw ingest and dedup: Gopher-style repetition quality
+gates, benchmark-decontamination scrubs, per-language downsampling, and
+corpus/embedding summary statistics. All relational cores are pure
+Column expressions or explode+agg plans — no UDFs, no collect — and
+every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .registry import register
+from .sources.readers import load_table
+
+#: tokens(text) in DuckDB — must mirror functions/text.py tokens()
+SQL_TOKS = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+#: bigrams over a token list `t` (duplicates kept) — mirrors TX.bigrams
+SQL_BIGRAMS = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [] END"
+)
+
+#: Denylist for the decontamination scrub. Chosen to actually occur in
+#: the synthetic corpus (a no-op scrub would certify nothing); stands in
+#: for eval-set strings / canary tokens / PII literals.
+DECONTAM_TERMS: tuple[str, ...] = ("spark", "shuffle", "benchmark")
+
+#: Per-language keep-rates for stratified downsampling (per-mille).
+#: English-heavy web corpora downsample the head language and keep the
+#: tail — the rates encode that policy.
+STRATA_RATES_PM: dict[str, int] = {
+    "en": 400,  # keep 40% of English
+    "de": 800,
+    "fr": 800,
+    "es": 800,
+    "zh": 1000,  # keep all Chinese
+}
+STRATA_SALT = "strat-v1"
+
+REPETITION_FLAG_THRESHOLD = 0.30
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality gating (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def _repetition_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH t AS (
+        SELECT source, {toks} AS t FROM documents
+    ),
+    r AS (
+        SELECT source,
+               CASE WHEN len(t) > 0
+                    THEN 1.0 - len(list_distinct(t)) / len(t) END AS dtr,
+               CASE WHEN len({SQL_BIGRAMS}) > 0
+                    THEN 1.0 - len(list_distinct({SQL_BIGRAMS}))
+                               / len({SQL_BIGRAMS}) END AS dbr
+        FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(dtr), 6) AS avg_dup_token_ratio,
+           ROUND(AVG(dbr), 6) AS avg_dup_bigram_ratio,
+           CAST(SUM(CASE WHEN dtr > {REPETITION_FLAG_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM r
+    GROUP BY source
+    """
+
+
+@register("doc_repetition_profile", _repetition_oracle())
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-source duplicate-token
+    and duplicate-bigram fractions plus the count of documents a
+    repetition filter would drop. Both ratios are pure Column
+    expressions (split / transform / array_distinct — JVM codegen), so
+    the gate runs at scan speed over a 100 TB corpus; the only shuffle
+    is the final per-source agg, which map-side combines to ~|sources|
+    rows. Extends the reference's string surface (SURVEY.md §2.6)."""
+    d = _t(spark, sf_dir, "documents")
+    dtr = TX.dup_token_ratio(F.col("text"))
+    dbr = TX.dup_bigram_ratio(F.col("text"))
+    return (
+        d.select("source", dtr.alias("dtr"), dbr.alias("dbr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dtr"), 6).alias("avg_dup_token_ratio"),
+            F.round(F.avg("dbr"), 6).alias("avg_dup_bigram_ratio"),
+            F.sum(
+                F.when(F.col("dtr") > REPETITION_FLAG_THRESHOLD, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _decontaminate_oracle() -> str:
+    pat = TX.term_pattern(DECONTAM_TERMS)
+    return f"""
+    WITH s AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{pat}')) AS n_hits,
+               length(text)
+                 - length(regexp_replace(text, '{pat}', '[REDACTED]', 'g'))
+                 AS delta_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_hit,
+           CAST(SUM(n_hits) AS BIGINT) AS total_redactions,
+           CAST(SUM(delta_chars) AS BIGINT) AS total_char_delta
+    FROM s
+    GROUP BY lang
+    """
+
+
+@register("doc_decontaminate", _decontaminate_oracle())
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scrub audit: redact whole-word denylist
+    occurrences (eval strings / canaries / PII literals) and report, per
+    language, how many documents and occurrences were touched. The scrub
+    itself is ONE vectorized ``regexp_replace`` and the count ONE
+    ``regexp_extract_all`` — word-boundary regex behaves identically in
+    Java regex and RE2, so the oracle reuses the exact pattern. At 100 TB
+    this is a map-only pass; the audit agg shuffles ~|langs| rows."""
+    d = _t(spark, sf_dir, "documents")
+    hits = TX.term_match_count(F.col("text"), DECONTAM_TERMS)
+    scrubbed = TX.scrub_terms(F.col("text"), DECONTAM_TERMS)
+    return (
+        d.select(
+            "lang",
+            hits.alias("n_hits"),
+            (F.length("text") - F.length(scrubbed)).alias("delta_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_hit"),
+            F.sum("n_hits").cast("long").alias("total_redactions"),
+            F.sum("delta_chars").cast("long").alias("total_char_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _strata_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {pm}" for lang, pm in STRATA_RATES_PM.items()
+    )
+    return f"CASE {col} {arms} ELSE 0 END"
+
+
+def _stratified_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT lang, n_chars,
+               CAST(('0x' || substr(md5('{STRATA_SALT}|'
+                        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1000 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < {_strata_case('lang')}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(SUM(CASE WHEN bucket < {_strata_case('lang')}
+                     THEN n_chars ELSE 0 END)
+                 / NULLIF(SUM(n_chars), 0), 6) AS char_keep_ratio
+    FROM b
+    GROUP BY lang
+    """
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_pm: dict[str, int],
+    salt: str = STRATA_SALT,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    md5-derived bucket (pure function of salt+id, 0..999) falls under
+    the stratum's keep-rate. No RNG state, no shuffle, reproducible
+    under data growth and re-runs — the same hash-bucket trick as
+    ``pipelines.ml.deterministic_split``, generalized to per-group
+    rates. Rows whose stratum has no configured rate are dropped.
+
+    Scale note: this is a map-only filter. At 100 TB it composes with
+    the scan (predicate stays a Column expression) and never moves data.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate = F.lit(0)
+    for lang, pm in rates_pm.items():
+        rate = F.when(F.col(stratum_col) == lang, pm).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+@register("doc_stratified_sample", _stratified_oracle())
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling audit: totals vs sampled
+    counts and the char-mass keep ratio per language. Certifies
+    :func:`stratified_sample`'s bucket assignment bit-for-bit (DuckDB
+    reproduces the md5 buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, "doc_id", "lang", STRATA_RATES_PM
+    ).select("doc_id", F.lit(1).alias("__keep"))
+    return (
+        d.join(sampled, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce(F.col("__keep"), F.lit(0)))
+            .cast("long")
+            .alias("n_sampled"),
+            F.round(
+                F.sum(F.when(F.col("__keep") == 1, F.col("n_chars")).otherwise(0))
+                / F.nullif(F.sum("n_chars"), F.lit(0)),
+                6,
+            ).alias("char_keep_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+
+def _bigram_top_oracle(k: int = 20) -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH t AS (SELECT {toks} AS t FROM documents),
+    g AS (SELECT unnest({SQL_BIGRAMS}) AS bigram FROM t),
+    c AS (SELECT bigram, COUNT(*) AS n_occurrences FROM g GROUP BY bigram)
+    SELECT bigram, n_occurrences
+    FROM c
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {k}
+    """
+
+
+@register("corpus_bigram_top_terms", _bigram_top_oracle())
+def corpus_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams: explode the (duplicates-kept)
+    bigram arrays, one map-side-combining count agg, deterministic
+    tie-broken top-k (TakeOrdered — never a global sort). The corpus
+    phrase-frequency table that feeds boilerplate detection and
+    tokenizer health checks. At 100 TB the combiner collapses each
+    partition to its distinct bigrams before the single shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _centroid_oracle() -> str:
+    return """
+    WITH e AS (
+        SELECT label,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, dim,
+               ROUND(AVG(CAST(v AS DOUBLE)), 9) AS m
+        FROM e GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(MAX(dim) AS INTEGER) AS n_dims,
+           ROUND(SQRT(SUM(m * m)), 6) AS centroid_norm
+    FROM c
+    GROUP BY label
+    """
+
+
+@register("embedding_centroid_by_label", _centroid_oracle())
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column via posexplode +
+    two-level agg — the distributed mean-vector computation every
+    IVF/k-means-style index build starts from. Per-dimension averages
+    are rounded to 9 decimals BEFORE the norm so Spark's partial-agg
+    summation order and DuckDB's agree bit-for-bit. At scale: one
+    shuffle of (label, dim) partial sums — map-side combine reduces
+    each partition to |labels|*|dims| rows regardless of row count."""
+    e = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("m"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("dim").cast("integer").alias("n_dims"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
+            "centroid_norm"
+        ),
+    )
+
+
+def _norm_oracle() -> str:
+    return """
+    WITH n AS (
+        SELECT label,
+               SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(quantile_cont(nrm, 0.5), 6) AS median_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n
+    GROUP BY label
+    """
+
+
+@register("embedding_norm_quantiles", _norm_oracle())
+def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding column (min /
+    exact median / max) — the drift check run before cosine math, since
+    un-normalized vectors silently break dot-product≈cosine shortcuts.
+    The norm is a JVM-side ``aggregate`` fold over the array (no UDF);
+    the exact median uses Spark's ``percentile`` — at 100 TB swap for
+    ``percentile_approx`` and drop the oracle to rows-only, or keep
+    exact per-label when |labels| is small (sort is per-group)."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("median_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

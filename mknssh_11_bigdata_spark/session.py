@@ -78,6 +78,17 @@ def get_spark(
         # keep partitions <= 128MB at large SF (the default); both matter.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if master.startswith("local"):
+        # In local mode all "executor" threads share ONE driver JVM heap;
+        # the 1g spark.driver.memory default OOMs 32 threads well before
+        # per-thread data reaches a realistic executor share (measured:
+        # sf1-equivalent bench dies in a hash-agg spill-read). Size the
+        # heap like a real executor fleet would be sized. On a cluster
+        # this knob is spark-submit's, not ours.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     for key, value in (extra or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -1,0 +1,117 @@
+"""Unit tests for the corpus-curation wave: repetition metrics,
+decontamination scrub, stratified sampling, bigram stats.
+
+(The registered queries themselves are additionally oracle-checked by
+tests/test_oracle_parity.py at sf0.01, same as every other query.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mknssh_11_bigdata_spark.functions import text as TX
+from mknssh_11_bigdata_spark.queries_curation import (
+    STRATA_RATES_PM,
+    stratified_sample,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def test_bigrams_edges(spark):
+    rows = (
+        spark.createDataFrame(
+            [("a b c",), ("solo",), ("",), ("x  y",)], "text string"
+        )
+        .select(TX.bigrams(F.col("text")).alias("bg"))
+        .collect()
+    )
+    assert rows[0].bg == ["a b", "b c"]
+    assert rows[1].bg == []  # < 2 tokens -> empty, not null
+    assert rows[2].bg == []
+    assert rows[3].bg == ["x y"]  # double space collapsed by tokenizer
+
+
+def test_dup_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            ("a a a a",),  # 4 tokens, 1 distinct -> 0.75
+            ("a b c d",),  # all unique -> 0.0
+            ("",),  # no tokens -> NULL
+            ("a b a b a b",),  # bigrams: 5 total {a b, b a} -> 3/5
+        ],
+        "text string",
+    )
+    got = df.select(
+        TX.dup_token_ratio(F.col("text")).alias("dtr"),
+        TX.dup_bigram_ratio(F.col("text")).alias("dbr"),
+    ).collect()
+    assert got[0].dtr == 0.75
+    assert got[1].dtr == 0.0
+    assert got[2].dtr is None and got[2].dbr is None
+    assert abs(got[3].dbr - 0.6) < 1e-12
+
+
+def test_scrub_terms_word_boundaries(spark):
+    row = (
+        _one(spark, "spark and sparkly spark-shuffle sparks")
+        .select(
+            TX.scrub_terms(F.col("text"), ("spark", "shuffle")).alias("s"),
+            TX.term_match_count(F.col("text"), ("spark", "shuffle")).alias(
+                "n"
+            ),
+        )
+        .collect()[0]
+    )
+    # whole words only: 'sparkly'/'sparks' untouched; hyphen is a boundary
+    assert row.s == "[REDACTED] and sparkly [REDACTED]-[REDACTED] sparks"
+    assert row.n == 3
+
+
+def test_scrub_regex_metachars_escaped(spark):
+    row = (
+        _one(spark, "cost is 3.50 here")
+        .select(TX.scrub_terms(F.col("text"), ("3.50",)).alias("s"))
+        .collect()[0]
+    )
+    # '.' must match literally after escaping, and '3x50' must NOT match
+    assert row.s == "cost is [REDACTED] here"
+    row2 = (
+        _one(spark, "ratio 3x50 here")
+        .select(TX.scrub_terms(F.col("text"), ("3.50",)).alias("s"))
+        .collect()[0]
+    )
+    assert row2.s == "ratio 3x50 here"
+
+
+def test_stratified_sample_deterministic_and_growth_stable(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    a = {r.doc_id for r in stratified_sample(df, "doc_id", "lang", STRATA_RATES_PM).collect()}
+    b = {r.doc_id for r in stratified_sample(df, "doc_id", "lang", STRATA_RATES_PM).collect()}
+    assert a == b  # no RNG: identical across runs
+
+    # growth stability: adding rows never flips an existing row's fate
+    bigger = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    c = {
+        r.doc_id
+        for r in stratified_sample(bigger, "doc_id", "lang", STRATA_RATES_PM).collect()
+    }
+    assert a == {i for i in c if i < 2000}
+
+    # rates roughly honored (md5 buckets are uniform; wide tolerance)
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_zh = sum(1 for i in a if i % 2 == 1)
+    assert 300 <= n_en <= 500  # 40% of 1000
+    assert n_zh == 1000  # keep-all stratum keeps everything
+
+    # unknown stratum -> dropped
+    unk = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert stratified_sample(unk, "doc_id", "lang", STRATA_RATES_PM).count() == 0
