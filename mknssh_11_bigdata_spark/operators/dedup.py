@@ -36,12 +36,14 @@ from ..plans.layout import spread
 
 __all__ = [
     "exact_duplicate_groups",
+    "exact_collapse",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash",
     "minhash_dedup_pairs",
     "duplicate_components",
+    "near_dup_components",
     "embedding_cosine_pairs",
     "hyperplane_signatures",
     "embedding_near_dup_pairs",
@@ -69,6 +71,44 @@ def exact_duplicate_groups(
             F.min(id_col).alias("keeper"),
         )
     )
+
+
+def exact_collapse(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact (normalized) duplicates before near-dup analysis.
+
+    Returns ``(reps, mapping)``: *reps* is ``df`` restricted to one
+    deterministic representative per fingerprint group (the min id, all
+    columns kept); *mapping* is ``(id_col, rep_id, group_n)`` for EVERY
+    input row.
+
+    Why this exists: at crawl scale most duplicate mass is VERBATIM
+    (mirrors, reposts, boilerplate). Running MinHash/LSH straight on the
+    raw corpus makes every k-copy group contribute k identical
+    signatures — k-row LSH buckets and O(k²) candidate pairs that
+    verification then scores at Jaccard 1.0: pure waste, and exactly the
+    adversarial case the hot-bucket cap exists for. Collapsing first
+    makes the near-dup stage's input the UNIQUE-text corpus: a k-copy
+    group costs k fingerprint rows in one shuffle instead of k² pairs.
+
+    Plan shape: the fingerprint is computed once in a projection; a
+    single window (min + count over the fingerprint partition) labels
+    every row with its representative and group size, and the reps
+    filter rides the same exchange — the payload shuffles once, which
+    any representative-picking scheme that keeps payload columns pays.
+    """
+    w = Window.partitionBy("__fp")
+    labeled = (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("rep_id", F.min(id_col).over(w))
+        .withColumn("group_n", F.count(F.lit(1)).over(w))
+    )
+    reps = labeled.filter(F.col(id_col) == F.col("rep_id")).drop(
+        "__fp", "rep_id", "group_n"
+    )
+    mapping = labeled.select(F.col(id_col), "rep_id", "group_n")
+    return reps, mapping
 
 
 #: Universal-hash modulus (2^31 - 1, prime). Coefficients a,b < P and the
@@ -635,4 +675,57 @@ def minhash_dedup_pairs(
     )
     return jaccard_pairs(
         df, id_col, text_col, shingle_n, threshold, candidates=cands
+    )
+
+
+def near_dup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Full duplicate-group resolution with exact collapse first:
+    exact dedup → MinHash/LSH/Jaccard over unique texts only →
+    connected components on the collapsed graph → expand back to docs.
+
+    Output: ``(doc_id, component)`` for every document in a duplicate
+    group of size ≥ 2 — exact or near. ``component`` is the min doc id
+    of the merged group: representatives are per-group minima and
+    component labels are min-rep, so the expansion preserves global
+    minima and the result is exactly what components over the union
+    graph (exact edges ∪ near-dup edges) would produce — without ever
+    materializing the k² intra-group exact edges.
+
+    Scale: the pair-shaped stages (LSH self-join, Jaccard verification,
+    star rounds) see only unique texts; expanding back to the corpus is
+    one broadcast join against the (tiny) rep-component map.
+    """
+    reps, mapping = exact_collapse(df, id_col, text_col)
+    rep_pairs = minhash_dedup_pairs(
+        reps,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    rep_comp = duplicate_components(rep_pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("component").alias("__rc")
+    )
+    # rep_comp is bounded by the near-dup graph (tiny vs corpus) =>
+    # broadcast. A doc whose rep has no near-dup neighbor labels itself
+    # with the rep and survives only if its exact group has size >= 2.
+    return (
+        mapping.join(F.broadcast(rep_comp), "rep_id", "left")
+        .filter((F.col("group_n") >= 2) | F.col("__rc").isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col("__rc"), F.col("rep_id")).alias("component"),
+        )
     )

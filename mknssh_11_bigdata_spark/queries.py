@@ -1052,6 +1052,7 @@ _DRIVER_FIRST = [
     "corpus_bigram_top_terms",
     "embedding_centroid_by_label",
     "embedding_norm_quantiles",
+    "dedup_collapsed_components",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -82,7 +82,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(table: str = "documents") -> str:
     from .operators.dedup import MINHASH_P, minhash_coefficients
 
     coeffs = minhash_coefficients(NUM_HASHES)
@@ -102,7 +102,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM {table}
     ),
     sh AS (
         SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks
@@ -588,6 +588,64 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select("doc_id").join(
         F.broadcast(losers), "doc_id", "left_anti"
+    )
+
+
+def _collapsed_components_oracle() -> str:
+    # Exact collapse (window min/count over the normalized-content
+    # fingerprint) -> MinHash/LSH/Jaccard pairs over representatives
+    # only -> recursive-CTE closure -> expand back through the mapping.
+    pairs = _minhash_oracle(table="repdocs")
+    return rf"""
+    WITH RECURSIVE fpm AS (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER w AS rep_id,
+               COUNT(*) OVER w AS group_n
+        FROM documents
+        WINDOW w AS (
+            PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        )
+    ),
+    repdocs AS (SELECT doc_id, text FROM fpm WHERE doc_id = rep_id),
+    pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root
+        FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)
+    SELECT f.doc_id, COALESCE(c.component, f.rep_id) AS component
+    FROM fpm f LEFT JOIN comp c ON c.id = f.rep_id
+    WHERE f.group_n >= 2 OR c.id IS NOT NULL
+    """
+
+
+@register("dedup_collapsed_components", _collapsed_components_oracle())
+def dedup_collapsed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup composition: collapse exact duplicates FIRST
+    (window min over the content fingerprint — one shuffle), run
+    MinHash→LSH→Jaccard→components over unique texts only, then expand
+    labels back to every doc through the rep mapping. Verbatim k-copy
+    groups — the bulk of crawl-scale duplicate mass — cost k rows in one
+    shuffle here instead of k² LSH pairs; equivalent to components over
+    the union graph, which the oracle reproduces with a recursive CTE."""
+    from .operators.dedup import near_dup_components
+
+    return near_dup_components(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 

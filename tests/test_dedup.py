@@ -89,6 +89,48 @@ def test_lsh_candidates_superset_of_verified_pairs(spark, docs):
     assert verified <= cands
 
 
+def test_exact_collapse_reps_and_mapping(spark, docs):
+    from mknssh_11_bigdata_spark.operators.dedup import exact_collapse
+
+    reps, mapping = exact_collapse(docs, "doc_id", "text")
+    # docs 1+2 collapse (case/whitespace variants) => reps are 1, 3, 4
+    assert sorted(r.doc_id for r in reps.select("doc_id").collect()) == [1, 3, 4]
+    assert reps.columns == docs.columns  # payload columns preserved
+    m = {r.doc_id: (r.rep_id, r.group_n) for r in mapping.collect()}
+    assert m == {1: (1, 2), 2: (1, 2), 3: (3, 1), 4: (4, 1)}
+
+
+def test_near_dup_components_merges_exact_and_near(spark, docs):
+    from mknssh_11_bigdata_spark.operators.dedup import near_dup_components
+
+    out = {
+        r.doc_id: r.component
+        for r in near_dup_components(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # exact pair (1,2) and near pair (1,3) merge into one group keyed by
+    # the global min id; unrelated doc 4 is absent.
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_near_dup_components_exact_only_group(spark):
+    from mknssh_11_bigdata_spark.operators.dedup import near_dup_components
+
+    df = spark.createDataFrame(
+        [(5, OTHER), (6, OTHER), (7, BASE)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.component
+        for r in near_dup_components(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # a verbatim-copy group with no near-dup neighbors is still a
+    # duplicate group; the singleton doc 7 is not.
+    assert out == {5: 5, 6: 5}
+
+
 def test_simhash_identical_docs_equal_near_dups_close(spark, docs):
     fps = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
 
