@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine_similarity
 from ..plans.layout import spread
 
-__all__ = ["brute_force_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "ivf_topk", "kmeans_centroids"]
 
 
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
@@ -73,6 +73,92 @@ def brute_force_topk(
     return _ranked(scored, k)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_mod: int = 1,
+    round_to: int = 9,
+) -> DataFrame:
+    """Deterministic Lloyd k-means fit over the embedding column →
+    ``(centroid_id, __cent)`` DataFrame consumable by :func:`ivf_topk`.
+
+    Determinism contract (what makes this oracle-reproducible, unlike
+    MLlib's randomized KMeans): init = the ``n_centroids`` smallest-id
+    vectors; a FIXED number of iterations (no convergence test);
+    assignment by cosine rounded to 6 digits with smaller-centroid-id
+    tie-break; new centroids = per-dimension means rounded to
+    ``round_to`` digits (so Spark's partial-agg summation order and any
+    other engine's agree); empty clusters keep their previous centroid.
+
+    Scale: each iteration is one broadcast-literal assignment pass +
+    one (cid, dim) partial-agg shuffle; only k×dim means cross the
+    driver per iteration — model-sized, like any distributed ML fit.
+    At 100 TB fit on a deterministic slice via ``sample_mod`` (keep row
+    iff ``id % sample_mod == 0``); assignment quality needs a sample,
+    not the corpus.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = corpus.sparkSession
+    fit = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if sample_mod > 1:
+        fit = fit.filter(F.col(id_col) % sample_mod == 0)
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField("__cent", ArrayType(DoubleType())),
+        ]
+    )
+    init = fit.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+    cents: list[list[float]] = [list(r["__v"]) for r in init]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(list(enumerate(cents)), schema)
+        assigned = (
+            fit.crossJoin(F.broadcast(cent_df))
+            .withColumn(
+                "__sim",
+                F.round(
+                    cosine_similarity(F.col("__v"), F.col("__cent")), 6
+                ),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.col("centroid_id"),
+                    F.struct(F.col("__sim"), -F.col("centroid_id")),
+                ).alias("cid"),
+                F.first("__v").alias("__v"),
+            )
+        )
+        means = (
+            assigned.select("cid", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        cents = [
+            [by_cid[i][d] for d in sorted(by_cid[i])]
+            if i in by_cid
+            else cents[i]
+            for i in range(n_centroids)
+        ]
+    return spark.createDataFrame(list(enumerate(cents)), schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,12 +168,14 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     exclude_self: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    1. centroids := the ``n_centroids`` corpus vectors with the smallest
-       ids (deterministic stand-in for k-means; swap in real centroids
-       without touching the plan).
+    1. centroids := ``centroids`` if given (``(centroid_id, __cent)``,
+       e.g. from :func:`kmeans_centroids`), else the ``n_centroids``
+       corpus vectors with the smallest ids (deterministic stand-in —
+       same plan either way).
     2. corpus rows → nearest centroid (broadcast centroids, row_number).
     3. queries → ``n_probe`` nearest centroids.
     4. score only corpus rows in probed cells; rank per query.
@@ -95,15 +183,18 @@ def ivf_topk(
     Probing fraction n_probe/n_centroids bounds the scan. Recall is
     tested against ``brute_force_topk`` (tests/test_similarity.py).
     """
-    cent = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("__cent"),
+    if centroids is not None:
+        cent = centroids
+    else:
+        cent = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("__cent"),
+            )
         )
-    )
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")

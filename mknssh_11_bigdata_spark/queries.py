@@ -1053,6 +1053,8 @@ _DRIVER_FIRST = [
     "embedding_centroid_by_label",
     "embedding_norm_quantiles",
     "dedup_collapsed_components",
+    "doc_pack_sequences",
+    "embedding_topk_ivf_kmeans",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -301,6 +301,109 @@ def corpus_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Context-window packing
+# ---------------------------------------------------------------------------
+
+#: Token budget per packed training sequence.
+PACK_BUDGET = 256
+#: Deterministic shards per source — the packing parallelism unit.
+PACK_SHARDS = 8
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = PACK_BUDGET,
+    part_col: str = "source",
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training sequences.
+
+    Contiguous-fill packing: within each ``(part_col, shard)`` stream,
+    ordered by id, a document starts in sequence
+    ``floor(cum_tokens_before / budget)``. Deterministic — no RNG, no
+    data-dependent iteration — and exactly reproducible in SQL window
+    functions, which is what the oracle does. A document longer than the
+    budget keeps its start sequence (real packers split it; the
+    assignment table is the part Spark owns either way).
+
+    Scale: a single global cumsum would serialize the corpus through
+    one window partition. Sharding by ``id % shards`` inside each
+    source bounds every window partition to 1/shards of its source
+    while keeping assignment a pure function of (id, tokens) — at
+    100 TB raise ``shards`` to the write parallelism you want; packing
+    quality is unchanged since fill is per-stream either way.
+
+    Output: one row per (part, shard, seq_id) with doc/token counts —
+    the packing manifest a sequence-builder job consumes.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.col(part_col),
+        (F.col(id_col) % shards).alias("shard"),
+        F.size(TX.tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(part_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn(
+            "seq_id", F.floor(F.col("cum_before") / budget).cast("long")
+        )
+        .groupBy(part_col, "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
+def _pack_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+               len({toks}) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT source, shard,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("doc_pack_sequences", _pack_oracle())
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing manifest: deterministic contiguous-fill
+    assignment of documents to {PACK_BUDGET}-token training sequences,
+    sharded for parallelism (see :func:`pack_sequences`)."""
+    return pack_sequences(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-column diagnostics
 # ---------------------------------------------------------------------------
 

@@ -783,6 +783,136 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_CENTROIDS = 8
+KM_ITERS = 2
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Unrolled fixed-iteration Lloyd k-means in SQL, then the same IVF
+    stages as :func:`_ivf_oracle`. Every iteration is: rounded-cosine
+    argmax assignment (id tie-break) → per-dimension rounded means with
+    empty-cluster carry-over — the exact determinism contract of
+    ``operators.similarity.kmeans_centroids``."""
+    cos_fc = (
+        "ROUND(list_dot_product(f.v, c.emb) / "
+        "(sqrt(list_dot_product(f.v, f.v)) * "
+        "sqrt(list_dot_product(c.emb, c.emb))), 6)"
+    )
+    iter_ctes = []
+    for it in range(1, KM_ITERS + 1):
+        p = it - 1
+        iter_ctes.append(f"""
+    a{it} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT f.vec_id, f.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                        ORDER BY {cos_fc} DESC NULLS LAST,
+                                 c.cid ASC) AS rn
+            FROM e f CROSS JOIN c{p} c
+        ) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT cid, dim, ROUND(AVG(x), 9) AS m
+        FROM (SELECT cid, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS dim
+              FROM a{it})
+        GROUP BY cid, dim
+    ),
+    c{it} AS (
+        SELECT c.cid,
+               COALESCE((SELECT list(m ORDER BY dim)
+                         FROM m{it} WHERE m{it}.cid = c.cid),
+                        c.emb) AS emb
+        FROM c{p} c
+    )""")
+    cos_ac = (
+        "ROUND(list_dot_product(cv, cent) / "
+        "(sqrt(list_dot_product(cv, cv)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    cos_qc = (
+        "ROUND(list_dot_product(qv, cent) / "
+        "(sqrt(list_dot_product(qv, qv)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
+                    AS INTEGER) AS cid, v AS emb
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY vec_id ASC LIMIT {KM_CENTROIDS})
+    ),{",".join(iter_ctes)},
+    cent AS (
+        SELECT cid AS centroid_id, emb AS cent FROM c{KM_ITERS}
+    ),
+    assigned AS (
+        SELECT neighbor_id, cv, centroid_id FROM (
+            SELECT e.vec_id AS neighbor_id, e.v AS cv, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_ac} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probed AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY {cos_qc} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               ROUND(list_dot_product(p.qv, a.cv) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+        WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+@register("embedding_topk_ivf_kmeans", _ivf_kmeans_oracle())
+def embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with REAL k-means centroids: deterministic Lloyd fit
+    (fixed init/iterations/rounding — operators.similarity.
+    kmeans_centroids) feeding the same IVF probe plan. Upgrades the
+    min-id centroid stand-in to the index a production ANN build uses,
+    while keeping the exact SQL-oracle gate: the oracle unrolls the
+    same two Lloyd iterations in SQL."""
+    from .operators.similarity import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", n_centroids=KM_CENTROIDS, iters=KM_ITERS
+    )
+    return ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOPK,
+        n_probe=IVF_PROBE,
+        centroids=cents,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -115,3 +115,53 @@ def test_stratified_sample_deterministic_and_growth_stable(spark):
     # unknown stratum -> dropped
     unk = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
     assert stratified_sample(unk, "doc_id", "lang", STRATA_RATES_PM).count() == 0
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    from mknssh_11_bigdata_spark.queries_curation import pack_sequences
+
+    # 6 docs in one source, sharded to one stream, budget 10 tokens:
+    # tokens 4,4,4,9,12,1 -> cum_before 0,4,8,12,21,33
+    # -> seq_id 0,0,0,1,2,3
+    docs = spark.createDataFrame(
+        [
+            (i, "w " * n, "s0")
+            for i, n in enumerate([4, 4, 4, 9, 12, 1])
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.seq_id): (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(
+            docs, "doc_id", "text", budget=10, shards=1
+        ).collect()
+    }
+    assert out == {
+        0: (3, 12, 0, 2),
+        1: (1, 9, 3, 3),
+        2: (1, 12, 4, 4),
+        3: (1, 1, 5, 5),
+    }
+
+
+def test_pack_sequences_sharding_is_deterministic_partition(spark):
+    from mknssh_11_bigdata_spark.queries_curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "s%d" % (i % 2)) for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    rows = pack_sequences(
+        docs, "doc_id", "text", budget=6, shards=4
+    ).collect()
+    # every (source, shard) stream packs independently: shard of every
+    # member doc == doc_id % shards, and within a stream the doc ranges
+    # of consecutive sequences don't overlap
+    assert all(r.first_doc % 4 == r.shard for r in rows)
+    by_stream: dict = {}
+    for r in rows:
+        by_stream.setdefault((r.source, r.shard), []).append(r)
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.seq_id)
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_doc < b.first_doc

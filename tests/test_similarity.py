@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from mknssh_11_bigdata_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    kmeans_centroids,
 )
 from mknssh_11_bigdata_spark.sources.readers import load_table
 
@@ -54,3 +55,38 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     # every approx hit must be a real corpus row with rank sanity
     for r in approx.collect():
         assert r.rank <= K and r.neighbor_id != r.query_id
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, emb):
+    c1 = kmeans_centroids(emb, "vec_id", "embedding", n_centroids=8, iters=2)
+    c2 = kmeans_centroids(emb, "vec_id", "embedding", n_centroids=8, iters=2)
+    r1 = sorted(c1.collect(), key=lambda r: r.centroid_id)
+    r2 = sorted(c2.collect(), key=lambda r: r.centroid_id)
+    # bit-identical across runs (fixed init, iterations, rounding)
+    assert [(r.centroid_id, r["__cent"]) for r in r1] == [
+        (r.centroid_id, r["__cent"]) for r in r2
+    ]
+    assert [r.centroid_id for r in r1] == list(range(8))
+    dim = len(r1[0]["__cent"])
+    assert all(len(r["__cent"]) == dim for r in r1)
+
+
+def test_ivf_kmeans_recall_at_least_min_id_centroids(spark, emb):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(approx_df):
+        s = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+        return len(exact_set & s) / len(exact_set)
+
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", n_centroids=16, iters=2
+    )
+    km = recall(
+        ivf_topk(
+            emb, queries, "vec_id", "embedding", k=K, n_probe=8,
+            centroids=cents,
+        )
+    )
+    assert km >= 0.5, f"k-means IVF recall {km:.2f} too low"
