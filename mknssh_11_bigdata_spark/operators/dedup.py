@@ -27,6 +27,7 @@ DuckDB reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -705,19 +706,30 @@ def near_dup_components(
     one broadcast join against the (tiny) rep-component map.
     """
     reps, mapping = exact_collapse(df, id_col, text_col)
-    rep_pairs = minhash_dedup_pairs(
-        reps,
-        id_col,
-        text_col,
-        num_hashes,
-        bands,
-        shingle_n,
-        threshold,
-        max_bucket_size=max_bucket_size,
-    )
-    rep_comp = duplicate_components(rep_pairs).select(
-        F.col("doc_id").alias("rep_id"), F.col("component").alias("__rc")
-    )
+    # The pair pipeline consumes `reps` from several join branches (LSH
+    # self-join sides, both sides of the Jaccard verify join); without
+    # materialization each branch would re-run the exact-collapse window
+    # shuffle over the full text payload — measured 6x the query cost at
+    # sf1. Persist spill-aware for the pair stage; duplicate_components
+    # eagerly checkpoints its edges, after which nothing downstream
+    # depends on reps lineage and the cache is dropped.
+    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rep_pairs = minhash_dedup_pairs(
+            reps,
+            id_col,
+            text_col,
+            num_hashes,
+            bands,
+            shingle_n,
+            threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        rep_comp = duplicate_components(rep_pairs).select(
+            F.col("doc_id").alias("rep_id"), F.col("component").alias("__rc")
+        )
+    finally:
+        reps.unpersist()
     # rep_comp is bounded by the near-dup graph (tiny vs corpus) =>
     # broadcast. A doc whose rep has no near-dup neighbor labels itself
     # with the rep and survives only if its exact group has size >= 2.

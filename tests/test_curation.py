@@ -165,3 +165,64 @@ def test_pack_sequences_sharding_is_deterministic_partition(spark):
         rs.sort(key=lambda r: r.seq_id)
         for a, b in zip(rs, rs[1:]):
             assert a.last_doc < b.first_doc
+
+
+def test_mixing_weights_temperature_math(spark):
+    from mknssh_11_bigdata_spark.queries_curation import mixing_weights
+
+    # two sources, 90%/10% token split; alpha=0.5 pulls target shares
+    # toward each other: 3:1 instead of 9:1
+    docs = spark.createDataFrame(
+        [(i, "w " * 9, "big") for i in range(100)]
+        + [(i + 100, "w " * 1, "small") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in mixing_weights(docs, "source", "text").collect()}
+    assert out["big"].n_tokens == 900 and out["small"].n_tokens == 100
+    assert abs(out["big"].natural_share - 0.9) < 1e-9
+    assert abs(out["big"].target_share - 0.75) < 1e-9
+    assert abs(out["small"].target_share - 0.25) < 1e-9
+    # sampling factor: small is oversampled 2.5x, big downsampled
+    assert abs(out["small"].sampling_factor - 2.5) < 1e-6
+    assert abs(out["big"].sampling_factor - (0.75 * 1000 / 900)) < 1e-6
+    # budget conservation: expected tokens sum back to the corpus size
+    assert abs(sum(r.expected_tokens for r in out.values()) - 1000) < 1e-3
+
+
+def test_quality_funnel_stages_monotonic(spark):
+    from mknssh_11_bigdata_spark.queries_curation import quality_funnel
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = quality_funnel(d, "source", "text").collect()
+    assert rows
+    for r in rows:
+        # successive gates only ever shrink the surviving set
+        assert (
+            r.n_docs
+            >= r.pass_length
+            >= r.pass_wordlen
+            >= r.pass_repetition
+            >= r.pass_all
+            >= 0
+        )
+    # thresholds were chosen to actually split the corpus: some doc
+    # fails somewhere, and some doc survives everything
+    assert sum(r.pass_all for r in rows) > 0
+    assert sum(r.n_docs - r.pass_all for r in rows) > 0
+
+
+def test_shuffle_manifest_is_balanced_partition(spark):
+    from mknssh_11_bigdata_spark.queries_curation import shuffle_manifest
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = d.count()
+    rows = shuffle_manifest(d, "doc_id", "text", n_buckets=8).collect()
+    # complete partition of the corpus, deterministic across runs
+    assert sum(r.n_docs for r in rows) == n
+    assert len(rows) == 8
+    rows2 = shuffle_manifest(d, "doc_id", "text", n_buckets=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # salted-hash balance: no bucket holds more than 3x its fair share
+    assert max(r.n_docs for r in rows) <= 3 * (n / 8)
