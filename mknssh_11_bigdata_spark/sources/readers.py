@@ -86,13 +86,30 @@ def arrayify(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     return df
 
 
-#: Columns written as parquet TIMESTAMP(NANOS), which Spark's reader
-#: rejects outright. We read them as raw nanos (legacy flag) and convert
-#: to microsecond timestamps with integer division — exactly the
-#: truncation DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP,
-#: so oracle comparisons see identical values. (`div`, not `/`: the nano
-#: epoch ≈ 1.7e18 exceeds double's 2^53 integer range.)
+#: Event-time columns whose physical parquet type has varied across
+#: testdata generations: TIMESTAMP(NANOS) (Spark rejects outright — read
+#: as raw nanos via the legacy flag, then integer-divide to micros,
+#: exactly the truncation DuckDB applies coercing TIMESTAMP_NS), or
+#: micros without timezone (Spark reads TIMESTAMP_NTZ, which
+#: ``withWatermark`` rejects). Either way we normalize to TIMESTAMP_LTZ;
+#: with the session timezone pinned to UTC the NTZ→LTZ cast is
+#: wall-clock-preserving, so oracle comparisons see identical values.
+#: (`div`, not `/`: the nano epoch ≈ 1.7e18 exceeds double's 2^53.)
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_event_time(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Coerce raw-nanos bigint or TIMESTAMP_NTZ event-time columns to
+    TIMESTAMP_LTZ (see NANOS_TS_COLUMNS). No-op on already-LTZ columns."""
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+        elif dtypes.get(col) == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -101,12 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in nanos_cols:
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-            )
-    return df
+    return normalize_event_time(df, nanos_cols)
 
 
 def load_tables(

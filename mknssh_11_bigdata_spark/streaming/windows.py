@@ -113,7 +113,7 @@ def stream_from_parquet_events(
     Handles the table's TIMESTAMP(NANOS) column the same way the batch
     reader does (sources/readers.py NANOS_TS_COLUMNS).
     """
-    from ..sources.readers import NANOS_TS_COLUMNS
+    from ..sources.readers import NANOS_TS_COLUMNS, normalize_event_time
 
     nanos_cols = NANOS_TS_COLUMNS.get(table, ())
     if nanos_cols:
@@ -133,9 +133,4 @@ def stream_from_parquet_events(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    for col in nanos_cols:
-        if dict(stream.dtypes).get(col) == "bigint":
-            stream = stream.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-            )
-    return stream
+    return normalize_event_time(stream, nanos_cols)
