@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine_similarity", "normalize"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "normalize",
+    "max_abs",
+    "quantize_int8",
+    "int_dot",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -44,4 +52,39 @@ def normalize(a: Column) -> Column:
     norm = l2_norm(a)
     return F.when(
         norm > 0, F.transform(a, lambda x: x.cast("double") / norm)
+    )
+
+
+def max_abs(a: Column) -> Column:
+    """Per-vector max-abs (the symmetric-quantization scale base)."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_int8(a: Column, amax: Column) -> Column:
+    """Symmetric int8 quantization: ``q_i = floor(x_i/amax*127 + 0.5)``.
+
+    ``floor(x + 0.5)`` is half-up for BOTH signs and both engines (the
+    SQL oracle uses the textually identical expression), unlike
+    ``round`` whose half-way rule differs between Java (HALF_UP),
+    numpy (half-even) and DuckDB. NULL on zero vectors (amax == 0).
+    Values land in [-127, 127]; the int dot product of two 64-dim
+    vectors is < 2²⁰ — exact in int64 and in the oracle's doubles.
+    """
+    return F.when(
+        amax > 0,
+        F.transform(
+            a,
+            lambda x: F.floor(
+                x.cast("double") / amax * 127.0 + 0.5
+            ).cast("long"),
+        ),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (int64 fold — no float error at all)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )

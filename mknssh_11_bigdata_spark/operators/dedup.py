@@ -48,6 +48,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "hyperplane_signatures",
     "embedding_near_dup_pairs",
+    "chunk_dedup",
 ]
 
 
@@ -741,3 +742,112 @@ def near_dup_components(
             F.coalesce(F.col("__rc"), F.col("rep_id")).alias("component"),
         )
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 16,
+) -> DataFrame:
+    """Corpus-wide repeated-chunk removal (the C4/RefinedWeb "line
+    dedup" analog over whitespace corpora): split every document into
+    non-overlapping ``chunk_size``-token chunks, keep only the FIRST
+    occurrence of each distinct chunk across the whole corpus (first =
+    smallest ``(doc_id, chunk_idx)``), and rebuild each document from
+    its surviving chunks plus the sub-chunk tail (which is never
+    removed). Returns one row per document::
+
+        (doc_id, n_chunks, n_removed, clean_n_tokens, clean_md5)
+
+    Scale shape: one explode (no shuffle), ONE shuffle — the
+    ``row_number`` window over ``md5(chunk)`` — then a groupBy/join
+    keyed on ``doc_id`` that AQE plans off the already-hashed exchange.
+    Chunk payloads never fan out: only (id, idx, 32-byte md5) rows move
+    in the wide shuffle, and the rebuild concat happens after the
+    per-document collapse. At 100 TB the distinct-chunk domain is
+    corpus-sized, so the window shuffle is the irreducible cost of span
+    dedup; there is no broadcastable side and none is forced.
+
+    Reference parity: the reference has no span-level dedup (its dedup
+    surface is whole-row ``drop_duplicates``, /root/reference/main.py);
+    this is a north-star extension for training-data curation.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        F.floor(F.size(toks) / chunk_size).cast("int").alias("__nf"),
+    )
+    # chunk j (0-based) = tokens[j*chunk_size+1 .. (j+1)*chunk_size],
+    # joined with single spaces. sequence(0, nf-1) is invalid when
+    # nf == 0 (descending sequence) -> guard with an empty array.
+    chunk_at = lambda j: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("__t"), j * chunk_size + 1, chunk_size)
+    )
+    with_chunks = base.withColumn(
+        "__chunks",
+        F.when(
+            F.col("__nf") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nf") - 1), chunk_at
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    ).withColumn(
+        "__tail",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__t"),
+                F.col("__nf") * chunk_size + 1,
+                F.greatest(
+                    F.size(F.col("__t")) - F.col("__nf") * chunk_size,
+                    F.lit(0),
+                ),
+            ),
+        ),
+    )
+    exploded = with_chunks.select(
+        "doc_id", F.posexplode("__chunks").alias("idx", "__chunk")
+    ).withColumn("__h", F.md5(F.col("__chunk")))
+    first_w = Window.partitionBy("__h").orderBy("doc_id", "idx")
+    ranked = exploded.withColumn("__rn", F.row_number().over(first_w))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct("idx", "__chunk"),
+                        )
+                    )
+                ),
+                lambda s: s["__chunk"],
+            ),
+        ).alias("__kept"),
+    )
+    out = (
+        with_chunks.select("doc_id", "__nf", "__tail")
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "__clean",
+            F.concat_ws(
+                " ",
+                F.when(F.col("__kept") != "", F.col("__kept")),
+                F.when(F.col("__tail") != "", F.col("__tail")),
+            ),
+        )
+    )
+    clean_toks = tokens(F.col("__clean"))
+    return out.select(
+        "doc_id",
+        F.col("__nf").cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        F.size(clean_toks).cast("long").alias("clean_n_tokens"),
+        F.md5(F.col("__clean")).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -1059,6 +1059,10 @@ _DRIVER_FIRST = [
     "doc_quality_funnel",
     "corpus_shuffle_manifest",
     "event_time_rollup",
+    # Round-2 second wave — chunk dedup + int8 quantization.
+    "doc_chunk_dedup",
+    "embedding_int8_topk",
+    "embedding_quantization_profile",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -797,3 +797,89 @@ def corpus_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic salted-hash permutation (see
     :func:`shuffle_manifest`)."""
     return shuffle_manifest(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide repeated-chunk removal (C4/RefinedWeb line-dedup analog)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16
+
+
+def _chunk_dedup_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    cs = CHUNK_TOKENS
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {toks} AS t FROM documents
+    ),
+    base AS (
+        SELECT doc_id, t,
+               CAST(floor(len(t) / {cs}) AS INTEGER) AS nf
+        FROM t
+    ),
+    withtail AS (
+        SELECT doc_id, nf,
+               array_to_string(list_slice(t, nf * {cs} + 1, len(t)), ' ')
+                   AS tail
+        FROM base
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, nf), j -> {{
+                   'idx': j,
+                   'c': array_to_string(
+                       list_slice(t, j * {cs} + 1, (j + 1) * {cs}), ' ')
+               }})) AS u
+        FROM base
+    ),
+    ex AS (
+        SELECT doc_id, CAST(u.idx AS INTEGER) AS idx, u.c AS chunk FROM ch
+    ),
+    ranked AS (
+        SELECT doc_id, idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY doc_id, idx) AS rn
+        FROM ex
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               string_agg(CASE WHEN rn = 1 THEN chunk END,
+                          ' ' ORDER BY idx) AS kept
+        FROM ranked GROUP BY doc_id
+    ),
+    built AS (
+        SELECT w.doc_id,
+               CAST(w.nf AS BIGINT) AS n_chunks,
+               COALESCE(p.n_removed, 0) AS n_removed,
+               concat_ws(' ', NULLIF(p.kept, ''), NULLIF(w.tail, ''))
+                   AS clean
+        FROM withtail w LEFT JOIN perdoc p USING (doc_id)
+    )
+    SELECT doc_id, n_chunks, n_removed,
+           CAST(len({SQL_TOKS.format(col='clean')}) AS BIGINT)
+               AS clean_n_tokens,
+           md5(clean) AS clean_md5
+    FROM built
+    ORDER BY doc_id
+    """
+
+
+@register("doc_chunk_dedup", _chunk_dedup_oracle())
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-chunk removal: every {CHUNK_TOKENS}-token
+    chunk keeps only its first occurrence (smallest ``(doc_id, idx)``)
+    across the whole corpus, and documents are rebuilt from surviving
+    chunks — the C4/RefinedWeb span-dedup step between exact and fuzzy
+    dedup. One window shuffle over ``md5(chunk)``; payload text never
+    fans out (see :func:`operators.dedup.chunk_dedup`)."""
+    from .operators.dedup import chunk_dedup
+
+    return chunk_dedup(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_size=CHUNK_TOKENS,
+    )

@@ -1074,3 +1074,133 @@ def doc_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized similarity (bandwidth/storage scale path)
+# ---------------------------------------------------------------------------
+
+#: Shared between the Spark operator and the oracle: quantized vectors,
+#: computed with the textually identical half-up expression.
+_Q8_SQL = f"""
+    q8 AS (
+        SELECT vec_id, label, e, amax,
+               list_transform(e, x ->
+                   CAST(floor(x / amax * 127.0 + 0.5) AS BIGINT)) AS qv
+        FROM (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS amax
+            FROM embeddings
+        )
+        WHERE amax > 0
+    )
+"""
+
+
+@register(
+    "embedding_int8_topk",
+    f"""
+    WITH {_Q8_SQL},
+    q AS (
+        SELECT vec_id AS query_id, qv AS a FROM q8
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, qv AS b FROM q8),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(list_dot_product(a, b) AS BIGINT) AS qdot,
+               ROUND(CAST(list_dot_product(a, b) AS BIGINT) /
+                     (sqrt(CAST(list_dot_product(a, a) AS BIGINT)) *
+                      sqrt(CAST(list_dot_product(b, b) AS BIGINT))), 6)
+                   AS qcos
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, qdot, qcos FROM (
+        SELECT query_id, neighbor_id, qdot, qcos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY qcos DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """,
+)
+def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k: symmetric max-abs quantization (4x
+    smaller vectors), exact int64 dot products, float only in the final
+    two sqrts — the scan-bandwidth scale path for ANN (see
+    :func:`operators.similarity.quantized_topk`). Deterministic
+    end-to-end, so the oracle reproduces it bit-for-bit."""
+    from .operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOPK,
+    )
+
+
+@register(
+    "embedding_quantization_profile",
+    f"""
+    WITH {_Q8_SQL},
+    err AS (
+        SELECT label,
+               list_max(list_transform(range(1, len(e) + 1),
+                   i -> abs(e[i] - qv[i] * amax / 127.0))) AS max_err
+        FROM q8
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(MAX(max_err), 6) AS max_abs_err,
+           ROUND(AVG(ROUND(max_err, 6)), 4) AS avg_max_abs_err
+    FROM err
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantization_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label int8 reconstruction-error audit: worst and average
+    per-vector max-abs dequantization error. The quality gate you run
+    before switching the ANN scan to the quantized path; per-row error
+    is bit-reproducible (MAX is order-free; the AVG rounds per-row to
+    6 digits first, then to 4)."""
+    from .functions.vectors import max_abs, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q8 = (
+        emb.withColumn("__amax", max_abs(F.col("embedding")))
+        .filter(F.col("__amax") > 0)
+        .withColumn(
+            "__qv", quantize_int8(F.col("embedding"), F.col("__amax"))
+        )
+    )
+    err = q8.withColumn(
+        "__err",
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("__qv"),
+                lambda x, q: F.abs(
+                    x.cast("double") - q * F.col("__amax") / 127.0
+                ),
+            )
+        ),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.max("__err"), 6).alias("max_abs_err"),
+            F.round(F.avg(F.round(F.col("__err"), 6)), 4).alias(
+                "avg_max_abs_err"
+            ),
+        )
+        .orderBy("label")
+    )

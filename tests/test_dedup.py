@@ -306,3 +306,42 @@ def test_hot_bucket_guard_drops_pathological_bucket(spark):
         r.id_a in boiler_ids or r.id_b in boiler_ids for r in capped
     )
     assert {(r.id_a, r.id_b) for r in capped} == {(1, 3)}  # planted pair kept
+
+
+def test_chunk_dedup_removes_repeats_and_rebuilds(spark):
+    from mknssh_11_bigdata_spark.operators.dedup import chunk_dedup
+
+    c1 = " ".join(f"a{i}" for i in range(4))
+    c2 = " ".join(f"b{i}" for i in range(4))
+    c3 = " ".join(f"c{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            # doc 1: two distinct chunks + 2-token tail
+            (1, f"{c1} {c2} t1 t2"),
+            # doc 2: repeats doc 1's first chunk, adds one new chunk
+            (2, f"{c1} {c3}"),
+            # doc 3: exact repeat of doc 2 -> loses both chunks
+            (3, f"{c1} {c3}"),
+            # doc 4: shorter than one chunk -> untouched tail only
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in chunk_dedup(df, "doc_id", "text", chunk_size=4).collect()
+    }
+    assert out[1].n_chunks == 2 and out[1].n_removed == 0
+    assert out[1].clean_n_tokens == 10  # everything kept
+    assert out[2].n_chunks == 2 and out[2].n_removed == 1
+    assert out[2].clean_n_tokens == 4  # c1 deduped away, c3 kept
+    assert out[3].n_chunks == 2 and out[3].n_removed == 2
+    assert out[3].clean_n_tokens == 0  # all chunks were repeats
+    assert out[4].n_chunks == 0 and out[4].n_removed == 0
+    assert out[4].clean_n_tokens == 3  # sub-chunk tail never removed
+    # identical clean text hashes for identical survivors
+    import hashlib
+
+    assert (
+        out[2].clean_md5 == hashlib.md5(c3.encode()).hexdigest()
+    )

@@ -90,3 +90,60 @@ def test_ivf_kmeans_recall_at_least_min_id_centroids(spark, emb):
         )
     )
     assert km >= 0.5, f"k-means IVF recall {km:.2f} too low"
+
+
+def test_quantized_topk_contract_and_recall(spark, emb):
+    from mknssh_11_bigdata_spark.operators.similarity import quantized_topk
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
+    quant = quantized_topk(emb, queries, "vec_id", "embedding", k=K)
+    rows = quant.collect()
+    assert len(rows) == N_QUERIES * K
+    # integer dot products are exact int64, cosine within [-1, 1]
+    for r in rows:
+        assert isinstance(r.qdot, int)
+        assert -1.0 <= r.qcos <= 1.0
+        assert r.neighbor_id != r.query_id
+    # int8 keeps most of the true neighborhood: recall@K vs brute force
+    truth = {
+        (r.query_id, r.neighbor_id) for r in exact.collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"int8 recall@{K} too low: {recall}"
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, emb):
+    from mknssh_11_bigdata_spark.functions.vectors import (
+        max_abs,
+        quantize_int8,
+    )
+
+    q8 = (
+        emb.withColumn("__amax", max_abs(F.col("embedding")))
+        .filter(F.col("__amax") > 0)
+        .withColumn(
+            "__qv", quantize_int8(F.col("embedding"), F.col("__amax"))
+        )
+    )
+    checked = q8.select(
+        F.array_max(
+            F.transform(F.col("__qv"), lambda q: F.abs(q))
+        ).alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("__qv"),
+                lambda x, q: F.abs(
+                    x.cast("double") - q * F.col("__amax") / 127.0
+                ),
+            )
+        ).alias("err"),
+        (F.col("__amax") / 254.0).alias("half_step"),
+    ).collect()
+    assert len(checked) > 0
+    for r in checked:
+        assert r.qmax <= 127
+        # half-up rounding error is at most half a quantization step
+        assert r.err <= r.half_step + 1e-12
