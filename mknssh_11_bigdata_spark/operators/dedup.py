@@ -278,18 +278,27 @@ def jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # Scale path: shrink the exploded table to candidate docs BEFORE
         # the self-join — the quadratic stage then runs over only the
         # LSH-bucketed sliver of the corpus, not every shared-shingle
         # pair. The candidate set is small by construction => broadcast.
+        # The sliver is consumed from three branches (both self-join
+        # sides + the set-size agg); materialize it once so each branch
+        # does NOT re-explode the full corpus — measured 3x the verify
+        # cost at sf1 when left lazy.
         cand_ids = (
             candidates.select(F.col("id_a").alias("__id"))
             .union(candidates.select(F.col("id_b").alias("__id")))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), "__id", "left_semi")
+        sh = sh.join(
+            F.broadcast(cand_ids), "__id", "left_semi"
+        ).localCheckpoint(eager=True)
+    # Set sizes AFTER the candidate cut: only pair members ever join
+    # against sizes, and every pair member is a candidate by
+    # construction — aggregating the full corpus here would be waste.
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -671,10 +680,23 @@ def minhash_dedup_pairs(
     of the (tiny) candidate set. ``max_bucket_size`` arms the hot-bucket
     guard (see :func:`cap_bucket_size`)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Materialize the two narrow frames of the chain; everything else
+    # stays lazy:
+    # * signatures (id + k longs — the table a production pipeline
+    #   writes to storage): the LSH self-join consumes them from two
+    #   concurrent stages, and a merely-persisted (unmaterialized)
+    #   cache makes both stages race and compute the full shingle
+    #   scan+agg independently — measured 6x at sf1. Eager checkpoint
+    #   = compute once, truncate lineage.
+    # * candidate pairs (tiny by construction — the point of LSH): the
+    #   verification stage consumes them from three join branches;
+    #   left lazy, each branch re-runs the whole LSH self-join.
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         sigs, id_col, bands, rows, max_bucket_size=max_bucket_size
-    )
+    ).localCheckpoint(eager=True)
     return jaccard_pairs(
         df, id_col, text_col, shingle_n, threshold, candidates=cands
     )

@@ -1059,10 +1059,11 @@ _DRIVER_FIRST = [
     "doc_quality_funnel",
     "corpus_shuffle_manifest",
     "event_time_rollup",
-    # Round-2 second wave — chunk dedup + int8 quantization.
+    # Round-2 second wave — chunk dedup, int8 quantization, LM scoring.
     "doc_chunk_dedup",
     "embedding_int8_topk",
     "embedding_quantization_profile",
+    "doc_unigram_logprob",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

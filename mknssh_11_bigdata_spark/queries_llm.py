@@ -1204,3 +1204,82 @@ def embedding_quantization_profile(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style LM filter, stand-in scale shape)
+# ---------------------------------------------------------------------------
+
+#: 5-decimal threshold can never tie a 4-decimal rounded score, so the
+#: boolean flag is deterministic across engines.
+UNIGRAM_OUTLIER_LOGPROB = -3.45005
+
+
+@register(
+    "doc_unigram_logprob",
+    f"""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest({SQL_TOKS.format(col='lower(text)')}) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS tf FROM ex GROUP BY token),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq),
+    lp AS (
+        SELECT e.doc_id, ROUND(ln(f.tf / t.total), 6) AS lp
+        FROM ex e JOIN freq f USING (token) CROSS JOIN tot t
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(lp) / COUNT(*), 4) AS avg_token_logprob
+        FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, avg_token_logprob,
+           avg_token_logprob < {UNIGRAM_OUTLIER_LOGPROB} AS low_quality
+    FROM per ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter with a corpus-fit unigram model:
+    per-document mean token log-probability under the corpus's own
+    unigram distribution, plus a rare-token-outlier flag. The real
+    system swaps the unigram table for a pretrained LM's token
+    logprobs — the plan shape (corpus-frequency fit → per-token score
+    join → per-doc mean) is identical.
+
+    Scale: one explode + token-keyed agg builds the frequency table
+    (vocab-sized — megabytes even at web scale, so the score join
+    broadcasts in practice; AQE decides here), the total is a broadcast
+    scalar, and per-token logprobs are rounded to 6 digits BEFORE the
+    per-doc mean so both engines sum identical doubles."""
+    from .plans.layout import spread
+
+    d = _t(spark, sf_dir, "documents")
+    ex = spread(d).select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = freq.agg(F.sum("tf").cast("double").alias("total"))
+    lp = (
+        ex.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp", F.round(F.log(F.col("tf") / F.col("total")), 6)
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias(
+                "avg_token_logprob"
+            ),
+        )
+        .withColumn(
+            "low_quality",
+            F.col("avg_token_logprob") < UNIGRAM_OUTLIER_LOGPROB,
+        )
+        .orderBy("doc_id")
+    )
