@@ -142,3 +142,29 @@ def test_deterministic_split_prunes_text_column(spark):
     assert m, plan
     assert "text" not in m.group(1), m.group(1)
     assert "doc_id" in m.group(1), m.group(1)
+
+
+def test_int8_topk_broadcasts_query_side(spark):
+    """Quantized ANN must broadcast the (small) query set — the corpus
+    scan-scores without a shuffle until the per-query ranking."""
+    plan = _plan(spark, "embedding_int8_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_prunes_scan_to_id_and_text(spark):
+    """Span dedup reads only (doc_id, text) — lang/source/n_chars must
+    be pruned from every documents scan in the plan."""
+    plan = _plan(spark, "doc_chunk_dedup")
+    for frag in plan.split("ReadSchema")[1:]:
+        read = frag.splitlines()[0]
+        assert "n_chars" not in read and "lang" not in read
+
+
+def test_unigram_logprob_broadcasts_scalar_total(spark):
+    """The corpus-total join must be a broadcast of one row, never a
+    shuffle; the token-frequency join may shuffle (vocab-sized)."""
+    plan = _plan(spark, "doc_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -94,6 +94,17 @@ def main() -> int:
             sig, "doc_id", bands=BANDS, max_bucket_size=LSH_MAX_BUCKET
         ),
     )
+    # A cap BELOW the dense-copy group size: shows the guard actually
+    # binding — oversized (boilerplate) buckets dropped, pair count and
+    # wall-clock bounded. This is the 100 TB posture; the production
+    # default (LSH_MAX_BUCKET) is set high so small-SF oracle output
+    # stays exact.
+    run(
+        "raw_lsh_cap64",
+        lsh_candidate_pairs(
+            sig, "doc_id", bands=BANDS, max_bucket_size=64
+        ),
+    )
 
     t0 = time.perf_counter()
     reps, mapping = exact_collapse(docs, "doc_id", "text")
