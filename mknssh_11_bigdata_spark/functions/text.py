@@ -24,6 +24,8 @@ __all__ = [
     "rolling_fingerprint",
     "shingles",
     "bigrams",
+    "bigrams_of",
+    "dup_ratio_of",
     "dup_token_ratio",
     "dup_bigram_ratio",
     "term_pattern",
@@ -153,22 +155,43 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def bigrams_of(toks: Column) -> Column:
+    """Word 2-grams from an already-projected token-array column,
+    duplicates KEPT. Implementation is ``zip_with`` over two slices of
+    the SAME column reference — each array is evaluated once per row.
+    (The previous ``element_at(toks, i)`` inside a ``transform`` lambda
+    re-evaluated the token expression per element: O(n²) re-splits per
+    document when fed a raw ``split()`` expression, measured as the
+    second-slowest query at sf1.) Pass a projected COLUMN, not a raw
+    ``tokens(text)`` expression, in hot paths."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigrams(text: Column) -> Column:
     """All word 2-grams of the document, duplicates KEPT (unlike
     :func:`shingles`, whose distinct sets feed MinHash). The multiset is
     what repetition metrics need: a boilerplate page that repeats one
     phrase 100 times must count 100, not 1. Documents under 2 words
     yield an empty array."""
-    toks = tokens(text)
+    return bigrams_of(tokens(text))
+
+
+def dup_ratio_of(arr: Column) -> Column:
+    """``1 - distinct/total`` over an already-projected array column
+    (NULL-safe on empty arrays). Reference the projected column, not a
+    re-derivable expression, so the array is built once per row."""
     return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.size(arr) > 0,
+        1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
+    )
 
 
 def dup_token_ratio(text: Column) -> Column:
@@ -176,21 +199,13 @@ def dup_token_ratio(text: Column) -> Column:
     are repeats of an earlier token, ``1 - distinct/total``. 0 = every
     word unique; →1 = the page is one word over and over. Pure Column
     expression (split + array_distinct) — scan-speed."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) > 0,
-        1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
-    )
+    return dup_ratio_of(tokens(text))
 
 
 def dup_bigram_ratio(text: Column) -> Column:
     """Duplicate-2-gram fraction — catches repeated *phrases* that
     unigram repetition misses (boilerplate headers, templated spam)."""
-    bg = bigrams(text)
-    return F.when(
-        F.size(bg) > 0,
-        1.0 - F.size(F.array_distinct(bg)) / F.size(bg),
-    )
+    return dup_ratio_of(bigrams(text))
 
 
 def term_pattern(terms: tuple[str, ...]) -> str:

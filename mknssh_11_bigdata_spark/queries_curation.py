@@ -94,10 +94,19 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the final per-source agg, which map-side combines to ~|sources|
     rows. Extends the reference's string surface (SURVEY.md §2.6)."""
     d = _t(spark, sf_dir, "documents")
-    dtr = TX.dup_token_ratio(F.col("text"))
-    dbr = TX.dup_bigram_ratio(F.col("text"))
+    # Stage the token array (and the bigram array built from it) as
+    # projected columns so each is computed ONCE per row; inlining
+    # tokens(text) into both ratios re-splits the text per reference,
+    # and building bigrams positionally re-evaluated it per element.
+    staged = d.select(
+        "source", TX.tokens(F.col("text")).alias("__t")
+    ).select("source", "__t", TX.bigrams_of(F.col("__t")).alias("__bg"))
     return (
-        d.select("source", dtr.alias("dtr"), dbr.alias("dbr"))
+        staged.select(
+            "source",
+            TX.dup_ratio_of(F.col("__t")).alias("dtr"),
+            TX.dup_ratio_of(F.col("__bg")).alias("dbr"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
