@@ -234,16 +234,30 @@ def scrub_terms(
     return F.regexp_replace(text, term_pattern(terms), replacement)
 
 
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an already-projected
+    token-array column. Built as n slices of the SAME reference zipped
+    pairwise — the array expression is evaluated a CONSTANT number of
+    times per row. (The previous ``slice(toks, i, n)`` inside a
+    ``transform`` lambda re-evaluated the token expression per window
+    position: O(n²) re-splits per document when fed a raw ``split()``,
+    in the MinHash hot path.) Prefer passing a projected column."""
+    length = F.size(toks) - (n - 1)
+    zipped = F.slice(toks, 1, length)
+    for i in range(1, n):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(toks, i + 1, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.when(F.size(toks) >= n, zipped).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return F.array_distinct(grams)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>), the unit set for
     Jaccard / MinHash dedup. Documents shorter than n words yield their
     whole text as a single shingle so they still participate."""
-    toks = tokens(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(grams)
+    return shingles_of(tokens(text), n)

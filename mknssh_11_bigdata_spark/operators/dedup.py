@@ -31,7 +31,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, tokens
+from ..functions.text import fingerprint, shingles_of, tokens
 from ..functions.vectors import dot, l2_norm
 from ..plans.layout import spread
 
@@ -160,9 +160,17 @@ def minhash_signatures(
     multiply-adds, not hash invocations, passes, or shuffles.
     """
     coeffs = minhash_coefficients(num_hashes, seed)
-    sh = spread(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    ).select(F.col(id_col), shingle_base_hash(F.col("s")).alias("x"))
+    # Tokens staged as a column so the split runs once per row; see
+    # functions.text.shingles_of on why inlining is quadratic.
+    sh = (
+        spread(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of(F.col("__t"), shingle_n)).alias("s"),
+        )
+        .select(F.col(id_col), shingle_base_hash(F.col("s")).alias("x"))
+    )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -274,9 +282,16 @@ def jaccard_pairs(
     the scale path. Standalone all-pairs-with-a-shared-shingle is only
     for small corpora and verification.
     """
-    sh = spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "__id",
+            F.explode(shingles_of(F.col("__t"), shingle_n)).alias("s"),
+        )
     )
     if candidates is not None:
         # Scale path: shrink the exploded table to candidate docs BEFORE
