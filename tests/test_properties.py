@@ -127,3 +127,81 @@ def test_sketch_stats_error_bounds(spark):
         assert abs(a.approx_median_value - x.median_value) <= 0.02 * abs(
             x.median_value
         ), et
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKEN, min_size=0, max_size=14), st.integers(2, 4))
+def test_shingles_match_python_ngrams(spark, toks, n):
+    """shingles_of (zipped slices) must equal the naive Python n-gram
+    model: distinct space-joined windows; short docs yield their whole
+    text as one shingle."""
+    from mknssh_11_bigdata_spark.functions.text import shingles
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = sorted(
+        df.select(shingles(F.col("text"), n).alias("s")).collect()[0].s
+    )
+    if len(toks) >= n:
+        want = sorted(
+            {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        )
+    else:
+        want = [" ".join(toks)]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKEN, min_size=0, max_size=14))
+def test_bigrams_match_python_pairs(spark, toks):
+    """bigrams_of keeps duplicates and ordering (multiset semantics)."""
+    from mknssh_11_bigdata_spark.functions.text import bigrams
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(bigrams(F.col("text")).alias("b")).collect()[0].b
+    want = [
+        f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+    ]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=11).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(2, 4),
+)
+def test_chunk_dedup_matches_python_model(spark, texts, cs):
+    """chunk_dedup must equal the sequential first-occurrence model:
+    walk documents in (doc_id, chunk_idx) order, keep a chunk iff its
+    text was never seen before; tails always survive."""
+    from mknssh_11_bigdata_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_chunks, r.n_removed, r.clean_n_tokens)
+        for r in chunk_dedup(df, "doc_id", "text", chunk_size=cs).collect()
+    }
+    seen: set[str] = set()
+    for i, t in rows:
+        toks = [x for x in t.split(" ") if x]
+        nf = len(toks) // cs
+        kept_tokens = list(toks[nf * cs :])  # tail survives
+        removed = 0
+        for j in range(nf):
+            chunk = " ".join(toks[j * cs : (j + 1) * cs])
+            if chunk in seen:
+                removed += 1
+            else:
+                seen.add(chunk)
+                kept_tokens += chunk.split(" ")
+        assert got[i][0] == nf, (i, got[i])
+        assert got[i][1] == removed, (i, got[i])
+        assert got[i][2] == len(kept_tokens), (i, got[i])
