@@ -514,7 +514,15 @@ def embedding_near_dup_pairs(
     zero vectors all share a signature).
     """
     rows = n_bits // bands
-    sigs = hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed)
+    # Same materialization discipline as minhash_dedup_pairs: the band
+    # self-join consumes the signature frame from two concurrent
+    # stages, and the verification stage consumes the candidate set
+    # from several join branches — both are NARROW (id + bitstring /
+    # id pairs) and checkpointing them prevents the hyperplane dot
+    # products from re-running per consumer.
+    sigs = hyperplane_signatures(
+        df, id_col, vec_col, dim, n_bits, seed
+    ).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -542,6 +550,7 @@ def embedding_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return embedding_cosine_pairs(
         df, id_col, vec_col, threshold, candidates=cands
