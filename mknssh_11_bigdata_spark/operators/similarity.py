@@ -119,6 +119,10 @@ def kmeans_centroids(
     )
     if sample_mod > 1:
         fit = fit.filter(F.col(id_col) % sample_mod == 0)
+    # The fit frame is consumed once for init and once per Lloyd
+    # iteration; checkpoint so the scan+cast runs once. At 100 TB the
+    # fit input is the sample_mod slice — sized to be materializable.
+    fit = fit.localCheckpoint(eager=True)
     schema = StructType(
         [
             StructField("centroid_id", IntegerType()),
