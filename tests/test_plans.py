@@ -168,3 +168,49 @@ def test_unigram_logprob_broadcasts_scalar_total(spark):
     plan = _plan(spark, "doc_unigram_logprob")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Fleet-wide invariant: no registered query may compile to a
+    CartesianProduct — every cross join must carry a broadcast side.
+    (BroadcastNestedLoopJoin against a tiny/broadcast side is fine and
+    is asserted per-query where intended.)"""
+    offenders = []
+    for name in QUERIES:
+        df = QUERIES[name].spark(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
+#: Queries whose plans legitimately contain Python stages: Arrow-batched
+#: mapInPandas/applyInPandas operators (multimodal codecs, explicit
+#: stateful fold). Everything else must stay fully JVM-side.
+_PYTHON_STAGE_OK = {
+    "multimodal_payload_profile",
+    "multimodal_frame_sample",
+    "multimodal_media_features",
+    "stateful_sessionization",
+    "tier_crossing_alerts",
+}
+
+
+def test_no_python_stages_outside_declared_operators(spark):
+    """Fleet-wide invariant: zero row-at-a-time Python UDFs anywhere,
+    and Arrow-batched Python stages only in the declared set."""
+    offenders = []
+    for name in QUERIES:
+        df = QUERIES[name].spark(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-at-a-time PythonUDF"))
+        if (
+            any(
+                marker in plan
+                for marker in ("MapInPandas", "FlatMapGroupsInPandas")
+            )
+            and name not in _PYTHON_STAGE_OK
+        ):
+            offenders.append((name, "undeclared pandas stage"))
+    assert offenders == [], offenders
