@@ -1064,6 +1064,7 @@ _DRIVER_FIRST = [
     "embedding_int8_topk",
     "embedding_quantization_profile",
     "doc_unigram_logprob",
+    "dedup_embedding_components",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -1283,3 +1283,56 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _embedding_components_oracle() -> str:
+    pairs = _srp_lsh_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root
+        FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, MIN(root) AS component
+    FROM reach GROUP BY id
+    ORDER BY vec_id
+    """
+
+
+@register("dedup_embedding_components", _embedding_components_oracle())
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplicate GROUP resolution: connected components
+    (large-star/small-star) over the SRP-LSH verified cosine pair
+    graph — the embedding-side counterpart of
+    ``dedup_connected_components``. A near-dup pair list is not yet a
+    dedup policy: A≈B≈C must collapse to one keeper even when A≉C.
+    Deterministic end-to-end (seed-fixed hyperplanes → exact int-free
+    verification → min-label components), so the recursive-CTE oracle
+    reproduces it exactly."""
+    from .operators.dedup import (
+        duplicate_components,
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_bits=SRP_BITS,
+        bands=SRP_BANDS,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    return (
+        duplicate_components(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "component")
+        .orderBy("vec_id")
+    )
