@@ -1065,6 +1065,7 @@ _DRIVER_FIRST = [
     "embedding_quantization_profile",
     "doc_unigram_logprob",
     "dedup_embedding_components",
+    "doc_ngram_decontaminate",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -892,3 +892,112 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         chunk_size=CHUNK_TOKENS,
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram-overlap decontamination (GPT-3-style 13-gram rule, n=8 here)
+# ---------------------------------------------------------------------------
+
+DECON_N = 4
+#: Deterministic stand-in for the held-out eval set: docs with
+#: doc_id % 97 == 7 play the benchmark; everything else is "training".
+EVAL_MOD, EVAL_REM = 97, 7
+
+
+def _ngram_decon_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    n = DECON_N
+    g8 = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))) "
+        "ELSE [array_to_string(t, ' ')] END"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, {toks} AS t FROM documents
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(g8) AS g
+        FROM (SELECT {g8} AS g8 FROM t
+              WHERE doc_id % {EVAL_MOD} = {EVAL_REM})
+    ),
+    corp AS (
+        SELECT doc_id, source, unnest(g8) AS g
+        FROM (SELECT doc_id, source, {g8} AS g8 FROM t
+              WHERE doc_id % {EVAL_MOD} <> {EVAL_REM})
+    ),
+    hit AS (
+        SELECT DISTINCT c.doc_id FROM corp c JOIN ev ON ev.g = c.g
+    ),
+    base AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1.0 ELSE 0.0
+                     END) / COUNT(*), 6) AS contamination_rate
+    FROM base b LEFT JOIN hit h ON h.doc_id = b.doc_id
+    GROUP BY b.source
+    ORDER BY b.source
+    """
+
+
+@register("doc_ngram_decontaminate", _ngram_decon_oracle())
+def doc_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM 13-gram rule):
+    flag every training document sharing at least one n-gram with the
+    held-out eval slice (deterministic doc_id % 97 == 7 stand-in for a
+    benchmark table). Per-source contamination report. n=4 here — over
+    the synthetic 40-word vocabulary that is the collision-rate analog
+    of 13-grams over real text and flags ~2% of the corpus, so both
+    branches of the gate are driver-certified (n=8 flags nothing).
+
+    Scale shape: the eval n-gram set is benchmark-sized (thousands of
+    docs, not corpus-sized) → collected into a broadcast semi-join
+    against the exploded training n-grams, which streams at scan speed
+    with NO corpus-side shuffle; the only shuffle is the per-doc
+    distinct on flagged ids (sliver-sized)."""
+    d = _t(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    staged = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    eval_g = (
+        staged.filter(is_eval)
+        .select(F.explode(TX.shingles_of(F.col("__t"), DECON_N)).alias("g"))
+        .distinct()
+    )
+    corp_g = staged.filter(~is_eval).select(
+        "doc_id",
+        F.explode(TX.shingles_of(F.col("__t"), DECON_N)).alias("g"),
+    )
+    hits = (
+        corp_g.join(F.broadcast(eval_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("__hit"), F.lit(0)).cast("double")
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
