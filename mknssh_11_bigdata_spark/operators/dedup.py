@@ -512,6 +512,17 @@ def embedding_near_dup_pairs(
     ``max_bucket_size`` arms the same hot-bucket guard as
     :func:`lsh_candidate_pairs` (embedding corpora skew too: zero/near-
     zero vectors all share a signature).
+
+    **Band-key capacity must scale with the corpus** (measured,
+    BASELINE.md "SRP band-key saturation"): a band of r bits has 2^r
+    keys, so expected bucket load is n/2^r and RANDOM collisions — not
+    near-duplicates — dominate once n ≫ 2^r. Size
+    ``rows_per_band ≈ log2(n / target_bucket_rows)``: 8-bit bands
+    (n_bits=32, bands=4) are right for ~10³-10⁴ rows; a 10⁸-row corpus
+    wants ≥ 16-bit bands, with the corresponding recall shift absorbed
+    by raising ``bands``. The bucket cap bounds damage if mis-sized,
+    but a saturated key space caps away true pairs along with noise —
+    fix the geometry, don't lean on the guard.
     """
     rows = n_bits // bands
     # Same materialization discipline as minhash_dedup_pairs: the band
