@@ -701,6 +701,11 @@ def customer_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
         ],
     )
+    # The per-customer agg is consumed twice (top-N broadcast build +
+    # the customer join probe); left lazy each consumer re-aggregates
+    # the full orders fact. Checkpoint the NARROW (custkey + 6 numeric)
+    # result — the same materialization discipline as the dedup chains.
+    agg = agg.localCheckpoint(eager=True)
     top_ids = top_n(
         agg.select("o_custkey", "total_spend"),
         [F.col("total_spend").desc()],
@@ -721,7 +726,16 @@ def customer_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     )
-    onehot, _seg_cols = one_hot(joined, "c_mktsegment")
+    # Vocabulary from the (dimension-sized) customer table, not the
+    # joined frame: the left join cannot introduce segment values, and
+    # collecting from `joined` would evaluate the whole composition —
+    # including the orders agg — once more just to learn 5 strings.
+    segs = sorted(
+        r[0]
+        for r in c.select("c_mktsegment").distinct().collect()
+        if r[0] is not None
+    )
+    onehot, _seg_cols = one_hot(joined, "c_mktsegment", vocabulary=segs)
     bucketed = bucketize(
         onehot, "total_spend", SPEND_EDGES, out="spend_bucket"
     )
