@@ -32,6 +32,7 @@ __all__ = [
     "ivf_topk",
     "kmeans_centroids",
     "quantized_topk",
+    "ivf_int8_topk",
 ]
 
 
@@ -307,6 +308,108 @@ def quantized_topk(
                 / (
                     F.sqrt(int_dot(F.col("__qv"), F.col("__qv")))
                     * F.sqrt(int_dot(F.col("__nv"), F.col("__nv")))
+                ),
+                6,
+            ),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qdot", "qcos")
+    )
+
+
+def ivf_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The production ANN composition: IVF cell pruning + int8 scoring.
+
+    Cell assignment and probing use FLOAT cosine against the (min-id)
+    centroids — centroid geometry should not inherit quantization
+    error — while candidate scoring inside the probed cells is the
+    exact-int64 quantized dot of :func:`quantized_topk`. Scan cost is
+    bounded by n_probe/n_centroids AND every scanned vector is 4x
+    smaller: the two levers compose. Unquantizable (zero) vectors are
+    dropped from corpus, queries, and centroid election alike, so the
+    deterministic contract (and the SQL oracle) is unchanged.
+
+    Output: ``(query_id, rank, neighbor_id, qdot, qcos)``.
+    """
+    from ..functions.vectors import int_dot, max_abs, quantize_int8
+
+    def q8(df: DataFrame, out_id: str) -> DataFrame:
+        amax = max_abs(F.col(vec_col))
+        return (
+            df.withColumn("__amax", amax)
+            .filter(F.col("__amax") > 0)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+                quantize_int8(F.col(vec_col), F.col("__amax")).alias(
+                    "__q"
+                ),
+            )
+        )
+
+    cent = (
+        q8(corpus, "centroid_id")
+        .orderBy(F.col("centroid_id").asc())
+        .limit(n_centroids)
+        .select("centroid_id", F.col("__v").alias("__cent"))
+    )
+    c = spread(q8(corpus, "neighbor_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__csim",
+            F.round(cosine_similarity(F.col("__v"), F.col("__cent")), 6),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__csim"), -F.col("centroid_id")),
+            ).alias("centroid_id"),
+            F.first("__q").alias("__nq"),
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__qsim").desc(), F.col("centroid_id").asc()
+    )
+    probed = (
+        q8(queries, "query_id")
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__qsim",
+            F.round(cosine_similarity(F.col("__v"), F.col("__cent")), 6),
+        )
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", F.col("__q").alias("__qq"), "centroid_id")
+    )
+    scored = (
+        assigned.join(probed, "centroid_id")
+        .withColumn("qdot", int_dot(F.col("__qq"), F.col("__nq")))
+        .withColumn(
+            "qcos",
+            F.round(
+                F.col("qdot")
+                / (
+                    F.sqrt(int_dot(F.col("__qq"), F.col("__qq")))
+                    * F.sqrt(int_dot(F.col("__nq"), F.col("__nq")))
                 ),
                 6,
             ),

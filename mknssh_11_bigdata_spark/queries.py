@@ -1080,6 +1080,7 @@ _DRIVER_FIRST = [
     "doc_unigram_logprob",
     "dedup_embedding_components",
     "doc_ngram_decontaminate",
+    "embedding_topk_ivf_int8",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -1336,3 +1336,95 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"), "component")
         .orderBy("vec_id")
     )
+
+
+def _ivf_int8_oracle() -> str:
+    """IVF assignment/probing in float (identical stages to
+    :func:`_ivf_oracle`) + int8 scoring inside the probed cells
+    (identical quantization to ``_Q8_SQL``) — both deterministic, so the
+    composition is too."""
+    cos_ac = (
+        "ROUND(list_dot_product(cv, cent) / "
+        "(sqrt(list_dot_product(cv, cv)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    cos_qc = (
+        "ROUND(list_dot_product(qv, cent) / "
+        "(sqrt(list_dot_product(qv, qv)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    return f"""
+    WITH e8 AS (
+        SELECT vec_id, v,
+               list_transform(v, x ->
+                   CAST(floor(x / amax * 127.0 + 0.5) AS BIGINT)) AS q
+        FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS amax
+            FROM embeddings
+        ) WHERE amax > 0
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cent FROM e8
+        ORDER BY vec_id ASC LIMIT {IVF_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT neighbor_id, nq, centroid_id FROM (
+            SELECT e8.vec_id AS neighbor_id, e8.v AS cv, e8.q AS nq,
+                   cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e8.vec_id
+                        ORDER BY {cos_ac} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM e8 CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT query_id, qq, centroid_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, q.q AS qq,
+                   cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY {cos_qc} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM e8 q CROSS JOIN cent
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               CAST(list_dot_product(p.qq, a.nq) AS BIGINT) AS qdot,
+               ROUND(CAST(list_dot_product(p.qq, a.nq) AS BIGINT) /
+                     (sqrt(CAST(list_dot_product(p.qq, p.qq) AS BIGINT)) *
+                      sqrt(CAST(list_dot_product(a.nq, a.nq) AS BIGINT))),
+                     6) AS qcos
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+        WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, qdot, qcos FROM (
+        SELECT query_id, neighbor_id, qdot, qcos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY qcos DESC, neighbor_id ASC) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+@register("embedding_topk_ivf_int8", _ivf_int8_oracle())
+def embedding_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition: IVF cell pruning (float centroid
+    geometry) x int8 in-cell scoring (exact int64 dots) — scan bounded
+    by n_probe/n_centroids AND 4x narrower per vector. Deterministic
+    end-to-end; the oracle replays both halves."""
+    from .operators.similarity import ivf_int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_int8_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOPK,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+    )

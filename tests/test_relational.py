@@ -187,3 +187,21 @@ def test_deterministic_split_properties(spark):
     import pytest
     with pytest.raises(ValueError):
         deterministic_split(df, "doc_id", splits=[("a", 50), ("b", 40)])
+
+
+def test_driver_window_registry_ordering():
+    """The explicit driver-window lists must stay consistent with the
+    registry: every listed name exists, no overlaps, and the reordered
+    registry starts with _DRIVER_FIRST and ends with _DRIVER_LAST."""
+    from mknssh_11_bigdata_spark.queries import (
+        QUERIES,
+        _DRIVER_FIRST,
+        _DRIVER_LAST,
+    )
+
+    names = list(QUERIES)
+    missing = [n for n in [*_DRIVER_FIRST, *_DRIVER_LAST] if n not in QUERIES]
+    assert missing == [], missing
+    assert set(_DRIVER_FIRST).isdisjoint(_DRIVER_LAST)
+    assert names[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
+    assert names[-len(_DRIVER_LAST):] == _DRIVER_LAST
