@@ -30,6 +30,7 @@ def main() -> int:
     from mknssh_11_bigdata_spark import get_spark
     from mknssh_11_bigdata_spark.operators.similarity import (
         brute_force_topk,
+        ivf_int8_topk,
         ivf_topk,
         kmeans_centroids,
         quantized_topk,
@@ -69,6 +70,9 @@ def main() -> int:
             ),
         ),
         "int8_quantized": lambda: quantized_topk(
+            emb, queries, "vec_id", "embedding", k=k
+        ),
+        "ivf_x_int8": lambda: ivf_int8_topk(
             emb, queries, "vec_id", "embedding", k=k
         ),
     }
