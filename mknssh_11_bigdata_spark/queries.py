@@ -1081,6 +1081,7 @@ _DRIVER_FIRST = [
     "dedup_embedding_components",
     "doc_ngram_decontaminate",
     "embedding_topk_ivf_int8",
+    "event_hourly_anomaly",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -10,7 +10,7 @@ Also covers the JSON-extraction surface (the reference left its
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -492,4 +492,83 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+ANOMALY_TRAIL = 24  # trailing observed hours in the baseline frame
+ANOMALY_Z = 3.0
+
+
+@register(
+    "event_hourly_anomaly",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_ts,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    scored AS (
+        SELECT event_type, hour_ts, n_events,
+               AVG(n_events) OVER w AS base_mean,
+               STDDEV(n_events) OVER w AS base_std
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING
+                              AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, n_events,
+           ROUND(base_mean, 4) AS base_mean,
+           ROUND((n_events - base_mean) / base_std, 4) AS zscore,
+           ABS((n_events - base_mean) / base_std) >= {ANOMALY_Z}
+               AS is_anomaly
+    FROM scored
+    WHERE base_std IS NOT NULL AND base_std > 0
+    ORDER BY event_type, hour_ts
+    """,
+)
+def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly detection: each (event_type, hour)'s
+    count scored against the mean/stddev of its previous
+    {ANOMALY_TRAIL} OBSERVED hours (bounded ROWS frame, current row
+    excluded — no leakage). The ops-monitoring shape of a streaming
+    pipeline, here on the batch table; counts are integers so the
+    frame aggregates are exact in both engines and the z-score is
+    bit-reproducible after rounding.
+
+    Scale: one shuffle for the hourly pre-agg (map-side combined), one
+    for the per-type window — the frame is bounded (O(1) state per
+    row), so the window never buffers more than {ANOMALY_TRAIL} rows
+    per group."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        F.avg("n_events").over(w).alias("base_mean"),
+        F.stddev("n_events").over(w).alias("base_std"),
+    )
+    z = (F.col("n_events") - F.col("base_mean")) / F.col("base_std")
+    return (
+        scored.filter(
+            F.col("base_std").isNotNull() & (F.col("base_std") > 0)
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            F.round(F.col("base_mean"), 4).alias("base_mean"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_ts")
     )
