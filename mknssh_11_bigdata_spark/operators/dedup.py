@@ -623,15 +623,21 @@ def duplicate_components(
     )
     converged = False
     rounds = 0
+    prev_n = edges.count()
     for rounds in range(1, max_iters + 1):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(
             eager=True
         )
+        # Carry the previous round's count instead of recounting the
+        # old checkpoint — one fewer job per round; the exceptAll
+        # check short-circuits away whenever the counts differ.
+        n = new_edges.count()
         converged = (
-            new_edges.count() == edges.count()
+            n == prev_n
             and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         edges = new_edges
+        prev_n = n
         if converged:
             break
     if not converged:
