@@ -574,7 +574,11 @@ def mixing_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nt").cast("long").alias("n_tokens"),
     )
-    w = per.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    # |sources| rows feed both the grand-total build and the final
+    # select; left lazy each side re-scans the corpus for the agg.
+    w = per.withColumn(
+        "w", F.sqrt(F.col("n_tokens").cast("double"))
+    ).localCheckpoint(eager=True)
     tot = w.agg(
         F.sum(F.col("n_tokens").cast("double")).alias("tot_tokens"),
         F.sum("w").alias("tot_w"),

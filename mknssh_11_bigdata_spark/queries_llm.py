@@ -497,7 +497,14 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = spread(d).select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
     )
-    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency build and the score join —
+    # materialize it once (the standard inverted-index build step; at
+    # scale this is the term-frequency table every IR system persists).
+    tf = (
+        ex.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
