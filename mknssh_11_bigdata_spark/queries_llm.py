@@ -402,6 +402,120 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Fine-band SRP geometry over planted near-duplicates -------------------
+#
+# BASELINE.md "SRP band-key saturation" measured why the 8-bit-band
+# geometry above stops pruning once n ≫ 2^r. The scale answer is wider
+# band keys — but fine bands only catch pairs with near-1 cosine, and the
+# synthetic corpus's max pair cosine is ≈ 0.51, so a 16-bit-band query on
+# the raw table would certify an empty set. This query plants the
+# near-dup mass itself: a deterministic low-amplitude perturbation of the
+# first N_PLANTED vectors (cosine ≈ 0.9987 to their originals) appended
+# under offset ids. Everything stays seed-fixed and double-precision, so
+# the DuckDB oracle reproduces perturbation, sign bits, band buckets and
+# verification bit-for-bit.
+
+SRP_FINE_BANDS = 2  # 32 bits / 2 bands = 16-bit band keys (2^16 buckets)
+N_PLANTED = 64
+PLANT_ID_OFFSET = 1_000_000
+PLANT_COS_THRESHOLD = 0.99
+
+
+def _planted_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings (as double vectors) plus deterministic near-dup
+    plants: vec i gains component jitter 0.002·((i·37 mod 11) − 5),
+    i.e. ≤ 1% per component on unit-norm vectors."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + PLANT_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.002) * ((i * 37 % 11) - 5)
+        ).alias("v"),
+    )
+    return base.unionByName(planted)
+
+
+def _srp_fine_oracle() -> str:
+    from .operators.dedup import hyperplane_coefficients
+
+    planes = hyperplane_coefficients(SRP_BITS, EMB_DIM, seed=42)
+    rows = SRP_BITS // SRP_FINE_BANDS
+    bit_sql = ",\n        ".join(
+        "CASE WHEN list_dot_product(v, [%s]) > 0 THEN '1' ELSE '0' END"
+        % ", ".join(repr(x) for x in plane)
+        for plane in planes
+    )
+    cos = (
+        "ROUND(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * "
+        "sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    planted AS (
+        SELECT vec_id + {PLANT_ID_OFFSET} AS vec_id,
+               list_transform(range(1, len(v) + 1),
+                   i -> v[i] + CAST(0.002 AS DOUBLE)
+                        * (((i - 1) * 37 % 11) - 5)) AS v
+        FROM base WHERE vec_id < {N_PLANTED}
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    sig AS (
+        SELECT vec_id, concat(
+        {bit_sql}
+        ) AS sig FROM e
+    ),
+    bands AS (
+        SELECT vec_id, j AS band_idx, substr(sig, j * {rows} + 1, {rows})
+                   AS band_key
+        FROM sig CROSS JOIN (
+            SELECT unnest([{", ".join(str(j) for j in range(SRP_FINE_BANDS))}])
+                   AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {PLANT_COS_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_cosine_lsh_fine", _srp_fine_oracle())
+def dedup_embedding_cosine_lsh_fine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """16-bit-band SRP-LSH — the large-corpus geometry — certified on
+    planted near-duplicates. 2 bands × 16 bits give 2^16 band keys, so
+    expected RANDOM bucket load is n/65536 (the saturation fix for
+    n ≫ 2^8 corpora, see BASELINE.md); recall concentrates on
+    near-1-cosine pairs (P(bit)≈0.984 at the planted cosine 0.9987 →
+    ≈ 0.95 pair recall), which is exactly the regime wide bands are
+    for. Deterministic end-to-end: seed-fixed hyperplanes, literal
+    perturbation, double-fold cosine — the oracle reproduces the full
+    pipeline bit-for-bit."""
+    return embedding_near_dup_pairs(
+        _planted_corpus(_t(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "v",
+        dim=EMB_DIM,
+        threshold=PLANT_COS_THRESHOLD,
+        n_bits=SRP_BITS,
+        bands=SRP_FINE_BANDS,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+
+
 VOCAB_K = 100
 
 
@@ -1267,7 +1381,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
     )
-    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # freq feeds both the total-mass scalar and the score join —
+    # vocab-sized, so materializing it once saves a second full
+    # explode+agg corpus pass (same inverted-index discipline as
+    # doc_tfidf_top_terms).
+    freq = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     tot = freq.agg(F.sum("tf").cast("double").alias("total"))
     lp = (
         ex.join(freq, "token")

@@ -226,3 +226,63 @@ def test_shuffle_manifest_is_balanced_partition(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
     # salted-hash balance: no bucket holds more than 3x its fair share
     assert max(r.n_docs for r in rows) <= 3 * (n / 8)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from mknssh_11_bigdata_spark.queries_curation import pii_scrub_profile
+
+    df = spark.createDataFrame(
+        [
+            # organic email AND phone in the text itself
+            (7, "write to bob.smith@corp.io or dial 555-9999 now", "a"),
+            # no organic PII — only the injected contact block counts
+            (8, "plain text with no contacts at all", "a"),
+            # organic IPv4
+            (9, "server at 192.168.1.10 responded", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in pii_scrub_profile(df, "source", "text").collect()
+    }
+    # every doc gets 1 injected email/phone/IP; doc 7 adds one organic
+    # email + phone, doc 9 one organic IP
+    assert rows["a"]["emails_found"] == 3
+    assert rows["a"]["phones_found"] == 3
+    assert rows["a"]["ips_found"] == 2
+    assert rows["b"]["emails_found"] == 1
+    assert rows["b"]["phones_found"] == 1
+    assert rows["b"]["ips_found"] == 2
+    assert rows["a"]["chars_redacted"] > 0
+    assert rows["b"]["chars_redacted"] > 0
+
+
+def test_pii_scrub_redacts_not_mangles(spark):
+    """The replacement tokens must survive and non-PII text must be
+    untouched — run the same expressions standalone on one row."""
+    from mknssh_11_bigdata_spark.queries_curation import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    red = (
+        spark.createDataFrame(
+            [("ping alice@web.example.org at 10.1.2.3 or 555-0001 ok",)],
+            "s string",
+        )
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("s"), PII_EMAIL_RE, "<EMAIL>"),
+                    PII_PHONE_RE,
+                    "<PHONE>",
+                ),
+                PII_IP_RE,
+                "<IP>",
+            ).alias("red")
+        )
+        .collect()[0]["red"]
+    )
+    assert red == "ping <EMAIL> at <IP> or <PHONE> ok"

@@ -345,3 +345,41 @@ def test_chunk_dedup_removes_repeats_and_rebuilds(spark):
     assert (
         out[2].clean_md5 == hashlib.md5(c3.encode()).hexdigest()
     )
+
+
+def test_fine_band_srp_finds_planted_high_cosine_pairs(spark):
+    """16-bit-band SRP geometry: planted perturbed copies (cosine
+    ≈ 0.9987) must be recovered at high rate, with zero pairs among
+    the original corpus (max organic cosine ≈ 0.51 < threshold)."""
+    from mknssh_11_bigdata_spark.queries_llm import (
+        N_PLANTED,
+        PLANT_COS_THRESHOLD,
+        PLANT_ID_OFFSET,
+        _planted_corpus,
+    )
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = embedding_near_dup_pairs(
+        _planted_corpus(emb),
+        "vec_id",
+        "v",
+        dim=64,
+        threshold=PLANT_COS_THRESHOLD,
+        n_bits=32,
+        bands=2,
+    ).collect()
+    n_avail = min(N_PLANTED, emb.count())
+    planted_hits = {
+        r["id_a"]
+        for r in pairs
+        if r["id_b"] == r["id_a"] + PLANT_ID_OFFSET
+    }
+    # SRP recall at cosine 0.9987 with 2x16-bit bands is ~0.95
+    assert len(planted_hits) >= int(0.8 * n_avail)
+    # no original-vs-original pair clears the 0.99 verification bar
+    assert all(r["id_b"] >= PLANT_ID_OFFSET for r in pairs)
+    assert all(r["cosine"] >= PLANT_COS_THRESHOLD for r in pairs)
