@@ -43,6 +43,8 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "minhash_dedup_pairs",
+    "melt_band_keys",
+    "incremental_dedup_status",
     "duplicate_components",
     "near_dup_components",
     "embedding_cosine_pairs",
@@ -206,6 +208,35 @@ def cap_bucket_size(
     )
 
 
+def melt_band_keys(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Melt MinHash signatures into ``(id, band_idx, band_key)`` rows —
+    the bucket index both the self-join dedup AND the incremental
+    corpus-probe join key on. At scale this frame IS the persisted LSH
+    index table (partitioned by band_key)."""
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(j)),
+                F.transform(
+                    F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias(f"b{j}")
+        for j in range(bands)
+    ]
+    banded = sig_df.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[f"b{j}" for j in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -226,26 +257,7 @@ def lsh_candidate_pairs(
     count bounded under adversarial skew at 100 TB. Default off so
     small-corpus results stay exact.
     """
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(j)),
-                F.transform(
-                    F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias(f"b{j}")
-        for j in range(bands)
-    ]
-    banded = sig_df.select(F.col(id_col), *band_cols)
-    melted = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[f"b{j}" for j in range(bands)])).alias(
-            "band_idx", "band_key"
-        ),
-    )
+    melted = melt_band_keys(sig_df, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         melted = cap_bucket_size(melted, max_bucket_size)
     a = melted.alias("a")
@@ -740,6 +752,120 @@ def minhash_dedup_pairs(
     ).localCheckpoint(eager=True)
     return jaccard_pairs(
         df, id_col, text_col, shingle_n, threshold, candidates=cands
+    )
+
+
+def incremental_dedup_status(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without ever
+    self-joining the corpus — the daily-crawl-increment pattern.
+
+    Re-deduplicating corpus+increment from scratch costs a full corpus
+    pass per day; the incremental formulation probes indexes instead:
+
+    1. **Exact gate** — increment fingerprints inner-join the corpus
+       fingerprint index (at 100 TB a persisted table; the increment is
+       the small side, so AQE broadcasts it and the corpus pass is
+       map-side). Matches exit as ``exact_dup``.
+    2. **Near probe** — MinHash band keys of the survivors equi-join the
+       corpus LSH band index (:func:`melt_band_keys` — also persisted at
+       scale). The corpus NEVER self-joins: candidate count is
+       |increment| x bucket load, not corpus². ``max_bucket_size`` caps
+       hot CORPUS buckets (boilerplate clusters), same guard as the
+       batch path.
+    3. **Verify** — exact n-gram Jaccard on the candidate sliver only.
+
+    Output: one row per increment doc — ``(id, status, dup_of)`` with
+    status ∈ {{'exact_dup', 'near_dup', 'new'}} and ``dup_of`` the
+    smallest matching corpus id (NULL for new docs). Requires disjoint
+    id spaces between corpus and increment (true of any ingest that
+    assigns ids monotonically). Fully deterministic.
+    """
+    rows = num_hashes // bands
+    cfp = corpus.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).alias("__cid"),
+    )
+    # Tiny output (one row per duplicated increment doc); consumed by
+    # the anti-join AND the final status select — materialize once.
+    exact = (
+        increment.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .join(cfp, "fp")
+        .groupBy(id_col)
+        .agg(F.min("__cid").alias("__ex"))
+        .localCheckpoint(eager=True)
+    )
+    surv = increment.join(exact.select(id_col), id_col, "left_anti")
+
+    # Same materialization discipline as minhash_dedup_pairs: both
+    # signature frames are narrow and each feeds multiple stages.
+    sig_c = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    sig_i = minhash_signatures(
+        surv, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    melt_c = melt_band_keys(sig_c, id_col, bands, rows)
+    if max_bucket_size is not None:
+        melt_c = cap_bucket_size(melt_c, max_bucket_size)
+    melt_i = melt_band_keys(sig_i, id_col, bands, rows)
+    cands = (
+        melt_i.alias("i")
+        .join(
+            melt_c.alias("c"),
+            (F.col("i.band_idx") == F.col("c.band_idx"))
+            & (F.col("i.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"i.{id_col}").alias("inc_id"),
+            F.col(f"c.{id_col}").alias("corp_id"),
+        )
+        .distinct()
+        .withColumn("id_a", F.least("inc_id", "corp_id"))
+        .withColumn("id_b", F.greatest("inc_id", "corp_id"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = jaccard_pairs(
+        corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+            surv.select(F.col(id_col), F.col(text_col))
+        ),
+        id_col,
+        text_col,
+        shingle_n,
+        threshold,
+        candidates=cands.select("id_a", "id_b"),
+    )
+    near = (
+        pairs.join(cands, ["id_a", "id_b"])
+        .groupBy("inc_id")
+        .agg(F.min("corp_id").alias("__nr"))
+    )
+    return (
+        increment.select(F.col(id_col))
+        .join(exact, id_col, "left")
+        .join(
+            near.withColumnRenamed("inc_id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ex").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__nr").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("__ex", "__nr").alias("dup_of"),
+        )
+        .orderBy(id_col)
     )
 
 

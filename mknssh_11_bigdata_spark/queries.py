@@ -1082,9 +1082,11 @@ _DRIVER_FIRST = [
     "doc_ngram_decontaminate",
     "embedding_topk_ivf_int8",
     "event_hourly_anomaly",
-    # Round-2 third wave — fine-band SRP geometry, PII scrub.
+    # Round-2 third wave — fine-band SRP geometry, PII scrub,
+    # incremental batch-vs-corpus dedup.
     "dedup_embedding_cosine_lsh_fine",
     "doc_pii_scrub",
+    "dedup_incremental",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -162,6 +162,146 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted "re-crawl" id offset for the incremental-dedup query —
+#: far above any doc_id at every test SF, keeping id spaces disjoint.
+RECRAWL_OFFSET = 10_000_000
+
+SQL_FP = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+def _incremental_oracle() -> str:
+    from .operators.dedup import MINHASH_P, minhash_coefficients
+
+    coeffs = minhash_coefficients(NUM_HASHES)
+    sig_cols = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT side, doc_id, {j} AS band_idx, "
+        "md5(concat_ws('|', '{j}', {hs})) AS band_key FROM sig".format(
+            j=j,
+            hs=", ".join(
+                f"CAST(h{j * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for j in range(BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+    ),
+    inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + {RECRAWL_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 8 = 1
+    ),
+    cfp AS (SELECT doc_id AS cid, {SQL_FP} AS fp FROM corpus),
+    ifp AS (SELECT doc_id, {SQL_FP} AS fp FROM inc),
+    exact AS (
+        SELECT i.doc_id, MIN(c.cid) AS ex
+        FROM ifp i JOIN cfp c USING (fp) GROUP BY 1
+    ),
+    surv AS (
+        SELECT * FROM inc
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+    ),
+    alldocs AS (
+        SELECT 0 AS side, doc_id, text FROM corpus
+        UNION ALL
+        SELECT 1 AS side, doc_id, text FROM surv
+    ),
+    toks AS (
+        SELECT side, doc_id, {SQL_TOKS.format(col='text')} AS t
+        FROM alldocs
+    ),
+    sh AS (SELECT side, doc_id, {SQL_SHINGLES3} AS s FROM toks),
+    ex AS (SELECT side, doc_id, unnest(s) AS shingle FROM sh),
+    exh AS (
+        SELECT side, doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM ex
+    ),
+    sig AS (
+        SELECT side, doc_id,
+           {sig_cols}
+        FROM exh GROUP BY side, doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corp_id
+        FROM bands i JOIN bands c
+          ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+        WHERE i.side = 1 AND c.side = 0
+    ),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    inter AS (
+        SELECT n.inc_id, n.corp_id, COUNT(*) AS n_inter
+        FROM cand n
+        JOIN ex a ON a.doc_id = n.inc_id
+        JOIN ex b ON b.doc_id = n.corp_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT i.inc_id, MIN(i.corp_id) AS nr
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.inc_id
+        JOIN sizes sb ON sb.doc_id = i.corp_id
+        WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6)
+                  >= {JACCARD_THRESHOLD}
+        GROUP BY 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.ex IS NOT NULL THEN 'exact_dup'
+                WHEN n.nr IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           COALESCE(e.ex, n.nr) AS dup_of
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.inc_id = i.doc_id
+    ORDER BY i.doc_id
+    """
+
+
+@register("dedup_incremental", _incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the daily-crawl pattern:
+    fingerprint-index exact gate, then MinHash band keys of the
+    survivors PROBE the corpus LSH band index (no corpus self-join),
+    then exact Jaccard on the candidate sliver. The increment here is
+    the doc_id%4==0 slice plus planted verbatim "re-crawls" of corpus
+    docs under offset ids, so all three statuses (exact_dup / near_dup /
+    new) carry mass. Deterministic end-to-end; the oracle reproduces
+    fingerprints, signatures, band buckets and verification
+    bit-for-bit (see :func:`operators.dedup.incremental_dedup_status`
+    for the 100 TB cost model)."""
+    from .operators.dedup import incremental_dedup_status
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    inc = d.filter(F.col("doc_id") % 4 == 0).unionByName(
+        d.filter(F.col("doc_id") % 8 == 1).select(
+            (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    return incremental_dedup_status(
+        corpus,
+        inc,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+
+
 def _simhash_oracle() -> str:
     odd = ", ".join(f"'{h}'" for h in ("1", "3", "5", "7", "9", "b", "d", "f"))
     bit_exprs = ",\n        ".join(

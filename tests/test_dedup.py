@@ -383,3 +383,42 @@ def test_fine_band_srp_finds_planted_high_cosine_pairs(spark):
     # no original-vs-original pair clears the 0.99 verification bar
     assert all(r["id_b"] >= PLANT_ID_OFFSET for r in pairs)
     assert all(r["cosine"] >= PLANT_COS_THRESHOLD for r in pairs)
+
+
+def test_incremental_dedup_statuses(spark):
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        incremental_dedup_status,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, base),
+            (5, "totally unrelated corpus text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            # verbatim copy of corpus doc 1 -> exact_dup (note the
+            # fingerprint NORMALIZES case/whitespace)
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            # one-token append to corpus doc 3 -> Jaccard 28/29 ≈ 0.97,
+            # comfortably above both the LSH catch probability knee and
+            # the 0.5 verify threshold -> near_dup
+            (102, base + " extra"),
+            # nothing like the corpus -> new
+            (104, "completely fresh document with novel content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup_status(
+            corpus, increment, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert rows[100] == ("exact_dup", 1)
+    assert rows[102] == ("near_dup", 3)
+    assert rows[104] == ("new", None)
