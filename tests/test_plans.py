@@ -214,3 +214,14 @@ def test_no_python_stages_outside_declared_operators(spark):
         ):
             offenders.append((name, "undeclared pandas stage"))
     assert offenders == [], offenders
+
+
+def test_pii_scrub_prunes_scan_to_used_columns(spark):
+    """The redaction pass reads (doc_id, text, source) only — lang and
+    n_chars must be pruned from the documents scan, and the whole
+    expression chain must stay in whole-stage codegen (no Python)."""
+    plan = _plan(spark, "doc_pii_scrub")
+    for frag in plan.split("ReadSchema")[1:]:
+        read = frag.splitlines()[0]
+        assert "n_chars" not in read and "lang" not in read
+    assert "BatchEvalPython" not in plan
