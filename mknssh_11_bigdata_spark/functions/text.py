@@ -261,3 +261,65 @@ def shingles(text: Column, n: int = 3) -> Column:
     Jaccard / MinHash dedup. Documents shorter than n words yield their
     whole text as a single shingle so they still participate."""
     return shingles_of(tokens(text), n)
+
+
+#: Winnowing parameters (Schleimer, Wilkerson, Aiken — "Winnowing:
+#: Local Algorithms for Document Fingerprinting", SIGMOD 2003). k-gram
+#: size and window width; guarantee: any shared run of
+#: k + w - 1 = 6 tokens contributes at least one shared fingerprint.
+WINNOW_K = 3
+WINNOW_W = 4
+#: Pair encoding base: position * 2^31 + hash (hash < ROLL_MOD < 2^31),
+#: so a (position, hash) pick packs losslessly into one int64.
+WINNOW_PAIR_BASE = 2_147_483_648
+
+
+def winnow_picks(toks: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprint picks over an already-projected token
+    array: k-gram hashes → per-window RIGHTMOST-minimum selection →
+    distinct (position, hash) picks, each packed into an int64
+    (``pos * 2^31 + hash``).
+
+    The MOSS selection scheme: instead of keeping every k-gram hash
+    (too many) or every 0-mod-p hash (no coverage guarantee), keep the
+    rightmost minimum of each sliding window of ``w`` consecutive
+    hashes — O(n/w) fingerprints with a positional coverage guarantee.
+    Pure Column expressions (two zip_withs to build positional k-grams,
+    one transform over window starts); the per-token hash is the
+    portable md5-prefix integer, so a SQL oracle reproduces every pick.
+    Documents shorter than k + w - 1 tokens yield an empty pick array.
+    """
+    if k != 3:
+        raise ValueError("winnow_picks builds positional 3-grams; k=3 only")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - (k - 1)),
+        F.zip_with(
+            F.slice(toks, 2, n - (k - 1)),
+            F.slice(toks, 3, n - (k - 1)),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % ROLL_MOD,
+    )
+    n_h = F.size(hashes)
+
+    def pick(j):
+        sl = F.slice(hashes, j, w)
+        minv = F.array_min(sl)
+        rpos = j + F.lit(w) - F.array_position(F.reverse(sl), minv)
+        return rpos * F.lit(WINNOW_PAIR_BASE) + minv
+
+    picks = F.when(
+        n >= k + w - 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_h - (w - 1)), pick)
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return picks

@@ -1087,6 +1087,7 @@ _DRIVER_FIRST = [
     "dedup_embedding_cosine_lsh_fine",
     "doc_pii_scrub",
     "dedup_incremental",
+    "doc_winnowing_fingerprints",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -415,6 +415,89 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_oracle() -> str:
+    w, pb = TX.WINNOW_W, TX.WINNOW_PAIR_BASE
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, len(t) AS n_toks,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1), i ->
+                       CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]
+                           || ' ' || t[i+2]), 1, 15)) AS BIGINT)
+                           % {TX.ROLL_MOD})
+               ELSE [] END AS h
+        FROM toks
+    ),
+    picks AS (
+        SELECT doc_id,
+               GREATEST(n_toks - 2, 0) AS n_grams,
+               GREATEST(n_toks - 5, 0) AS n_windows,
+               CASE WHEN len(h) >= {w} THEN
+                   list_distinct(list_transform(
+                       range(1, len(h) - {w} + 2), j ->
+                       (j + {w} - list_position(
+                            list_reverse(h[j:j+{w - 1}]),
+                            list_min(h[j:j+{w - 1}])))
+                           * {pb} + list_min(h[j:j+{w - 1}])))
+               ELSE [] END AS p
+        FROM hs
+    )
+    SELECT doc_id, n_grams, n_windows,
+           len(p) AS n_fingerprints,
+           CAST(COALESCE(list_sum(p), 0) AS BIGINT) AS fp_checksum,
+           CASE WHEN n_windows > 0
+                THEN ROUND(len(p) / n_windows, 4) END AS density
+    FROM picks ORDER BY doc_id
+    """
+
+
+@register("doc_winnowing_fingerprints", _winnow_oracle())
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS scheme): positional 3-gram hashes → rightmost-minimum
+    selection per sliding window of 4 → distinct packed picks. The
+    fingerprint-SELECTION layer between full k-gram sets (too big) and
+    single doc hashes (no partial-overlap signal): any shared 6-token
+    run between two documents shares at least one pick, at O(n/w)
+    fingerprints per doc. Pure Column expressions at scan speed; the
+    oracle reproduces every hash, window minimum and tie-break."""
+    from .plans.layout import spread
+
+    d = _t(spark, sf_dir, "documents")
+    staged = spread(d).select(
+        "doc_id", TX.tokens(F.col("text")).alias("__t")
+    )
+    n = F.size("__t")
+    picks = TX.winnow_picks(F.col("__t"))
+    return (
+        staged.select(
+            "doc_id",
+            F.greatest(n - 2, F.lit(0)).cast("long").alias("n_grams"),
+            F.greatest(n - 5, F.lit(0)).cast("long").alias("n_windows"),
+            picks.alias("__p"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_windows",
+            F.size("__p").cast("long").alias("n_fingerprints"),
+            F.aggregate(
+                "__p", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("fp_checksum"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    F.size("__p") / F.col("n_windows"), 4
+                ),
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Deterministic slice bound for the registered EXACT all-pairs scorer.
 #: Exact cosine is quadratic BY CONTRACT — its production role is
 #: verifying bounded candidate slivers (the LSH query below), never

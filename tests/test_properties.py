@@ -205,3 +205,44 @@ def test_chunk_dedup_matches_python_model(spark, texts, cs):
         assert got[i][0] == nf, (i, got[i])
         assert got[i][1] == removed, (i, got[i])
         assert got[i][2] == len(kept_tokens), (i, got[i])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKEN, min_size=0, max_size=20))
+def test_winnow_picks_match_python_model(spark, toks):
+    """winnow_picks must equal the naive Python winnowing model:
+    3-gram md5-prefix hashes, rightmost minimum per window of 4,
+    distinct packed (position, hash) picks."""
+    import hashlib
+
+    from mknssh_11_bigdata_spark.functions.text import (
+        ROLL_MOD,
+        WINNOW_PAIR_BASE,
+        WINNOW_W,
+        tokens,
+        winnow_picks,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = sorted(
+        df.select(
+            winnow_picks(tokens(F.col("text"))).alias("p")
+        ).collect()[0].p
+    )
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % ROLL_MOD
+
+    grams = [
+        h(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)
+    ]
+    want = set()
+    if len(grams) >= WINNOW_W:
+        for j in range(len(grams) - WINNOW_W + 1):
+            win = grams[j : j + WINNOW_W]
+            mv = min(win)
+            # rightmost occurrence of the window minimum
+            rp = j + max(i for i, v in enumerate(win) if v == mv)
+            want.add((rp + 1) * WINNOW_PAIR_BASE + mv)
+    assert got == sorted(want)
