@@ -274,52 +274,75 @@ WINNOW_W = 4
 WINNOW_PAIR_BASE = 2_147_483_648
 
 
-def winnow_picks(toks: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
-    """Winnowing fingerprint picks over an already-projected token
-    array: k-gram hashes → per-window RIGHTMOST-minimum selection →
-    distinct (position, hash) picks, each packed into an int64
-    (``pos * 2^31 + hash``).
-
-    The MOSS selection scheme: instead of keeping every k-gram hash
-    (too many) or every 0-mod-p hash (no coverage guarantee), keep the
-    rightmost minimum of each sliding window of ``w`` consecutive
-    hashes — O(n/w) fingerprints with a positional coverage guarantee.
-    Pure Column expressions (two zip_withs to build positional k-grams,
-    one transform over window starts); the per-token hash is the
-    portable md5-prefix integer, so a SQL oracle reproduces every pick.
-    Documents shorter than k + w - 1 tokens yield an empty pick array.
-    """
+def gram_hashes(toks: Column, k: int = WINNOW_K) -> Column:
+    """Positional k-gram md5-prefix hashes (duplicates kept, document
+    order) over an already-projected token array. One md5 per gram."""
     if k != 3:
-        raise ValueError("winnow_picks builds positional 3-grams; k=3 only")
+        raise ValueError("gram_hashes builds positional 3-grams; k=3 only")
     n = F.size(toks)
-    grams = F.zip_with(
-        F.slice(toks, 1, n - (k - 1)),
+    grams = F.when(
+        n >= k,
         F.zip_with(
-            F.slice(toks, 2, n - (k - 1)),
-            F.slice(toks, 3, n - (k - 1)),
-            lambda b, c: F.concat_ws(" ", b, c),
+            F.slice(toks, 1, n - (k - 1)),
+            F.zip_with(
+                F.slice(toks, 2, n - (k - 1)),
+                F.slice(toks, 3, n - (k - 1)),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
         ),
-        lambda a, bc: F.concat_ws(" ", a, bc),
-    )
-    hashes = F.transform(
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
             "long"
         )
         % ROLL_MOD,
     )
-    n_h = F.size(hashes)
 
-    def pick(j):
-        sl = F.slice(hashes, j, w)
-        minv = F.array_min(sl)
-        rpos = j + F.lit(w) - F.array_position(F.reverse(sl), minv)
-        return rpos * F.lit(WINNOW_PAIR_BASE) + minv
 
-    picks = F.when(
-        n >= k + w - 1,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n_h - (w - 1)), pick)
-        ),
+def winnow_picks(hashes: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprint picks over an ALREADY-PROJECTED k-gram
+    hash-array column (:func:`gram_hashes`): per-window
+    RIGHTMOST-minimum selection → distinct (position, hash) picks,
+    each packed into an int64 (``pos * 2^31 + hash``).
+
+    The MOSS selection scheme: instead of keeping every k-gram hash
+    (too many) or every 0-mod-p hash (no coverage guarantee), keep the
+    rightmost minimum of each sliding window of ``w`` consecutive
+    hashes — O(n/w) fingerprints with a positional coverage guarantee.
+
+    ``hashes`` MUST be a projected column, not an inline
+    :func:`gram_hashes` expression: the windows reference the array
+    ``w`` times (once per shifted slice), and expression inlining would
+    re-run the md5-per-gram build per reference — the O(n²)-rehash
+    trap documented at :func:`bigrams_of` (measured 107 s at sf1 for
+    the registered query when inlined). Fewer than ``w`` hashes yield
+    an empty pick array.
+
+    Implementation: ``arrays_zip`` of ``w`` shifted slices + ONE
+    transform — each window is a struct of its ``w`` members, touched
+    once, with no per-window slice/reverse allocations (higher-order
+    functions run interpreted, so per-window array churn dominates; the
+    zipped form measured ~3x faster than slice-per-window at sf1).
+    Rightmost-minimum tie-break = test the struct fields from the
+    right.
+    """
+    n_w = F.size(hashes) - (w - 1)
+    z = F.arrays_zip(
+        *[F.slice(hashes, i + 1, n_w).alias(f"s{i}") for i in range(w)]
+    )
+
+    def pick(e, i):
+        m = F.least(*[e[f"s{j}"] for j in range(w)])
+        # rightmost slot holding the minimum; i is the 0-based window
+        # start, slot j covers hash position i + j + 1 (1-based)
+        rp = F.lit(None).cast("long")
+        for j in range(w - 1, -1, -1):
+            rp = F.coalesce(rp, F.when(e[f"s{j}"] == m, i + j + 1))
+        return rp * F.lit(WINNOW_PAIR_BASE) + m
+
+    return F.when(
+        F.size(hashes) >= w,
+        F.array_distinct(F.transform(z, pick)),
     ).otherwise(F.array().cast("array<long>"))
-    return picks

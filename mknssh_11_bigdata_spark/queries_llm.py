@@ -163,8 +163,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Planted "re-crawl" id offset for the incremental-dedup query —
-#: far above any doc_id at every test SF, keeping id spaces disjoint.
-RECRAWL_OFFSET = 10_000_000
+#: far above any doc_id at every test SF INCLUDING scale replicas
+#: (make_scale_data offsets doc_ids by K x 10M), keeping id spaces
+#: disjoint everywhere.
+RECRAWL_OFFSET = 1_000_000_000_000
 
 SQL_FP = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
 
@@ -467,17 +469,27 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.layout import spread
 
     d = _t(spark, sf_dir, "documents")
+    # Two staged projections: tokens once per row, then the md5 gram
+    # hashes once per row. The window build references the hash array
+    # once per shifted slice — staging keeps the md5 build O(n), not
+    # O(n x windows) (see winnow_picks' docstring; measured 107.6 s
+    # inlined vs ~4.5 s staged+zipped at sf1-fair).
     staged = spread(d).select(
         "doc_id", TX.tokens(F.col("text")).alias("__t")
     )
     n = F.size("__t")
-    picks = TX.winnow_picks(F.col("__t"))
+    hashed = staged.select(
+        "doc_id",
+        F.greatest(n - 2, F.lit(0)).cast("long").alias("n_grams"),
+        F.greatest(n - 5, F.lit(0)).cast("long").alias("n_windows"),
+        TX.gram_hashes(F.col("__t")).alias("__h"),
+    )
     return (
-        staged.select(
+        hashed.select(
             "doc_id",
-            F.greatest(n - 2, F.lit(0)).cast("long").alias("n_grams"),
-            F.greatest(n - 5, F.lit(0)).cast("long").alias("n_windows"),
-            picks.alias("__p"),
+            "n_grams",
+            "n_windows",
+            TX.winnow_picks(F.col("__h")).alias("__p"),
         )
         .select(
             "doc_id",
@@ -487,12 +499,15 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 "__p", F.lit(0).cast("long"), lambda acc, x: acc + x
             ).alias("fp_checksum"),
+        )
+        .withColumn(
+            "density",
             F.when(
                 F.col("n_windows") > 0,
                 F.round(
-                    F.size("__p") / F.col("n_windows"), 4
+                    F.col("n_fingerprints") / F.col("n_windows"), 4
                 ),
-            ).alias("density"),
+            ),
         )
         .orderBy("doc_id")
     )

@@ -219,6 +219,7 @@ def test_winnow_picks_match_python_model(spark, toks):
         ROLL_MOD,
         WINNOW_PAIR_BASE,
         WINNOW_W,
+        gram_hashes,
         tokens,
         winnow_picks,
     )
@@ -226,9 +227,11 @@ def test_winnow_picks_match_python_model(spark, toks):
     text = " ".join(toks)
     df = spark.createDataFrame([(text,)], ["text"])
     got = sorted(
-        df.select(
-            winnow_picks(tokens(F.col("text"))).alias("p")
-        ).collect()[0].p
+        df.select(tokens(F.col("text")).alias("t"))
+        .select(gram_hashes(F.col("t")).alias("h"))
+        .select(winnow_picks(F.col("h")).alias("p"))
+        .collect()[0]
+        .p
     )
 
     def h(g):
