@@ -1088,6 +1088,7 @@ _DRIVER_FIRST = [
     "doc_pii_scrub",
     "dedup_incremental",
     "doc_winnowing_fingerprints",
+    "event_conversion_funnel",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

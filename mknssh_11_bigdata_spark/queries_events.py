@@ -572,3 +572,107 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+#: Max delay for a step to count as converting from the previous one.
+FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "event_conversion_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS s1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS s2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.s1
+          AND e.ts <= v.s1 + INTERVAL 24 HOUR
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS s3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.s2
+          AND e.ts <= c.s2 + INTERVAL 24 HOUR
+        GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_step1_view,
+           (SELECT COUNT(*) FROM c) AS n_step2_click,
+           (SELECT COUNT(*) FROM p) AS n_step3_purchase,
+           ROUND((SELECT COUNT(*) FROM c)
+               / (SELECT COUNT(*) FROM v), 4) AS rate_step2,
+           ROUND((SELECT COUNT(*) FROM p)
+               / (SELECT COUNT(*) FROM c), 4) AS rate_step3,
+           ROUND((SELECT COUNT(*) FROM p)
+               / (SELECT COUNT(*) FROM v), 4) AS rate_overall
+    """,
+)
+def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at step k only with an event STRICTLY AFTER their step-k-1 time and
+    within a 24-hour conversion window (first-touch semantics — the
+    standard product-analytics funnel, not the unordered 'did all three
+    ever' count).
+
+    Scale: one conditional-min aggregate per step, each over a
+    type-filtered scan (predicate pushed to the parquet reader), joined
+    to the previous step's per-user frame on user_id — each step's
+    frame only shrinks, and every shuffle is keyed on user_id so AQE
+    coalesces the tail. No windows over the full event stream, no
+    per-user sorting, no collect."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("s1"))
+            & (F.col("ts") <= F.col("s1") + horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("s2"))
+            & (F.col("ts") <= F.col("s2") + horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_step1_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_step2_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_step3_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_step1_view",
+            "n_step2_click",
+            "n_step3_purchase",
+            F.round(
+                F.col("n_step2_click") / F.col("n_step1_view"), 4
+            ).alias("rate_step2"),
+            F.round(
+                F.col("n_step3_purchase") / F.col("n_step2_click"), 4
+            ).alias("rate_step3"),
+            F.round(
+                F.col("n_step3_purchase") / F.col("n_step1_view"), 4
+            ).alias("rate_overall"),
+        )
+    )
