@@ -583,6 +583,39 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WINDOW_HOURS = 24
 
 
+def conversion_funnel_steps(ev: DataFrame):
+    """Per-user first-touch step times (s1, s2, s3 frames) for the
+    ordered funnel: each step's first event strictly after the previous
+    step's time and within FUNNEL_WINDOW_HOURS of it."""
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("s1"))
+            & (F.col("ts") <= F.col("s1") + horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("s2"))
+            & (F.col("ts") <= F.col("s2") + horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s3"))
+    )
+    return v, c, p
+
+
 @register(
     "event_conversion_funnel",
     """
@@ -629,32 +662,7 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesces the tail. No windows over the full event stream, no
     per-user sorting, no collect."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s1"))
-    )
-    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
-    c = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("s1"))
-            & (F.col("ts") <= F.col("s1") + horizon)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("s2"))
-            & (F.col("ts") <= F.col("s2") + horizon)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s3"))
-    )
+    v, c, p = conversion_funnel_steps(ev)
     nv = v.agg(F.count(F.lit(1)).alias("n_step1_view"))
     nc = c.agg(F.count(F.lit(1)).alias("n_step2_click"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_step3_purchase"))
