@@ -41,6 +41,9 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "shingle_pair_counts",
+    "rare_shingle_candidates",
+    "containment_pairs",
     "simhash",
     "minhash_dedup_pairs",
     "melt_band_keys",
@@ -277,22 +280,24 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
+def shingle_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
-    threshold: float = 0.8,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    """Shared-shingle pair statistics ``(id_a, id_b, inter, sz_a,
+    sz_b)`` — the common core the set-similarity scorers (Jaccard,
+    containment) project their measure from.
 
-    Implementation: explode distinct shingles → self-equi-join on the
-    shingle → per-pair intersection counts → join per-doc set sizes →
-    ``|A∩B| / (|A|+|B|-|A∩B|)``. If ``candidates`` (id_a, id_b) is given
-    (from LSH), pairs are semi-joined against it right after generation —
-    the scale path. Standalone all-pairs-with-a-shared-shingle is only
-    for small corpora and verification.
+    Explode distinct shingles → self-equi-join on the shingle →
+    per-pair intersection counts → join per-doc set sizes. If
+    ``candidates`` (id_a, id_b) is given (from LSH / rare-shingle
+    blocking), the exploded table is semi-joined down to candidate
+    docs BEFORE the quadratic stage — the scale path. Standalone
+    all-pairs-with-a-shared-shingle is only for small corpora and
+    verification.
     """
     sh = (
         spread(df)
@@ -349,9 +354,21 @@ def jaccard_pairs(
     sb = sizes.select(
         F.col("__id").alias("id_b"), F.col("sz").alias("sz_b")
     )
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold:
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` over :func:`shingle_pair_counts`."""
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        shingle_pair_counts(df, id_col, text_col, shingle_n, candidates)
         .withColumn(
             "jaccard",
             F.round(
@@ -362,6 +379,100 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def rare_shingle_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_df: int = 4,
+) -> DataFrame:
+    """Candidate pairs by RARE-shingle blocking: two docs become
+    candidates iff they share a shingle whose document frequency is
+    ≤ ``max_df`` (discriminative-key blocking, the entity-resolution
+    standard).
+
+    This is the candidate generator for CONTAINMENT-shaped duplication
+    (excerpts, quotes, boilerplate inclusions): MinHash-LSH misses
+    low-Jaccard excerpt pairs by design (an excerpt's signature differs
+    from its source's), but an excerpt shares ALL its shingles with the
+    source — including its rare ones. The df cap is an EXACT bound on
+    join blowup: a shingle with df ≤ m emits ≤ m(m-1)/2 pairs, so the
+    candidate count is linear in corpus size with constant m — this is
+    the hot-bucket guard built into the definition rather than bolted
+    on. The df filter is a window count over the shingle key, riding
+    the same exchange the pair self-join shuffles on (the
+    :func:`cap_bucket_size` trick).
+    """
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "__id",
+            F.explode(shingles_of(F.col("__t"), shingle_n)).alias("s"),
+        )
+    )
+    w = Window.partitionBy("s")
+    rare = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Shingle-set CONTAINMENT pairs: ``|A∩B| / min(|A|, |B|)`` ≥
+    threshold, with the pair's Jaccard alongside for contrast.
+
+    Containment is the measure Jaccard-based dedup is blind to: a
+    10-token excerpt of a 300-token document has containment 1.0 but
+    Jaccard ≈ 0.03 — below any near-dup threshold and below MinHash-LSH
+    candidate recall. Feed candidates from
+    :func:`rare_shingle_candidates` at scale.
+    """
+    return (
+        shingle_pair_counts(df, id_col, text_col, shingle_n, candidates)
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter") / F.least("sz_a", "sz_b"), 6
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
     )
 
 

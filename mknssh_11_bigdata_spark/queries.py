@@ -1089,6 +1089,7 @@ _DRIVER_FIRST = [
     "dedup_incremental",
     "doc_winnowing_fingerprints",
     "event_conversion_funnel",
+    "dedup_containment",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -304,6 +304,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted-excerpt id offset (above RECRAWL_OFFSET's range too).
+EXCERPT_OFFSET = 2_000_000_000_000
+EXCERPT_TOKENS = 10
+CONTAINMENT_THRESHOLD = 0.9
+#: Rare-shingle blocking cap: a shingle with df <= m emits <= m(m-1)/2
+#: candidate pairs — the exact join-blowup bound.
+RARE_DF_MAX = 4
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    exc AS (
+        SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+               array_to_string(
+                   ({SQL_TOKS.format(col='text')})[1:{EXCERPT_TOKENS}],
+                   ' ') AS text
+        FROM documents WHERE doc_id % 16 = 3
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+    toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM corpus
+    ),
+    shl AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks),
+    sh AS (SELECT doc_id, unnest(s) AS s FROM shl),
+    dfq AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1),
+    rare AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
+        WHERE dfq.c <= {RARE_DF_MAX}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n / LEAST(sa.sz, sb.sz), 6) AS containment,
+           ROUND(i.n / (sa.sz + sb.sz - i.n), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(i.n / LEAST(sa.sz, sb.sz), 6) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_containment", _containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-shaped duplication (excerpts/quotes/boilerplate):
+    rare-shingle blocking candidates → exact containment verification,
+    with Jaccard alongside to show what Jaccard-only dedup would miss
+    (planted 10-token excerpts score containment 1.0 at Jaccard ≈
+    0.1-0.3, far below any near-dup threshold). The df-capped inverted
+    index bounds candidate blowup EXACTLY (≤ m(m-1)/2 pairs per
+    shingle), so cost stays linear in corpus size at constant m — see
+    :func:`operators.dedup.rare_shingle_candidates`."""
+    from .operators.dedup import containment_pairs, rare_shingle_candidates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = d.filter(F.col("doc_id") % 16 == 3).select(
+        (F.col("doc_id") + EXCERPT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(TX.tokens(F.col("text")), 1, EXCERPT_TOKENS), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(excerpts)
+    # Candidate set is consumed by both the sliver cut and the pair
+    # semi-join inside the verification core — materialize once.
+    cands = rare_shingle_candidates(
+        corpus, "doc_id", "text", max_df=RARE_DF_MAX
+    ).localCheckpoint(eager=True)
+    return containment_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        threshold=CONTAINMENT_THRESHOLD,
+        candidates=cands,
+    ).orderBy("id_a", "id_b")
+
+
 def _simhash_oracle() -> str:
     odd = ", ".join(f"'{h}'" for h in ("1", "3", "5", "7", "9", "b", "d", "f"))
     bit_exprs = ",\n        ".join(

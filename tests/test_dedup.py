@@ -422,3 +422,40 @@ def test_incremental_dedup_statuses(spark):
     assert rows[100] == ("exact_dup", 1)
     assert rows[102] == ("near_dup", 3)
     assert rows[104] == ("new", None)
+
+
+def test_containment_catches_excerpt_lsh_misses_it(spark):
+    """A 10-token excerpt of a long document: containment 1.0 at low
+    Jaccard — rare-shingle blocking + containment finds it; the
+    MinHash-LSH near-dup pipeline does not (by design)."""
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        containment_pairs,
+        minhash_dedup_pairs,
+        rare_shingle_candidates,
+    )
+
+    long_doc = " ".join(f"tok{i}" for i in range(60))
+    excerpt = " ".join(f"tok{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, OTHER)], ["doc_id", "text"]
+    )
+    cands = rare_shingle_candidates(df, "doc_id", "text", max_df=4)
+    got = {
+        (r.id_a, r.id_b): (r.containment, r.jaccard)
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.9, candidates=cands
+        ).collect()
+    }
+    assert (1, 2) in got
+    cont, jac = got[(1, 2)]
+    assert cont == 1.0
+    assert jac < 0.2
+    assert not any(3 in p for p in got)
+    # the Jaccard pipeline must NOT report this pair at its threshold
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) not in lsh
