@@ -1090,6 +1090,7 @@ _DRIVER_FIRST = [
     "doc_winnowing_fingerprints",
     "event_conversion_funnel",
     "dedup_containment",
+    "event_cohort_retention",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -684,3 +684,108 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_overall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+RETENTION_MAX_WEEKS = 3
+#: A user counts as retained in a week only with >= this many events
+#: that week ("engaged-user" retention, not any-ping retention) — also
+#: what gives the synthetic every-user-always-active corpus a real
+#: attrition curve to certify.
+ENGAGED_MIN_EVENTS = 16
+
+
+@register(
+    "event_cohort_retention",
+    f"""
+    WITH cohorts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM cohorts GROUP BY 1
+    ),
+    activity AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {ENGAGED_MIN_EVENTS}
+    ),
+    j AS (
+        SELECT c.cohort_week,
+               date_diff('day', c.cohort_week, a.week) // 7 AS week_offset
+        FROM activity a JOIN cohorts c USING (user_id)
+        WHERE date_diff('day', c.cohort_week, a.week) // 7
+                  BETWEEN 0 AND {RETENTION_MAX_WEEKS}
+    ),
+    ret AS (
+        SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        FROM j GROUP BY 1, 2
+    )
+    SELECT r.cohort_week,
+           CAST(r.week_offset AS INTEGER) AS week_offset,
+           r.n_active, s.n_cohort,
+           ROUND(r.n_active / s.n_cohort, 4) AS retention_rate
+    FROM ret r JOIN sizes s USING (cohort_week)
+    ORDER BY 1, 2
+    """,
+)
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by first-signup week;
+    for each offset 0..3 weeks, how many were ENGAGED that week
+    (>= ENGAGED_MIN_EVENTS events) and what fraction of the cohort
+    that is -- the standard growth-analytics retention triangle.
+
+    Scale: cohort assignment is one agg over the signup-filtered scan
+    (predicate pushed); activity is a distinct over (user, week) —
+    both shuffles keyed on user_id, then one tiny (cohort, offset)
+    agg. No windows over the raw stream, no per-user state."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts"))
+            .cast("date")
+            .alias("cohort_week")
+        )
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    activity = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= ENGAGED_MIN_EVENTS)
+        .drop("__n")
+    )
+    offset = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    ret = (
+        activity.join(cohorts, "user_id")
+        .withColumn("week_offset", offset)
+        .filter(F.col("week_offset").between(0, RETENTION_MAX_WEEKS))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 4).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
