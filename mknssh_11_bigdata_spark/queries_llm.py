@@ -367,7 +367,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1-0.3, far below any near-dup threshold). The df-capped inverted
     index bounds candidate blowup EXACTLY (≤ m(m-1)/2 pairs per
     shingle), so cost stays linear in corpus size at constant m — see
-    :func:`operators.dedup.rare_shingle_candidates`."""
+    :func:`operators.dedup.rare_shingle_candidates`. Under VERBATIM
+    replication every shingle's df exceeds the cap and recall degrades
+    to zero while cost stays bounded (measured, BASELINE.md dense
+    stress) — run :func:`operators.dedup.exact_collapse` first on
+    copy-heavy corpora, which restores unique-text df counts."""
     from .operators.dedup import containment_pairs, rare_shingle_candidates
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
