@@ -1091,6 +1091,7 @@ _DRIVER_FIRST = [
     "event_conversion_funnel",
     "dedup_containment",
     "event_cohort_retention",
+    "dedup_keep_best",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -1056,6 +1056,109 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_quality_sql() -> str:
+    """Per-doc quality score as SQL — mirrors TX.quality_score."""
+    toks = SQL_TOKS.format(col="text")
+    lower_toks = SQL_TOKS.format(col="lower(text)")
+    return f"""
+        SELECT doc_id,
+            (CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len({toks}) > 0
+                       AND list_sum(list_transform({toks},
+                               x -> CAST(length(x) AS DOUBLE)))
+                           / len({toks}) >= 2.0
+                       AND list_sum(list_transform({toks},
+                               x -> CAST(length(x) AS DOUBLE)))
+                           / len({toks}) <= 12.0
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len({lower_toks}) > 0
+                       AND len(list_filter({lower_toks},
+                               x -> x IN ({_STOPS_SQL})))
+                           / len({lower_toks}) >= 0.01
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len({toks}) >= 10 THEN 1.0 ELSE 0.0 END) / 4.0
+               AS q
+        FROM documents
+    """
+
+
+def _keep_best_oracle() -> str:
+    components = _components_oracle()
+    return f"""
+    WITH comp AS ({components}),
+    q AS ({_doc_quality_sql()}),
+    scored AS (
+        SELECT c.doc_id, c.component, q.q, d.n_chars
+        FROM comp c
+        JOIN q ON q.doc_id = c.doc_id
+        JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    rn AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY q DESC, n_chars DESC,
+                                           doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_docs
+        FROM scored
+    )
+    SELECT component, doc_id AS keeper, n_docs,
+           ROUND(q, 6) AS keeper_quality,
+           n_chars AS keeper_chars
+    FROM rn WHERE rn = 1 ORDER BY component
+    """
+
+
+@register("dedup_keep_best", _keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup survivorship: per near-dup component keep
+    the HIGHEST-QUALITY member, then the LONGEST, then the min id —
+    the policy production curation actually wants (of k near-identical
+    crawls, keep the cleanest fullest copy; flips the keeper away from
+    min-id for 10 of 23 components at sf0.01). Composition: MinHash chain → components
+    → per-doc quality score → one row_number window over the (tiny)
+    component map. The quality join touches only component members, so
+    at 100 TB the policy layer costs a scan of the duplicate sliver,
+    not the corpus."""
+    from .operators.dedup import duplicate_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = duplicate_components(pairs)
+    q = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+    )
+    scored = comp.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("q").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper"),
+            "n_docs",
+            F.col("q").alias("keeper_quality"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+        .orderBy("component")
+    )
+
+
 def _collapsed_components_oracle() -> str:
     # Exact collapse (window min/count over the normalized-content
     # fingerprint) -> MinHash/LSH/Jaccard pairs over representatives
