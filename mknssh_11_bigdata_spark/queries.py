@@ -1092,6 +1092,7 @@ _DRIVER_FIRST = [
     "dedup_containment",
     "event_cohort_retention",
     "dedup_keep_best",
+    "doc_bigram_logprob",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -1990,3 +1990,142 @@ def embedding_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=IVF_CENTROIDS,
         n_probe=IVF_PROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (interpolated back-off; deepens the CCNet
+# unigram shape into the real LM-filter plan)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75
+#: 5-decimal threshold can never tie a 4-decimal rounded score.
+BIGRAM_OUTLIER_LOGPROB = -3.42005
+
+
+def _bigram_lm_oracle() -> str:
+    toks = SQL_TOKS.format(col="lower(text)")
+    lam = BIGRAM_LAMBDA
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    pairs AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) >= 2 THEN
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS s
+        FROM toks
+    ),
+    pc AS (
+        SELECT doc_id, split_part(s, ' ', 1) AS p,
+               split_part(s, ' ', 2) AS c
+        FROM pairs
+    ),
+    bg AS (SELECT p, c, COUNT(*) AS cbg FROM pc GROUP BY 1, 2),
+    bs AS (SELECT p, SUM(cbg) AS cs FROM bg GROUP BY 1),
+    uni AS (
+        SELECT token, COUNT(*) AS tf
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM uni),
+    lp AS (
+        SELECT pc.doc_id,
+               ROUND(ln(CAST({lam} AS DOUBLE) * bg.cbg / bs.cs
+                      + CAST({1 - lam} AS DOUBLE) * uni.tf / tot.total),
+                     6) AS lp
+        FROM pc
+        JOIN bg USING (p, c)
+        JOIN bs USING (p)
+        JOIN uni ON uni.token = pc.c
+        CROSS JOIN tot
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(SUM(lp) / COUNT(*), 4) AS avg_bigram_logprob
+        FROM lp GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, avg_bigram_logprob,
+           avg_bigram_logprob < {BIGRAM_OUTLIER_LOGPROB} AS low_quality
+    FROM per ORDER BY doc_id
+    """
+
+
+@register("doc_bigram_logprob", _bigram_lm_oracle())
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality filter: per-document mean
+    ln(λ·P(w|prev) + (1−λ)·P(w)) under the corpus's own counts — the
+    real LM-filter plan shape (CCNet §3.2 uses a pretrained LM; the
+    count tables swap for its logprob tables unchanged). Conditional
+    mass uses bigram-START totals (not unigram tf), so each
+    P(·|prev) row-normalizes exactly.
+
+    Scale: bigram explode → (p,c)-keyed agg (vocab²-bounded, pruned by
+    min-count in production), start totals derived FROM that table
+    (vocab-sized, no second corpus pass), unigram table + scalar total
+    as in the unigram scorer; score joins are keyed on the bigram/token
+    and AQE broadcasts the small sides. Per-position logprob rounds to
+    6 before the per-doc mean so both engines sum identical doubles."""
+    from .plans.layout import spread
+
+    lam = BIGRAM_LAMBDA
+    d = _t(spark, sf_dir, "documents")
+    staged = spread(d).select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("__t")
+    )
+    n = F.size("__t")
+    pc = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("__t", 1, n - 1),
+                    F.slice("__t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.p").alias("p"), F.col("pr.c").alias("c"))
+    # The bigram table feeds both the start-total build and the score
+    # join — same inverted-index materialization as TF-IDF/unigram.
+    bg = (
+        pc.groupBy("p", "c")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+        .localCheckpoint(eager=True)
+    )
+    bs = bg.groupBy("p").agg(F.sum("cbg").alias("cs"))
+    uni = (
+        staged.select("doc_id", F.explode("__t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("tf").cast("double").alias("total"))
+    lp = (
+        pc.join(bg, ["p", "c"])
+        .join(bs, "p")
+        .join(uni, pc["c"] == uni["token"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.round(
+                F.log(
+                    F.lit(lam) * F.col("cbg") / F.col("cs")
+                    + F.lit(1 - lam) * F.col("tf") / F.col("total")
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+        .withColumn(
+            "low_quality",
+            F.col("avg_bigram_logprob") < BIGRAM_OUTLIER_LOGPROB,
+        )
+        .orderBy("doc_id")
+    )
