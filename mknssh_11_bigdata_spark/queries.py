@@ -1093,6 +1093,7 @@ _DRIVER_FIRST = [
     "event_cohort_retention",
     "dedup_keep_best",
     "doc_bigram_logprob",
+    "corpus_curation_pipeline",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

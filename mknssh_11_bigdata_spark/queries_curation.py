@@ -1124,3 +1124,138 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII-redaction audit over deterministically injected
     contact strings (see :func:`pii_scrub_profile`)."""
     return pii_scrub_profile(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (funnel -> dedup -> packing manifest)
+# ---------------------------------------------------------------------------
+
+
+def funnel_pass(text_col) -> "F.Column":
+    """Conjunction of the four quality-funnel gates (same expressions
+    and constants as :func:`quality_funnel`)."""
+    text = F.lower(text_col)
+    nt = F.size(TX.tokens(text))
+    mtl = TX.avg_token_length(text)
+    dtr = TX.dup_token_ratio(text)
+    swr = TX.stopword_ratio(text, FUNNEL_STOPWORDS)
+    return (
+        nt.between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+        & mtl.between(FUNNEL_MTL_LO, FUNNEL_MTL_HI)
+        & (dtr <= FUNNEL_MAX_DTR)
+        & (swr >= FUNNEL_MIN_SWR)
+    )
+
+
+def _pipeline_oracle() -> str:
+    from .queries_llm import _minhash_oracle
+
+    toks_l = SQL_TOKS.format(col="lower(text)")
+    toks = SQL_TOKS.format(col="text")
+    sw = ", ".join(f"'{s}'" for s in FUNNEL_STOPWORDS)
+    pairs = _minhash_oracle(table="qdocs")
+    return f"""
+    WITH RECURSIVE tq AS (
+        SELECT doc_id, source, text, {toks_l} AS lt FROM documents
+    ),
+    fl AS (
+        SELECT doc_id, source, text,
+               len(lt) AS nt,
+               CASE WHEN len(lt) > 0 THEN
+                    list_sum(list_transform(lt, x -> CAST(len(x) AS DOUBLE)))
+                        / len(lt) END AS mtl,
+               CASE WHEN len(lt) > 0 THEN
+                    1.0 - len(list_distinct(lt)) / len(lt) END AS dtr,
+               CASE WHEN len(lt) > 0 THEN
+                    len(list_filter(lt, x -> x IN ({sw}))) / len(lt)
+                    END AS swr
+        FROM tq
+    ),
+    qdocs AS (
+        SELECT doc_id, source, text FROM fl
+        WHERE (nt BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+          AND (mtl BETWEEN {FUNNEL_MTL_LO} AND {FUNNEL_MTL_HI})
+          AND (dtr <= {FUNNEL_MAX_DTR})
+          AND (swr >= {FUNNEL_MIN_SWR})
+    ),
+    pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root
+        FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id),
+    losers AS (SELECT id AS doc_id FROM comp WHERE component <> id),
+    kept AS (
+        SELECT * FROM qdocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    pt AS (
+        SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+               len({toks}) AS n_tokens
+        FROM kept
+    ),
+    pc AS (
+        SELECT *,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM pt
+    )
+    SELECT source, shard,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM pc
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("corpus_curation_pipeline", _pipeline_oracle())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: quality-funnel gate → MinHash/LSH near-dup
+    components over the survivors (min-id keeper) → context-window
+    packing manifest of the kept corpus. One query certifying the whole
+    stack composes — any membership change at any stage flips the
+    manifest's counts/boundaries and the value hash.
+
+    Scale: each stage keeps its standalone plan (scan-speed gates, the
+    banded LSH chain over the filtered sliver only — dedup after
+    filtering is the production order since the gate is 100x cheaper
+    per doc — and the sharded packing cumsum); the component loser set
+    is tiny, so the kept-corpus filter is a broadcast anti-join."""
+    from .operators.dedup import duplicate_components, minhash_dedup_pairs
+    from .queries_llm import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = d.filter(funnel_pass(F.col("text")))
+    pairs = minhash_dedup_pairs(
+        q,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    kept = q.join(F.broadcast(losers), "doc_id", "left_anti")
+    return pack_sequences(kept, "doc_id", "text")
