@@ -884,6 +884,59 @@ PRICE_BANDS = [
 ]
 
 
+SMALL_QTY_BRAND = "Brand#4"
+SMALL_QTY_FRACTION = 0.2
+
+
+@register(
+    "small_quantity_revenue",
+    f"""
+    WITH pa AS (
+        SELECT l_partkey,
+               {SMALL_QTY_FRACTION} * AVG(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_orders,
+           ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{SMALL_QTY_BRAND}'
+      AND l.l_quantity < pa.qty_cut
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated-aggregate DECORRELATION: "revenue
+    lost to small orders" needs each lineitem compared against 20% of
+    ITS part's average quantity. The correlated subquery rewrites to a
+    per-part aggregate joined back on partkey — one extra shuffle of
+    vocab-small (partkey, cut) rows instead of a per-row subquery; the
+    brand filter broadcasts. Engine-stable float: quantities are
+    integral doubles, so the per-part mean is order-independent and the
+    strict < comparison cannot straddle an ulp.
+
+    No §2 counterpart (the reference has no correlated aggregates) —
+    completes the classic join-agg pattern set."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == SMALL_QTY_BRAND
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(SMALL_QTY_FRACTION) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_orders"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_weekly_revenue"
+            ),
+        )
+    )
+
+
 @register(
     "part_price_band_join",
     """
@@ -1094,6 +1147,7 @@ _DRIVER_FIRST = [
     "dedup_keep_best",
     "doc_bigram_logprob",
     "corpus_curation_pipeline",
+    "small_quantity_revenue",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.
