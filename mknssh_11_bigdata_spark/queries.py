@@ -884,6 +884,44 @@ PRICE_BANDS = [
 ]
 
 
+@register(
+    "returned_order_priority_counts",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders_with_returns
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def returned_order_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS over a fact table: orders with at least
+    one returned line item, counted per priority. The EXISTS compiles
+    to a fact-to-fact LEFT-SEMI join on the order key (one shuffle per
+    side, no duplication of matched orders — the semi join's point vs
+    an inner join + distinct). The returnflag filter pushes to the
+    lineitem scan, shrinking the probe side before the shuffle.
+
+    Complements J7's broadcast-left-semi membership flag with the
+    SHUFFLE semi-join plan a 100 TB EXISTS needs when neither side is
+    broadcastable."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_with_returns"))
+        .orderBy("o_orderpriority")
+    )
+
+
 SMALL_QTY_BRAND = "Brand#4"
 SMALL_QTY_FRACTION = 0.2
 
@@ -1148,6 +1186,7 @@ _DRIVER_FIRST = [
     "doc_bigram_logprob",
     "corpus_curation_pipeline",
     "small_quantity_revenue",
+    "returned_order_priority_counts",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.
