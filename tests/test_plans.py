@@ -225,3 +225,18 @@ def test_pii_scrub_prunes_scan_to_used_columns(spark):
         read = frag.splitlines()[0]
         assert "n_chars" not in read and "lang" not in read
     assert "BatchEvalPython" not in plan
+
+
+def test_small_quantity_revenue_broadcasts_brand_dim(spark):
+    """Q17 shape: the filtered part dim must broadcast; the per-part
+    aggregate join shuffles on partkey (no BNL, no cartesian)."""
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_orders_is_left_semi_join(spark):
+    """Q4 shape: EXISTS must compile to a LeftSemi join, not an inner
+    join + distinct (which would duplicate matched orders)."""
+    plan = _plan(spark, "returned_order_priority_counts")
+    assert "LeftSemi" in plan
