@@ -1123,6 +1123,7 @@ from . import queries_llm  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1187,6 +1188,14 @@ _DRIVER_FIRST = [
     "corpus_curation_pipeline",
     "small_quantity_revenue",
     "returned_order_priority_counts",
+    # Round-2 fourth wave — classic warehouse shapes (queries_tpch.py).
+    "nation_pair_trade_volume",
+    "nation_market_share",
+    "returned_revenue_top_customers",
+    "customer_order_count_distribution",
+    "large_volume_customers",
+    "disjunctive_band_revenue",
+    "idle_high_balance_customers",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

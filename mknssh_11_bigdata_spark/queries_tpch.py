@@ -1,0 +1,550 @@
+"""Classic warehouse query shapes (TPC-H Q7/Q8/Q10/Q13/Q18/Q19/Q22).
+
+Round-2 fourth wave. The reference corpus (SURVEY §2.3-2.4) exercises
+joins and aggregates in feature-engineering form; these add the
+remaining *canonical* analytic plan shapes a warehouse user would
+expect the engine to run well, each picked for a distinct physical
+plan:
+
+- Q7  — one dimension joined TWICE under different roles (supplier
+        nation vs customer nation) with an inequality across the
+        two roles.
+- Q8  — conditional-share aggregation (ratio of a guarded sum to the
+        total sum in one pass).
+- Q10 — multi-way fact join + group + deterministic top-N.
+- Q13 — LEFT join with a composite ON-clause predicate (filter inside
+        the join, not after it — outer rows must survive) and a
+        two-level aggregation (distribution of counts).
+- Q18 — HAVING subquery as a semi-join of a pre-aggregated fact
+        against itself.
+- Q19 — disjunction of conjunctive range predicates across both join
+        sides (OR-of-ANDs cannot fully push down; the join must stay
+        cheap regardless).
+- Q22 — scalar-subquery threshold broadcast + anti-join.
+
+All thresholds/constants are module-level so the SQL oracle and the
+Spark side can never drift. Floating aggregates are rounded at the
+output edge per registry policy (registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# Exact-revenue convention for SMALL groups. l_extendedprice has 2 and
+# l_discount 2 decimal digits, so each line's revenue is a 4-decimal
+# rational; its double product sits within an ulp of that value, where
+# ROUND(x) to an integer quarter-cent count is engine-stable (never a
+# .5 tie), and sums of integral doubles < 2^53 are EXACT. Dividing the
+# exact integer by 10000.0 is then the same double op on the same
+# integer in both engines — bit-identical, no cent-boundary rounding.
+# Large-group queries keep the repo-wide ROUND(SUM,2) policy (summation
+# noise almost surely misses the boundary there); small groups (top-N
+# per customer, nation-pair cells, sliver filters) systematically LAND
+# on half-cents, so they use this ledger instead.
+SQL_REV_EXACT = (
+    "SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)) / 10000.0"
+)
+
+
+def _rev_exact_sum() -> F.Column:
+    return F.sum(F.round(_rev() * F.lit(10000.0), 0)) / F.lit(10000.0)
+
+
+# ---------------------------------------------------------------------------
+# Q7 — cross-nation trade volume (dual-role dimension join)
+# ---------------------------------------------------------------------------
+
+TRADE_SHIP_LO = "1995-01-01"
+TRADE_SHIP_HI = "1997-01-01"
+
+
+@register(
+    "nation_pair_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {SQL_REV_EXACT} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '{TRADE_SHIP_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{TRADE_SHIP_HI}'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — international trade matrix: revenue shipped
+    between every (supplier nation, customer nation) pair per ship
+    year, excluding domestic trade.
+
+    The physical point is the DUAL-ROLE dimension: ``nation`` joins the
+    plan twice under different aliases, and the ``<>`` predicate relates
+    the two roles, so it can only apply after both are bound. Both
+    nation copies broadcast (25 rows); supplier stays a shuffle join —
+    at warehouse scale the supplier dim is per-fact-row wide, not
+    driver-size, and AQE may still elect to broadcast it at small SF.
+    The shipdate range filter pushes to the lineitem scan, cutting the
+    fact before any shuffle."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(TRADE_SHIP_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TRADE_SHIP_HI).cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.round(_rev() * F.lit(10000.0), 0).alias("rev4"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum("rev4") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share of one supplier nation inside one customer region
+# ---------------------------------------------------------------------------
+
+SHARE_SUPP_NATION = "NATION_7"
+SHARE_CUST_REGION = "ASIA"
+
+
+@register(
+    "nation_market_share",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           SUM(CASE WHEN sn.n_name = '{SHARE_SUPP_NATION}'
+                    THEN ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000, 0)
+                    ELSE 0 END) / 10000.0 AS nation_revenue,
+           {SQL_REV_EXACT} AS total_revenue,
+           ROUND(SUM(CASE WHEN sn.n_name = '{SHARE_SUPP_NATION}'
+                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000, 0)
+                          ELSE 0 END)
+                 / SUM(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                             * 10000, 0)), 6)
+               AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation cnn ON cnn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cnn.n_regionkey
+    WHERE r.r_name = '{SHARE_CUST_REGION}'
+    GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — conditional-share aggregation: of all revenue
+    from customers in one region, what fraction was supplied by one
+    nation, per order year.
+
+    The share is a guarded sum divided by the total sum computed in the
+    SAME aggregate pass (one shuffle) — never two scans union'd or a
+    self-join of two aggregates. Revenues ride the exact quarter-cent
+    ledger (SQL_REV_EXACT): the per-year sums are large enough that
+    summation-order ulps otherwise land on cent boundaries, and the
+    share ratio divides two exact integers, so ROUND(...,6) is stable. The region restriction reaches the
+    fact via broadcast region→nation→customer semi-style inner joins;
+    the supplier-nation tag rides a broadcast dim, so the only shuffles
+    are the two fact-fact equi-joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(_rev() * F.lit(10000.0), 0).alias("rev4"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    # customer-side region restriction: region ⨝ nation broadcasts down
+    # to a 25-row key set, then inner-joins customer (semi semantics:
+    # keys are unique, so no duplication).
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == SHARE_CUST_REGION
+    )
+    region_nations = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c_in_region = c.join(
+        region_nations, c.c_nationkey == F.col("cn_key")
+    ).select("c_custkey")
+    guarded = F.when(
+        F.col("supp_nation") == SHARE_SUPP_NATION, F.col("rev4")
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c_in_region, o.o_custkey == F.col("c_custkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (F.sum(guarded) / F.lit(10000.0)).alias("nation_revenue"),
+            (F.sum("rev4") / F.lit(10000.0)).alias("total_revenue"),
+            F.round(F.sum(guarded) / F.sum("rev4"), 6).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-revenue top customers (join + agg + deterministic top-N)
+# ---------------------------------------------------------------------------
+
+RETURNS_QTR_LO = "1996-01-01"
+RETURNS_QTR_HI = "1996-04-01"
+RETURNS_TOP_N = 20
+
+
+@register(
+    "returned_revenue_top_customers",
+    f"""
+    WITH ranked AS (
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               {SQL_REV_EXACT} AS lost_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_return_lines
+        FROM customer c
+        JOIN orders o   ON o.o_custkey  = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{RETURNS_QTR_LO}'
+          AND o.o_orderdate <  TIMESTAMP '{RETURNS_QTR_HI}'
+        GROUP BY 1, 2, 3
+    )
+    SELECT * FROM ranked
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT {RETURNS_TOP_N}
+    """,
+)
+def returned_revenue_top_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape — which customers returned the most revenue in
+    one quarter. Fact-fact join (orders⨝lineitem, both pre-filtered at
+    the scan), customer join, broadcast nation tag, group, then a
+    deterministic top-N (ordered on the EXACT quarter-cent revenue —
+    see SQL_REV_EXACT — with custkey tie-break, so the selected set is
+    engine-stable; the global sort is a TakeOrdered over
+    #customers-with-returns rows, not the fact)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURNS_QTR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURNS_QTR_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            _rev_exact_sum().alias("lost_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_return_lines"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(RETURNS_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — distribution of per-customer order counts
+# ---------------------------------------------------------------------------
+
+#: Excluded from the count, but the LEFT join must still keep customers
+#: whose only orders match (they count 0) — the predicate therefore
+#: belongs in the join's ON clause, not a post-join filter.
+ORDER_COUNT_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+@register(
+    "customer_order_count_distribution",
+    f"""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '{ORDER_COUNT_EXCLUDED_PRIORITY}'
+        GROUP BY 1
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — order-count distribution including the
+    zero-order customers. Two physical points: (1) the priority
+    exclusion sits INSIDE the left join's ON clause — applied after the
+    join it would delete outer rows and silently drop the n_orders=0
+    bucket; in Spark the non-equi conjunct on the probe side pushes to
+    the orders scan. (2) cascading aggregation: the first groupBy keys
+    on customer (wide), the second on the count (tiny) — the second
+    shuffle moves only #customers rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (o.o_custkey == c.c_custkey)
+        & (o.o_orderpriority != ORDER_COUNT_EXCLUDED_PRIORITY),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("n_orders")
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (HAVING subquery → aggregate semi-join)
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_QTY = 300.0
+
+
+@register(
+    "large_volume_customers",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING SUM(l_quantity) > {LARGE_ORDER_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds a
+    threshold, with their customers. The HAVING subquery compiles to a
+    pre-aggregation of lineitem keyed on orderkey followed by a
+    LEFT-SEMI join of orders against the (tiny) surviving key set; the
+    lineitem re-join for the quantity sum then touches only matching
+    orders. Quantities are integral doubles, so the HAVING comparison
+    and the output sum are exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive multi-range predicate over a part join
+# ---------------------------------------------------------------------------
+
+DISJUNCT_BANDS = [
+    # (brand, size_hi, qty_lo, qty_hi) — sizes always start at 1
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#7", 15, 20.0, 30.0),
+]
+
+
+def _disjunct_sql() -> str:
+    arms = [
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, sz, qlo, qhi in DISJUNCT_BANDS
+    ]
+    return " OR ".join(arms)
+
+
+@register(
+    "disjunctive_band_revenue",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {SQL_REV_EXACT} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_disjunct_sql()}
+    """,
+)
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR of conjunctive range
+    predicates that straddle BOTH join sides (brand+size from part,
+    quantity from lineitem). The disjunction cannot fully push to
+    either scan; what CAN push down is the derived single-side
+    envelope: brand ∈ {{the 3 brands}} prunes part before the join,
+    quantity ∈ [min qty_lo, max qty_hi] prunes lineitem. The surviving
+    part sliver broadcasts; the OR evaluates post-join as one vectorized
+    boolean expression."""
+    brands = [b for b, *_ in DISJUNCT_BANDS]
+    qty_lo = min(q for *_, q, _hi in DISJUNCT_BANDS)
+    qty_hi = max(q for *_, q in DISJUNCT_BANDS)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand").isin(brands))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    )
+    arms = None
+    for b, sz, qlo, qhi in DISJUNCT_BANDS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arms = arm if arms is None else (arms | arm)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arms)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            _rev_exact_sum().alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — high-balance customers with no urgent orders (scalar + anti-join)
+# ---------------------------------------------------------------------------
+
+IDLE_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+@register(
+    "idle_high_balance_customers",
+    f"""
+    WITH cutoff AS (
+        SELECT AVG(c_acctbal) AS v FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN cutoff
+    WHERE c.c_acctbal > cutoff.v
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '{IDLE_EXCLUDED_PRIORITY}'
+      )
+    GROUP BY 1
+    """,
+)
+def idle_high_balance_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — customers whose balance beats the corpus-wide
+    positive average but who never placed an urgent order, grouped by
+    nation. Two classic sub-plans in one query: the scalar AVG subquery
+    becomes a 1-row broadcast (cross-joined, never collected to the
+    driver as a Python float — the threshold stays inside the plan),
+    and NOT EXISTS compiles to a LEFT-ANTI join against the
+    priority-filtered orders (filter pushed to the scan, shrinking the
+    anti build side ~5x).
+
+    Float-boundary note: the AVG cutoff is compared strictly; acctbals
+    are 2-decimal values while the average carries full precision, so
+    an ulp of cross-engine summation drift cannot flip the comparison
+    unless the average lands within 1e-10 of a cent value (not the case
+    for this corpus, and vanishingly unlikely at any SF)."""
+    c = _t(spark, sf_dir, "customer")
+    cutoff = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("v"))
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == IDLE_EXCLUDED_PRIORITY
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -240,3 +240,69 @@ def test_returned_orders_is_left_semi_join(spark):
     join + distinct (which would duplicate matched orders)."""
     plan = _plan(spark, "returned_order_priority_counts")
     assert "LeftSemi" in plan
+
+
+def test_trade_volume_broadcasts_both_nation_roles(spark):
+    """Q7 shape: the dual-role nation dim must broadcast twice (two
+    BroadcastHashJoins), and the shipdate range filter must reach the
+    lineitem scan."""
+    plan = _plan(spark, "nation_pair_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_market_share_single_aggregate_pass(spark):
+    """Q8 shape: guarded sum + total sum + ratio in ONE aggregation —
+    the plan must contain no Union (two-scan rewrite) and exactly one
+    final-aggregate keying on order_year."""
+    plan = _plan(spark, "nation_market_share")
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_top_customers_take_ordered(spark):
+    """Q10 shape: the deterministic top-20 must compile to
+    TakeOrderedAndProject over the aggregate, never a global Sort."""
+    plan = _plan(spark, "returned_revenue_top_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_count_distribution_outer_join_survives(spark):
+    """Q13 shape: the priority exclusion must ride the LEFT join's ON
+    clause (outer rows survive). The plan keeps an outer join — if the
+    optimizer had degraded it to inner (filter misplaced post-join),
+    the zero-bucket would silently vanish."""
+    plan = _plan(spark, "customer_order_count_distribution")
+    assert "LeftOuter" in plan
+    # the probe-side pushable conjunct reaches the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderpriority)" in plan or (
+        "Not(EqualTo(o_orderpriority" in plan
+    )
+
+
+def test_large_volume_semi_join_before_rejoin(spark):
+    """Q18 shape: the HAVING subquery must compile to a LeftSemi join
+    of orders against the pre-aggregated key set."""
+    plan = _plan(spark, "large_volume_customers")
+    assert "LeftSemi" in plan
+
+
+def test_disjunctive_bands_push_envelope_filters(spark):
+    """Q19 shape: the OR-of-ANDs cannot push whole, but the derived
+    single-side envelopes must — brand IN (...) on the part scan,
+    quantity range on the lineitem scan — and the part sliver
+    broadcasts."""
+    plan = _plan(spark, "disjunctive_band_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert "In(p_brand" in plan
+
+
+def test_idle_customers_scalar_broadcast_and_anti_join(spark):
+    """Q22 shape: the AVG cutoff rides a broadcast (BNL against a 1-row
+    aggregate), and NOT EXISTS compiles to LeftAnti with the priority
+    filter pushed to the orders scan."""
+    plan = _plan(spark, "idle_high_balance_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
