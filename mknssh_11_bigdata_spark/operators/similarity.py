@@ -196,6 +196,10 @@ def ivf_topk(
     if centroids is not None:
         cent = centroids
     else:
+        # cent is broadcast from TWO consumers (corpus assignment +
+        # query probing); left lazy each broadcast recomputes the
+        # orderBy+limit over the corpus scan. n_centroids rows —
+        # materialize once. (The kmeans path checkpoints its own fit.)
         cent = (
             corpus.select(F.col(id_col), F.col(vec_col))
             .orderBy(F.col(id_col).asc())
@@ -204,6 +208,7 @@ def ivf_topk(
                 F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).alias("__cent"),
             )
+            .localCheckpoint(eager=True)
         )
     c = spread(
         corpus.select(
@@ -364,11 +369,15 @@ def ivf_int8_topk(
             )
         )
 
+    # Same double-broadcast consumer pattern as ivf_topk: materialize
+    # the tiny centroid frame once instead of re-running the
+    # quantize+limit scan per broadcast.
     cent = (
         q8(corpus, "centroid_id")
         .orderBy(F.col("centroid_id").asc())
         .limit(n_centroids)
         .select("centroid_id", F.col("__v").alias("__cent"))
+        .localCheckpoint(eager=True)
     )
     c = spread(q8(corpus, "neighbor_id"))
     assigned = (

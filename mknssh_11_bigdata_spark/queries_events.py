@@ -587,10 +587,15 @@ def conversion_funnel_steps(ev: DataFrame):
     """Per-user first-touch step times (s1, s2, s3 frames) for the
     ordered funnel: each step's first event strictly after the previous
     step's time and within FUNNEL_WINDOW_HOURS of it."""
+    # v and c are each consumed from TWO branches downstream (the next
+    # step's join + the caller's step count): left lazy, counting the
+    # funnel re-scans events in a pyramid (6 scans for 3 steps).
+    # Each frame is one small row per user — materialize once.
     v = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("s1"))
+        .localCheckpoint(eager=True)
     )
     horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
     c = (
@@ -602,6 +607,7 @@ def conversion_funnel_steps(ev: DataFrame):
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("s2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
@@ -745,6 +751,9 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     both shuffles keyed on user_id, then one tiny (cohort, offset)
     agg. No windows over the raw stream, no per-user state."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # cohorts feeds TWO branches (per-cohort sizes + the retention
+    # join); one small row per signed-up user — materialize once so the
+    # signup scan+agg doesn't recompute per branch.
     cohorts = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -753,6 +762,7 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("date")
             .alias("cohort_week")
         )
+        .localCheckpoint(eager=True)
     )
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort")
