@@ -1196,6 +1196,12 @@ _DRIVER_FIRST = [
     "large_volume_customers",
     "disjunctive_band_revenue",
     "idle_high_balance_customers",
+    # Round-2 fifth wave — tokenizer statistics, dedup diagnostics.
+    # (51-52nd in the window: if the driver caps CORRECTNESS at 50
+    # rows these two rotate to the r3 front; pytest parity covers
+    # them meanwhile.)
+    "corpus_bpe_pair_counts",
+    "dedup_component_size_histogram",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

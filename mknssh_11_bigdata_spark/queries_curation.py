@@ -1259,3 +1259,71 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = q.join(F.broadcast(losers), "doc_id", "left_anti")
     return pack_sequences(kept, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer training, iteration zero)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 50
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    f"""
+    WITH ex AS (
+        SELECT unnest({SQL_TOKS.format(col='text')}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS n FROM ex GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(tok)),
+                                     i -> substr(tok, CAST(i AS INTEGER), 2)
+              )) AS pair,
+               n
+        FROM vocab WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY 1
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding statistics, iteration zero: corpus-weighted
+    adjacent symbol-pair counts — the argmax of this table is the first
+    BPE merge (Sennrich et al. 2016, public). The full tokenizer
+    training loop re-runs this after each merge; the per-iteration cost
+    is exactly this query, so its plan IS the trainer's scale story.
+
+    Scale shape: the corpus collapses to the VOCABULARY before any
+    character work — pair explosion runs over distinct tokens weighted
+    by their counts (|vocab| ≪ corpus tokens), so the expensive explode
+    is vocabulary-sized, not corpus-sized. Adjacent pairs are length-2
+    substrings (one expression, no UDF); top-K selection is a
+    deterministic TakeOrdered on (count DESC, pair ASC)."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -2129,3 +2129,61 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution (dedup diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def _component_size_histogram_oracle() -> str:
+    components = _components_oracle()
+    return f"""
+    WITH comp AS ({components}),
+    sizes AS (
+        SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY 1
+    """
+
+
+@register(
+    "dedup_component_size_histogram", _component_size_histogram_oracle()
+)
+def dedup_component_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup HEALTH metric: a
+    heavy tail here means boilerplate/template mass (one cluster eating
+    the corpus) and predicts both the dedup win and the LSH hot-bucket
+    pressure. Production curation runs exactly this before choosing
+    thresholds.
+
+    Plan: the pairs→components chain (shared with
+    ``dedup_connected_components``) followed by two tiny cascading
+    aggs — sizes are keyed on component labels (≤ #duplicate docs
+    rows), the histogram on the size (a handful of rows)."""
+    from .operators.dedup import duplicate_components
+
+    pairs = minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = duplicate_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    ).select(
+        F.col("component_size").cast("long").alias("component_size"),
+        "n_components",
+    )

@@ -306,3 +306,17 @@ def test_idle_customers_scalar_broadcast_and_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_bpe_pair_counts_vocab_sized_explode_take_ordered(spark):
+    """The pair explode must run over the AGGREGATED vocabulary (an
+    aggregate sits below the explode-side generator), and top-K must be
+    TakeOrderedAndProject — never a global sort of the pair table."""
+    plan = _plan(spark, "corpus_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan and "HashAggregate" in plan
+    # generator input is the vocab agg, not the raw scan: the plan has
+    # two aggregation phases below the generate (token count partial+
+    # final) — assert the explode doesn't read text directly.
+    gen_frag = plan[plan.index("Generate"):]
+    assert "text" not in gen_frag.split("ReadSchema")[0].split("\n")[0]
