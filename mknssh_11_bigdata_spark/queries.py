@@ -1202,6 +1202,8 @@ _DRIVER_FIRST = [
     # them meanwhile.)
     "corpus_bpe_pair_counts",
     "dedup_component_size_histogram",
+    "referential_integrity_audit",
+    "lineitem_measure_melt",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

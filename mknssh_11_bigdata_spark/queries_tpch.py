@@ -548,3 +548,116 @@ def idle_high_balance_customers(
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse utilities: referential-integrity audit, UNPIVOT (melt)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate a production warehouse runs before publishing
+    a snapshot: orphan counts for each foreign-key edge of the star
+    schema (orders→customer, lineitem→orders, lineitem→part).
+
+    Each check is a LEFT-ANTI join counted against the child's row
+    count — at scale, anti-join against a dim shuffles once (or
+    broadcasts when the parent is dim-sized); the audit output is
+    three rows. Keys-only projections: every scan prunes to the key
+    column, so the audit reads a fraction of the table bytes."""
+    checks = [
+        ("orders_without_customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem_without_order", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem_without_part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in checks:
+        ch = _t(spark, sf_dir, child).select(ck)
+        pa = _t(spark, sf_dir, parent).select(pk)
+        orphans = ch.join(pa, ch[ck] == pa[pk], "left_anti")
+        row = (
+            ch.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("check_name"), "n_rows", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "lineitem_measure_melt",
+    f"""
+    WITH long AS (
+        SELECT l_returnflag, measure, value
+        FROM lineitem
+        UNPIVOT (value FOR measure IN ({', '.join(MELT_MEASURES)}))
+    )
+    SELECT l_returnflag, measure,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 6) AS mean
+    FROM long GROUP BY 1, 2
+    """,
+)
+def lineitem_measure_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UNPIVOT (melt): the wide fact's measure columns become
+    (measure, value) long format — the reshape feeding generic
+    per-metric pipelines — then grouped per (returnflag, measure).
+
+    Spark's DataFrame.unpivot compiles to ONE Expand over one scan
+    (row count × #measures, columns pruned to ids+measures) — never a
+    UNION of per-measure scans. Distinct from lineitem_describe, which
+    unpivots a single already-aggregated row; here the reshape runs at
+    fact scale BEFORE aggregation, the order a melt-then-aggregate
+    pipeline actually uses."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=MELT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )

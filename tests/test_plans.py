@@ -320,3 +320,23 @@ def test_bpe_pair_counts_vocab_sized_explode_take_ordered(spark):
     # final) — assert the explode doesn't read text directly.
     gen_frag = plan[plan.index("Generate"):]
     assert "text" not in gen_frag.split("ReadSchema")[0].split("\n")[0]
+
+
+def test_melt_single_expand_pruned_scan(spark):
+    """UNPIVOT must compile to ONE Expand over ONE pruned scan — not a
+    per-measure UNION of scans — and the scan must drop the unused key
+    columns."""
+    plan = _plan(spark, "lineitem_measure_melt")
+    assert "Expand" in plan and "Union" not in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_integrity_audit_anti_joins_keys_only(spark):
+    """Each FK check is an anti-join over keys-only scans: the child
+    scans must prune to the key column (no payload columns read)."""
+    plan = _plan(spark, "referential_integrity_audit")
+    assert plan.count("LeftAnti") >= 3
+    for frag in plan.split("ReadSchema")[1:]:
+        read = frag.splitlines()[0]
+        assert "o_totalprice" not in read and "l_extendedprice" not in read
