@@ -254,3 +254,74 @@ def histogram(df: DataFrame, column: str, count_col: str = "cnt") -> DataFrame:
     ``analysis.ipynb#cell30`` — rating histogram). Map-side partial
     aggregation makes this one small shuffle of (distinct values) rows."""
     return df.groupBy(column).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: Sequence[Column],
+    out: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed NTILE over a TOTAL order — the scale-safe form of
+    ``ntile(n).over(Window.orderBy(...))``, which forces every row
+    through ONE task (Spark warns "No Partition Defined for Window").
+
+    Plan: range-repartition on the sort key (a distributed sort), pin
+    the partitioning with one materialization, count rows per
+    partition (tiny second job), turn the counts into per-partition
+    rank offsets (driver-side array of #partitions ints), then
+    global rank = offset[pid] + per-partition row_number — the window
+    now partitions by ``spark_partition_id`` and runs fully parallel.
+    Tile assignment reproduces SQL NTILE exactly (bucket sizes differ
+    by at most one, larger buckets FIRST):
+
+        base = n // k; rem = n % k            # k = n_tiles
+        rank <= rem*(base+1):  tile = (rank-1) // (base+1) + 1
+        else:                  tile = rem + (rank-rem*(base+1)-1)//base + 1
+
+    ``order_by`` must be a total order (add a unique tiebreaker) or
+    tile assignment is nondeterministic — same contract as NTILE.
+
+    The materialization is of the frame being ranked, which in decile/
+    quantile use is already aggregated (per-customer, per-doc — far
+    smaller than the facts). The driver-side offsets are one int per
+    partition, not data."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids across the two jobs
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.array(
+            *[F.lit(offsets.get(p, 0)) for p in range(max(counts, default=0) + 1)]
+        ),
+        F.col("__pid") + 1,
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*order_by)
+    base, rem = divmod(total, n_tiles)
+    rank = off_expr + F.row_number().over(local_w)
+    if base == 0:
+        tile = rank  # n < k: every bucket has one row
+    else:
+        big = base + 1
+        cut = rem * big
+        tile = F.when(
+            rank <= F.lit(cut), ((rank - 1) / big).cast("int") + 1
+        ).otherwise(
+            F.lit(rem) + ((rank - F.lit(cut) - 1) / base).cast("int") + 1
+        )
+    return ordered.withColumn(out, tile.cast("int")).drop("__pid")

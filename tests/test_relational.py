@@ -205,3 +205,49 @@ def test_driver_window_registry_ordering():
     assert set(_DRIVER_FIRST).isdisjoint(_DRIVER_LAST)
     assert names[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
     assert names[-len(_DRIVER_LAST):] == _DRIVER_LAST
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile must reproduce SQL NTILE exactly — including the
+    larger-buckets-first remainder rule — for n % k == 0, n % k != 0,
+    and n < k."""
+    from pyspark.sql import Window, functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import global_ntile
+
+    for n, k in [(40, 10), (25, 10), (7, 10), (1, 3)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 37 % 19).alias("v")
+        )
+        order = [F.col("v").desc(), F.col("id").asc()]
+        w = Window.orderBy(*order)
+        expected = {
+            (r["id"], r["t"])
+            for r in df.select("id", F.ntile(k).over(w).alias("t")).collect()
+        }
+        got = {
+            (r["id"], r["tile"])
+            for r in global_ntile(df, k, order).select("id", "tile").collect()
+        }
+        assert got == expected, (n, k)
+
+
+def test_global_ntile_no_unpartitioned_window(spark):
+    """The distributed form must not contain a single-partition window:
+    every windowspec partitions by the pid column."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import global_ntile
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = global_ntile(df, 10, [F.col("v").desc(), F.col("id").asc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[(.*?)\])?", plan):
+        part = m.group(2)
+        assert "ASC" not in part and "DESC" not in part, (
+            "unpartitioned window found: " + m.group(0)[:120]
+        )
