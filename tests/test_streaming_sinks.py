@@ -1,0 +1,61 @@
+"""Exactly-once foreachBatch sink: a streamed write must land every
+input row exactly once, and a REPLAYED micro-batch (the at-least-once
+delivery case after recovery) must not duplicate rows — whether the
+first attempt committed or crashed mid-write."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mknssh_11_bigdata_spark.sources.readers import load_table
+from mknssh_11_bigdata_spark.streaming.sinks import IdempotentParquetSink
+from mknssh_11_bigdata_spark.streaming.windows import (
+    stream_from_parquet_events,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_streamed_write_lands_exactly_once(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    stream = stream_from_parquet_events(spark, SF_SMOKE).select(
+        "event_id", "user_id", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sink.read(spark)
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
+
+
+def test_replayed_batch_does_not_duplicate(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    batch = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("v")
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # redelivery of a committed batch -> dropped
+    sink(batch, 1)
+    assert sink.read(spark).count() == 200
+    assert sink.committed_batches() == {0, 1}
+
+
+def test_crashed_partial_write_is_overwritten(spark, tmp_path):
+    """First attempt wrote data but died BEFORE the commit marker; the
+    replay must overwrite the partial output, not append to it."""
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    batch = spark.range(50).select(F.col("id").alias("event_id"))
+    # simulate the crash: data write succeeds, marker never written
+    batch.write.mode("overwrite").parquet(f"{sink.root}/batch_id=0")
+    assert sink.committed_batches() == set()
+    sink(batch, 0)  # replay commits properly
+    assert sink.read(spark).count() == 50
+    assert sink.committed_batches() == {0}
