@@ -1226,6 +1226,7 @@ _DRIVER_FIRST = [
     "dedup_component_size_histogram",
     "referential_integrity_audit",
     "lineitem_measure_melt",
+    "event_props_map_explode",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -799,3 +799,48 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "event_props_map_explode",
+    """
+    WITH kv AS (
+        SELECT e.event_type,
+               k AS prop_key,
+               json_extract_string(e.props, '$.' || k) AS prop_value
+        FROM (SELECT event_type, props,
+                     unnest(json_keys(props)) AS k
+              FROM events) e
+    )
+    SELECT event_type, prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(DISTINCT prop_value) AS BIGINT) AS n_distinct,
+           MIN(CAST(prop_value AS INTEGER)) AS min_int,
+           MAX(CAST(prop_value AS INTEGER)) AS max_int
+    FROM kv GROUP BY 1, 2
+    """,
+)
+def event_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured MAP pathway: ``from_json`` to
+    ``map<string,string>`` then a map EXPLODE to (key, value) rows —
+    the generic profile of a variable-schema props column (vs
+    ``event_props_k_stats``' fixed-path extraction). Per (event_type,
+    key): counts, distinct values, numeric min/max.
+
+    Scale: parse + explode run at scan speed (JsonToStructs +
+    Generate, no Python); the shuffle carries only the exploded
+    (type, key, value) triples; distinct-value counting rides the
+    same aggregate pass."""
+    e = _t(spark, sf_dir, "events")
+    kv = e.select(
+        "event_type",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("prop_key", "prop_value"),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.count_distinct("prop_value").cast("long").alias("n_distinct"),
+        F.min(F.col("prop_value").cast("int")).alias("min_int"),
+        F.max(F.col("prop_value").cast("int")).alias("max_int"),
+    )
