@@ -12,6 +12,8 @@ __all__ = [
     "write_parquet",
     "write_bucketed_table",
     "write_format",
+    "write_sorted_for_skipping",
+    "compact_parquet",
 ]
 
 
@@ -87,3 +89,82 @@ def write_format(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_sorted_for_skipping(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for DATA SKIPPING.
+
+    Parquet readers prune row groups (and whole files) whose column
+    min/max statistics exclude the query predicate — but statistics
+    only help if the data is CLUSTERED on the filtered column. A
+    shuffle-partitioned write scatters every value range into every
+    file (each file's min/max spans the whole domain → zero pruning).
+    Range-repartition on the sort key + sort within partitions gives
+    each output file a narrow, near-disjoint value range, so a
+    selective filter reads a handful of files instead of all of them.
+    At 100 TB this is the biggest read-side win after partitioning —
+    the poor man's Z-order for single-dimension scan keys.
+
+    (For TWO independent scan dimensions, partition by the coarse one
+    and range-sort the fine one inside each partition — this helper
+    handles the sort dimension; compose with ``write_parquet``'s
+    ``partition_by`` layout upstream for the coarse key.)
+    """
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — rewrite a parquet directory into
+    ~``target_file_bytes`` files, returning the new file count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    thousands of tiny files; at scale each file costs a namenode/
+    listing round-trip and a task, and row-group statistics degrade to
+    per-tiny-file granularity. Compaction sizes output files from the
+    MEASURED input bytes (never a guessed shuffle count), optionally
+    restoring the range-cluster layout while it rewrites.
+
+    Writes to ``<path>__compacting`` then atomically swaps, so a
+    failed compaction never corrupts the source directory.
+    """
+    import pathlib
+    import shutil
+
+    src = pathlib.Path(path)
+    total_bytes = sum(
+        p.stat().st_size for p in src.rglob("*.parquet")
+    )
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = str(src) + "__compacting"
+    if sort_cols:
+        (
+            df.repartitionByRange(n_files, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    back = str(src) + "__old"
+    shutil.move(str(src), back)
+    shutil.move(tmp, str(src))
+    shutil.rmtree(back)
+    return n_files

@@ -101,3 +101,68 @@ def test_orc_pushdown_in_plan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+
+
+def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: each output file's (min, max) interval on
+    the sort column must be near-disjoint from the others — the property
+    parquet row-group pruning needs. A plain shuffle write would give
+    every file the full domain."""
+    import pyarrow.parquet as pq
+
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+    from mknssh_11_bigdata_spark.sources.writers import (
+        write_sorted_for_skipping,
+    )
+
+    from conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = tmp_path / "sorted"
+    write_sorted_for_skipping(
+        orders, str(out), ["o_totalprice"], num_files=8
+    )
+    ranges = []
+    for f in sorted(out.glob("*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema
+                == "o_totalprice"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b
+    )
+    # range boundaries may share a single value; real overlap must be rare
+    assert overlaps <= 1, ranges
+    # and a selective predicate excludes most files by min/max alone
+    lo, hi = ranges[0][0], ranges[0][1]
+    covered = sum(1 for (a, b) in ranges if not (b < lo or a > hi))
+    assert covered <= 2
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+    from mknssh_11_bigdata_spark.sources.writers import compact_parquet
+
+    from conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = tmp_path / "frag"
+    orders.repartition(40).write.parquet(str(out))  # fragmented layout
+    before_rows = spark.read.parquet(str(out)).count()
+    n_small = len(list(out.glob("*.parquet")))
+    assert n_small >= 40
+    compact_parquet(spark, str(out), target_file_bytes=64 * 1024 * 1024)
+    after_files = len(list(out.glob("*.parquet")))
+    assert after_files < n_small
+    assert spark.read.parquet(str(out)).count() == before_rows
