@@ -1227,6 +1227,7 @@ _DRIVER_FIRST = [
     "referential_integrity_audit",
     "lineitem_measure_melt",
     "event_props_map_explode",
+    "embedding_dim_stats",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -2187,3 +2187,46 @@ def dedup_component_size_histogram(
         F.col("component_size").cast("long").alias("component_size"),
         "n_components",
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+        SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(STDDEV_SAMP(v), 6) AS std_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM ex GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the feature-health
+    diagnostic run before training/indexing: dead dimensions (zero
+    variance), mean drift, and range blowups all surface here, and the
+    per-dim mean/std are exactly what a standardization or PQ-codebook
+    step consumes.
+
+    Scale: posexplode → ONE aggregation keyed on the (tiny) dimension
+    index; rows × dim values stream through a scan-speed Generate, the
+    shuffle carries only dim-keyed partials (map-side combine)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding")).alias("dim0", "v0")
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

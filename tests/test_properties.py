@@ -249,3 +249,33 @@ def test_winnow_picks_match_python_model(spark, toks):
             rp = j + max(i for i, v in enumerate(win) if v == mv)
             want.add((rp + 1) * WINNOW_PAIR_BASE + mv)
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000_000),  # price cents
+            st.integers(min_value=0, max_value=10),          # discount %
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_quarter_cent_ledger_is_exact(lines):
+    """The SQL_REV_EXACT claim (queries_tpch.py): for 2-decimal prices
+    and discounts, round(price*(1-disc)*10000) in DOUBLE arithmetic
+    recovers the exact integer quarter-cent value — so sums are exact
+    and engine-independent. True value: price_cents*(100-disc_pct)."""
+    total_true = 0
+    total_led = 0.0
+    for pc, dc in lines:
+        price = pc / 100.0
+        disc = dc / 100.0
+        led = round(price * (1.0 - disc) * 10000.0)
+        true = pc * (100 - dc)
+        assert led == true, (pc, dc, led, true)
+        total_true += true
+        total_led += float(led)
+    # sums of integral doubles below 2^53 stay exact
+    assert total_led == float(total_true)
