@@ -1228,6 +1228,7 @@ _DRIVER_FIRST = [
     "lineitem_measure_melt",
     "event_props_map_explode",
     "embedding_dim_stats",
+    "corpus_oov_rate",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -1327,3 +1327,69 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (tokenizer diagnostics)
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 30
+
+
+@register(
+    "corpus_oov_rate",
+    f"""
+    WITH ex AS (
+        SELECT lang, unnest({SQL_TOKS.format(col='lower(text)')}) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM ex
+            GROUP BY 1 ORDER BY c DESC, token LIMIT {OOV_VOCAB_K}
+        )
+    )
+    SELECT ex.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS oov_rate
+    FROM ex LEFT JOIN vocab v ON v.token = ex.token
+    GROUP BY 1
+    """,
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language for a frequency-truncated
+    top-K vocabulary — the coverage number that decides a tokenizer's
+    vocab size and flags languages the vocabulary underserves (the
+    head language always wins a frequency-ranked vocab; the tail's
+    OOV rate is the fairness metric).
+
+    Scale: the vocabulary is top-K-small by construction → broadcast
+    left join against the exploded token stream at scan speed; the
+    only shuffles are the vocabulary's own agg and the final per-lang
+    agg (both tiny). Deterministic vocab: ties on count break by
+    token."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "lang",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        ex.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
