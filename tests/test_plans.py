@@ -170,17 +170,39 @@ def test_unigram_logprob_broadcasts_scalar_total(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_no_cartesian_product_in_any_registered_query(spark):
-    """Fleet-wide invariant: no registered query may compile to a
-    CartesianProduct — every cross join must carry a broadcast side.
-    (BroadcastNestedLoopJoin against a tiny/broadcast side is fine and
-    is asserted per-query where intended.)"""
+#: Unpartitioned windows allowed ONLY over bounded already-aggregated
+#: frames (years; the post-limit top-100 vocabulary) — BASELINE.md
+#: documents each.
+_BOUNDED_WINDOW_OK = {
+    "cumulative_yearly_revenue",
+    "yearly_revenue_yoy",
+    "corpus_vocabulary",
+}
+
+
+def test_fleet_plan_invariants(spark):
+    """ONE compile pass over every registered query enforcing the
+    fleet-wide scale invariants: (1) no CartesianProduct — every cross
+    join must carry a broadcast side; (2) no single-partition window
+    (ntile/rank over Window.orderBy with no partition — the one-task
+    sort) outside the documented bounded-input set; use
+    operators.relational.global_ntile for global ranking instead."""
+    import re
+
     offenders = []
     for name in QUERIES:
         df = QUERIES[name].spark(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders.append(name)
+            offenders.append((name, "CartesianProduct"))
+        if name not in _BOUNDED_WINDOW_OK:
+            for m in re.finditer(
+                r"Window \[(.*?)\], \[(.*?)\](?:, \[(.*?)\])?", plan
+            ):
+                part = m.group(2)
+                if "ASC" in part or "DESC" in part:
+                    offenders.append((name, "single-partition window"))
+                    break
     assert offenders == [], offenders
 
 
@@ -340,3 +362,57 @@ def test_integrity_audit_anti_joins_keys_only(spark):
     for frag in plan.split("ReadSchema")[1:]:
         read = frag.splitlines()[0]
         assert "o_totalprice" not in read and "l_extendedprice" not in read
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew evidence: with one hot key dominating the fact side, AQE's
+    skew-join optimization must split the oversized partition (the
+    final plan marks the sort-merge join skew=true). Thresholds are
+    lowered for test scale and restored after; the session ships with
+    skew handling ON (session.py)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        hot = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        )
+        tail = spark.range(1_000).select(
+            (F.col("id") % 97 + 100).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        fact = hot.unionByName(tail)
+        dim = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = fact.join(dim, "k")
+        joined.collect()  # AQE finalizes the plan at execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # Caveat worth pinning: a downstream aggregation keyed on the
+        # join key makes AQE SKIP the split (splitting would break the
+        # agg's required hash distribution unless
+        # forceOptimizeSkewedJoin re-shuffles) — skew relief applies to
+        # the join's OWN output, so hot-key aggregations still need
+        # salted_agg (plans/layout.py).
+        agg = fact.join(dim, "k").groupBy("k").count()
+        agg.collect()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in agg_plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
