@@ -1229,6 +1229,7 @@ _DRIVER_FIRST = [
     "event_props_map_explode",
     "embedding_dim_stats",
     "corpus_oov_rate",
+    "event_props_variant_stats",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -844,3 +844,44 @@ def event_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("prop_value").cast("int")).alias("min_int"),
         F.max(F.col("prop_value").cast("int")).alias("max_int"),
     )
+
+
+@register(
+    "event_props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing')
+                              IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path for semi-structured props: ``parse_json``
+    to the binary-encoded VariantType once, then typed
+    ``try_variant_get`` extractions — the modern engine's answer to
+    repeated string-JSON parsing (one parse, many cheap typed reads;
+    columnar shredding at rest when the sink supports it). Also
+    exercises the null-safe miss path (``$.missing``), which
+    try_variant_get returns NULL for instead of erroring.
+
+    Same aggregate contract as ``event_props_k_stats`` (which reads
+    the string column per-path) — the two queries certify both
+    semi-structured pathways against one oracle family."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("__v")
+    )
+    k = F.try_variant_get(F.col("__v"), "$.k", "int")
+    miss = F.try_variant_get(F.col("__v"), "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.sum(F.when(miss.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_path"),
+    )
