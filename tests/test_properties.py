@@ -279,3 +279,34 @@ def test_quarter_cent_ledger_is_exact(lines):
         total_led += float(led)
     # sums of integral doubles below 2^53 stay exact
     assert total_led == float(total_true)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=2, max_value=17),
+    mod=st.integers(min_value=2, max_value=50),
+)
+@settings(deadline=None, max_examples=10)
+def test_global_ntile_equals_window_ntile(spark, n, k, mod):
+    """Distributed NTILE ≡ window NTILE for arbitrary sizes, tile
+    counts, and tie densities (mod controls duplicate sort keys; id
+    breaks ties into a total order)."""
+    from pyspark.sql import Window
+
+    from mknssh_11_bigdata_spark.operators.relational import global_ntile
+
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") * 131 % mod).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    expected = {
+        (r["id"], r["t"])
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+        ).collect()
+    }
+    got = {
+        (r["id"], r["tile"])
+        for r in global_ntile(df, k, order).select("id", "tile").collect()
+    }
+    assert got == expected
