@@ -1230,6 +1230,7 @@ _DRIVER_FIRST = [
     "embedding_dim_stats",
     "corpus_oov_rate",
     "event_props_variant_stats",
+    "multimodal_payload_dedup",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

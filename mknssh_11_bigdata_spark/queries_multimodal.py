@@ -118,3 +118,37 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("entropy", 6).alias("entropy"),
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    """
+    SELECT md5(text) AS payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-payload dedup — the first pass of every multimodal
+    curation pipeline (identical image/audio files re-crawled under
+    different ids): content-hash the opaque payload bytes, group, keep
+    the min id. One JVM-side md5 per payload at scan speed; the
+    shuffle carries (16-byte hash, id) pairs, never payload bytes —
+    the same never-shuffle-payloads rule as every op in
+    multimodal/media.py.
+
+    The oracle hashes the text the fake payload derives from
+    (payload = UTF-8 bytes of text, attach_fake_media), so DuckDB's
+    md5(VARCHAR) over the string equals Spark's md5 over the bytes."""
+    m = _media(spark, sf_dir)
+    return (
+        m.select("doc_id", F.md5(F.col("payload")).alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
