@@ -46,10 +46,25 @@ def main() -> int:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark(app_name="mknssh11-bench")
 
-    # Warmup: one cheap query end-to-end to absorb JVM/codegen startup.
+    # Warmup: one cheap query end-to-end to absorb JVM/codegen startup,
+    # then one full scan of every table so no query's FIRST sample pays
+    # the OS page-cache cold read (measured at sf5: cold first sweeps
+    # ran 5-20x the warm median — BASELINE.md "sf5-fair spot-check").
+    # With reps=3 the median discards one cold sample, but a load spike
+    # on a second sample would then flip the median; warm inputs keep
+    # all samples comparable.
     QUERIES["distinct_segments"].spark(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    from mknssh_11_bigdata_spark.sources.readers import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     load_before = _loadavg()
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
