@@ -1231,6 +1231,8 @@ _DRIVER_FIRST = [
     "corpus_oov_rate",
     "event_props_variant_stats",
     "multimodal_payload_dedup",
+    "trailing_24h_user_spend",
+    "dedup_cross_source_matrix",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

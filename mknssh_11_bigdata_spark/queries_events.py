@@ -885,3 +885,51 @@ def event_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing_path"),
     )
+
+
+TRAILING_HOURS = 24
+
+
+@register(
+    "trailing_24h_user_spend",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_purchases_24h,
+           ROUND(SUM(value) OVER w, 4) AS spend_24h
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL {TRAILING_HOURS} HOURS PRECEDING
+                  AND CURRENT ROW
+    )
+    """,
+)
+def trailing_24h_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: for every purchase, the user's
+    purchase count and spend over the TRAILING 24 hours — the rolling
+    per-entity feature every fraud/engagement model consumes. Distinct
+    from ROWS frames (event_hourly_anomaly): the frame is bounded by a
+    TIME interval, so variable event density changes the frame size
+    per row.
+
+    Spark bounds RANGE frames numerically → order by the epoch-seconds
+    cast with a [-24*3600, 0] bound; DuckDB's INTERVAL RANGE frame has
+    the same both-ends-inclusive semantics, which the oracle hash
+    certifies. Partitioned by user_id — parallel, frame state bounded
+    per user; no single-partition window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-TRAILING_HOURS * 3600, 0)
+    )
+    p = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_purchases_24h"),
+        F.round(F.sum("value").over(w), 4).alias("spend_24h"),
+    )

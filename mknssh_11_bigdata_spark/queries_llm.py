@@ -2230,3 +2230,58 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+def _cross_source_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_cross_source_matrix", _cross_source_oracle())
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — WHERE the duplication lives:
+    near-dup pair counts per unordered (source, source) pair. The
+    curation question this answers is real: a heavy wiki×commoncrawl
+    cell means the crawl re-serves wiki and the dedup keep-policy
+    should prefer the canonical source; a heavy diagonal means
+    within-source boilerplate.
+
+    Plan: the MinHash pair sliver (tiny) joins the documents dim twice
+    for the source tags — both joins are sliver×dim on doc_id, then
+    one tiny agg on the unordered pair (least/greatest
+    canonicalization)."""
+    pairs = minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
