@@ -143,6 +143,12 @@ def compact_parquet(
 
     Writes to ``<path>__compacting`` then atomically swaps, so a
     failed compaction never corrupts the source directory.
+
+    Hive-partitioned inputs: partition COLUMNS are inferred on read and
+    preserved as data columns, but the rewritten layout is flat — to
+    keep the directory partitioning, compact each partition directory
+    separately (the per-partition paths are what accumulate small files
+    in practice anyway).
     """
     import pathlib
     import shutil

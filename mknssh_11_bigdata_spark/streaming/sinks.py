@@ -71,6 +71,12 @@ class IdempotentParquetSink:
     def read(self, spark: SparkSession) -> DataFrame:
         """Read back only COMMITTED batches, batch_id column dropped."""
         committed = self.committed_batches()
+        if not committed:
+            raise ValueError(
+                f"IdempotentParquetSink at {self.root}: no committed "
+                "batches to read (query never ran, or crashed before "
+                "its first commit)"
+            )
         df = spark.read.option("basePath", self.root).parquet(
             *[f"{self.root}/batch_id={b}" for b in sorted(committed)]
         )
