@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread", "salted_agg"]
+__all__ = ["spread", "salted_agg", "zorder_key"]
 
 
 def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
@@ -104,3 +104,57 @@ def salted_agg(
             for name, (c, fn) in aggs.items()
         ]
     )
+
+
+def zorder_key(
+    col_a,
+    a_min: float,
+    a_max: float,
+    col_b,
+    b_min: float,
+    b_max: float,
+    bits: int = 16,
+) -> "F.Column":
+    """Morton (Z-order) interleave of two columns as ONE pure Column
+    expression — the two-dimensional data-skipping key (the public
+    OPTIMIZE ZORDER technique): sorting by the interleaved key clusters
+    rows so that per-file min/max statistics are narrow on BOTH
+    dimensions at once, where a lexicographic sort narrows only the
+    leading column.
+
+    Each column is normalized to an integer grid [0, 2^bits) using the
+    provided min/max (compute them once upstream — one tiny agg — and
+    pass as literals so the expression stays foldable), then the two
+    grid coordinates' bits are interleaved: bit i of A lands at
+    position 2i, bit i of B at 2i+1. 2*bits ≤ 62 keeps the key in a
+    long.
+
+    JVM-side bit arithmetic only — the key costs ~4*bits integer ops
+    per row at scan speed, no UDF.
+    """
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit in a signed long")
+
+    def grid(c, lo, hi):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            return F.lit(0).cast("long")
+        scaled = (
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
+        )
+        return F.least(
+            F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        )
+
+    ga, gb = grid(col_a, a_min, a_max), grid(col_b, b_min, b_max)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftrightunsigned(ga, i).bitwiseAND(1), 2 * i)
+        bbit = F.shiftleft(
+            F.shiftrightunsigned(gb, i).bitwiseAND(1), 2 * i + 1
+        )
+        key = key.bitwiseOR(abit).bitwiseOR(bbit)
+    return key

@@ -166,3 +166,61 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after_files = len(list(out.glob("*.parquet")))
     assert after_files < n_small
     assert spark.read.parquet(str(out)).count() == before_rows
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic sort: write events clustered by the
+    Morton key of (user_id, value); every output file's min/max range
+    must be narrow on BOTH columns — a lexicographic (user_id, value)
+    sort leaves the SECOND column's per-file range at (nearly) the full
+    domain, which is exactly what Z-order fixes."""
+    import pyarrow.parquet as pq
+
+    from mknssh_11_bigdata_spark.plans.layout import zorder_key
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    ulo, uhi, vlo, vhi = [float(x) for x in stats]
+    zkey = zorder_key(
+        F.col("user_id"), ulo, uhi, F.col("value"), vlo, vhi, bits=12
+    )
+    n_files = 16
+    out = tmp_path / "z"
+    (
+        ev.withColumn("__z", zkey)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(str(out))
+    )
+
+    def file_ranges(col_name):
+        spans = []
+        for f in sorted(out.glob("*.parquet")):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col_name and c.statistics:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins:
+                spans.append(float(max(maxs)) - float(min(mins)))
+        return spans
+
+    u_spans = file_ranges("user_id")
+    v_spans = file_ranges("value")
+    assert len(u_spans) >= 8
+    u_domain, v_domain = uhi - ulo, vhi - vlo
+    # Z-order at k files should give ~domain/sqrt(k) per-file spans on
+    # BOTH dims; assert the median file covers well under the full
+    # domain on each (a lexicographic sort fails this for `value`).
+    u_med = sorted(u_spans)[len(u_spans) // 2]
+    v_med = sorted(v_spans)[len(v_spans) // 2]
+    assert u_med <= 0.6 * u_domain, (u_med, u_domain)
+    assert v_med <= 0.6 * v_domain, (v_med, v_domain)
