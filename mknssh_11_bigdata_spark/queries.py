@@ -1233,6 +1233,7 @@ _DRIVER_FIRST = [
     "multimodal_payload_dedup",
     "trailing_24h_user_spend",
     "dedup_cross_source_matrix",
+    "events_asof_last_click_30m",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

@@ -933,3 +933,60 @@ def trailing_24h_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_purchases_24h"),
         F.round(F.sum("value").over(w), 4).alias("spend_24h"),
     )
+
+
+ASOF_TOLERANCE_MIN = 30
+
+
+@register(
+    "events_asof_last_click_30m",
+    f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN c.click_ts END AS click_ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN c.click_value END AS click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_last_click_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's TOLERANCE arm: last click at-or-before each
+    purchase, but only within a 30-minute lookback — stale matches
+    become NULL while the purchase row survives (left semantics). This
+    is the bounded-staleness point-in-time join every feature-store
+    read uses ("latest feature value, but not older than X").
+
+    The oracle composes DuckDB's native ASOF LEFT JOIN with the
+    staleness CASE — an independent implementation of the same
+    bounded-lookback semantics, so the operator's tolerance path is
+    cross-engine certified, not just unit-tested."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["click_ts", "click_value"],
+        suffix="",
+        tolerance=f"{ASOF_TOLERANCE_MIN} minutes",
+    )
