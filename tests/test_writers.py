@@ -224,3 +224,70 @@ def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
     v_med = sorted(v_spans)[len(v_spans) // 2]
     assert u_med <= 0.6 * u_domain, (u_med, u_domain)
     assert v_med <= 0.6 * v_domain, (v_med, v_domain)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; mergeSchema=true
+    reads the union schema with NULLs for the old batch — the append
+    contract a long-lived 100 TB table lives by (new fields must not
+    require rewriting history)."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "evolving"
+    spark.range(10).select(
+        F.col("id"), F.lit("a").alias("source")
+    ).write.parquet(str(out / "day=1"))
+    spark.range(10, 20).select(
+        F.col("id"),
+        F.lit("b").alias("source"),
+        (F.col("id") * 2).alias("quality"),  # new column, day 2
+    ).write.parquet(str(out / "day=2"))
+    df = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert set(df.columns) == {"id", "source", "quality", "day"}
+    old = df.filter(F.col("day") == 1)
+    assert old.count() == 10
+    assert old.filter(F.col("quality").isNull()).count() == 10
+    assert df.filter(F.col("quality").isNotNull()).count() == 10
+
+
+def test_json_corrupt_records_are_quarantined_not_fatal(spark, tmp_path):
+    """Malformed rows in a JSON feed must quarantine into
+    _corrupt_record under PERMISSIVE mode (the default) — a 100 TB
+    ingest cannot abort on one bad line — while DROPMALFORMED drops
+    them and the clean rows parse identically either way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": 3, "v": 7}\n'  # numeric token: coerced to "7", NOT corrupt
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    # FAILFAST off / PERMISSIVE on: bad rows land in _corrupt_record
+    perm = spark.read.schema(schema).json(str(p)).cache()
+    bad = perm.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    good = perm.filter(F.col("_corrupt_record").isNull())
+    # note: {"v": 7} parses — StringType fields take any token's text
+    assert {r.id for r in good.collect()} == {1, 2, 3}
+    perm.unpersist()
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.id for r in dropped.filter(F.col("id").isNotNull()).collect()} == {1, 2, 3}
