@@ -251,3 +251,16 @@ def test_global_ntile_no_unpartitioned_window(spark):
         assert "ASC" not in part and "DESC" not in part, (
             "unpartitioned window found: " + m.group(0)[:120]
         )
+
+
+def test_cli_list_and_run(capsys):
+    """CLI smoke: `list` prints every registered query; unknown names
+    exit 2 with a pointer."""
+    from mknssh_11_bigdata_spark.__main__ import main
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in QUERIES:
+        assert name in out
+    assert main(["run", "no_such_query"]) == 2
