@@ -264,3 +264,31 @@ def test_cli_list_and_run(capsys):
     for name in QUERIES:
         assert name in out
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_zorder_key_exact_interleave(spark):
+    """Morton key exactness on a tiny grid: with bits=2 and domains
+    [0,3], the key must equal the hand-interleaved value
+    (A bits at even positions, B at odd)."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.plans.layout import zorder_key
+
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = {
+        (r.a, r.b): r.z
+        for r in df.withColumn(
+            "z", zorder_key(F.col("a"), 0, 3, F.col("b"), 0, 3, bits=2)
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in out.items():
+        assert z == morton(a, b), (a, b, z)
