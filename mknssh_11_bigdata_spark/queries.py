@@ -1234,6 +1234,7 @@ _DRIVER_FIRST = [
     "trailing_24h_user_spend",
     "dedup_cross_source_matrix",
     "events_asof_last_click_30m",
+    "doc_quality_deciles",
 ]
 
 #: Round-1 green + trivially re-certifiable locally — cede window slots.

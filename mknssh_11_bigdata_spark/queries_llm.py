@@ -2285,3 +2285,50 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
+
+
+def _quality_decile_oracle() -> str:
+    return f"""
+    WITH q AS ({_doc_quality_sql()}),
+    tiled AS (
+        SELECT q,
+               NTILE(10) OVER (ORDER BY q DESC, doc_id ASC) AS decile
+        FROM q
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(q), 6) AS min_q,
+           ROUND(MAX(q), 6) AS max_q,
+           ROUND(AVG(q), 6) AS avg_q
+    FROM tiled GROUP BY 1
+    """
+
+
+@register("doc_quality_deciles", _quality_decile_oracle())
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier bucketing — documents ranked into deciles by
+    composite quality score (ties broken by doc_id for a total order),
+    with per-decile score ranges: the tiering a mixing policy consumes
+    ("oversample the top decile, drop the bottom two").
+
+    Second registered consumer of :func:`global_ntile` (after
+    customer_spend_deciles) — distributed rank, NO single-partition
+    window, exact NTILE semantics against the window-SQL oracle."""
+    from .operators.relational import global_ntile
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("q")
+    )
+    tiled = global_ntile(
+        scored,
+        10,
+        [F.col("q").desc(), F.col("doc_id").asc()],
+        out="decile",
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+        F.round(F.avg("q"), 6).alias("avg_q"),
+    )
