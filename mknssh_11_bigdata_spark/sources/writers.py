@@ -171,6 +171,12 @@ def compact_parquet(
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     back = str(src) + "__old"
     shutil.move(str(src), back)
-    shutil.move(tmp, str(src))
+    try:
+        shutil.move(tmp, str(src))
+    except OSError:
+        # second rename failed: put the original back so the source
+        # path never dangles; the compacted copy stays in __compacting
+        shutil.move(back, str(src))
+        raise
     shutil.rmtree(back)
     return n_files
