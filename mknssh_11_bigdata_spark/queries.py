@@ -1149,122 +1149,76 @@ from . import queries_tpch  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate window management (VERDICT r1 "Next round" #1).
+# Driver-gate window management (VERDICT r2 "Next round" #1).
 #
-# The round-1 driver recorded CORRECTNESS rows for only the FIRST 50
-# registered queries, so the extension tail (all multimodal + 7 late
-# event/streaming-batch queries) never earned a hard driver-gate row.
-# The registry order is therefore explicit: queries with no green driver
-# row yet come first; trivially-certified core queries cede the tail
-# slots (their operators remain covered by pytest and the full local
-# driver simulation in tools/drive_entry.py, and their round-1 green
-# rows stand in CORRECTNESS_r01.json).
+# The driver records CORRECTNESS rows for only the first ~50 registered
+# queries per round, so registry ORDER decides which queries earn a hard
+# driver-gate row. Rounds 1-2 hand-maintained the rotation list and the
+# arithmetic overflowed (63 names vs a 50-row window → 13 queries never
+# certified). The rotation is now DERIVED from the recorded evidence:
+# every CORRECTNESS_r*.json at the repo root is read at import, a query
+# counts as driver-certified iff some round recorded hash_match=true for
+# it (or, for the by-design rows-only queries, recorded its weaker
+# rows-only row), and the registry orders uncertified-first /
+# certified-last. New queries and round-1 no_oracle rows therefore rotate
+# into the window automatically, with no list to keep in sync.
 # ---------------------------------------------------------------------------
 
-#: No CORRECTNESS_r01 row — must land inside the driver's check window.
-_DRIVER_FIRST = [
-    "multimodal_payload_profile",
-    "multimodal_frame_sample",
-    "multimodal_media_features",
-    "purchase_click_attribution",
-    "unattributed_purchases",
-    "tier_crossing_alerts",
-    "daily_event_type_pivot",
-    "event_value_quantiles",
-    "event_stream_dedup",
+#: Genuinely non-SQL-expressible queries (HLL/t-digest sketches, per-byte
+#: blob math): the driver's rows-only record is the strongest row they
+#: can ever earn, so one recorded row counts as certified.
+_ROWS_ONLY_BY_DESIGN = {
     "event_type_sketch_stats",
-    # Round-2 curation wave — no driver row yet, must land in-window.
-    "doc_repetition_profile",
-    "doc_decontaminate",
-    "doc_stratified_sample",
-    "corpus_bigram_top_terms",
-    "embedding_centroid_by_label",
-    "embedding_norm_quantiles",
-    "dedup_collapsed_components",
-    "doc_pack_sequences",
-    "embedding_topk_ivf_kmeans",
-    "corpus_mixing_weights",
-    "doc_quality_funnel",
-    "corpus_shuffle_manifest",
-    "event_time_rollup",
-    # Round-2 second wave — chunk dedup, int8 quantization, LM scoring.
-    "doc_chunk_dedup",
-    "embedding_int8_topk",
-    "embedding_quantization_profile",
-    "doc_unigram_logprob",
-    "dedup_embedding_components",
-    "doc_ngram_decontaminate",
-    "embedding_topk_ivf_int8",
-    "event_hourly_anomaly",
-    # Round-2 third wave — fine-band SRP geometry, PII scrub,
-    # incremental batch-vs-corpus dedup.
-    "dedup_embedding_cosine_lsh_fine",
-    "doc_pii_scrub",
-    "dedup_incremental",
-    "doc_winnowing_fingerprints",
-    "event_conversion_funnel",
-    "dedup_containment",
-    "event_cohort_retention",
-    "dedup_keep_best",
-    "doc_bigram_logprob",
-    "corpus_curation_pipeline",
-    "small_quantity_revenue",
-    "returned_order_priority_counts",
-    # Round-2 fourth wave — classic warehouse shapes (queries_tpch.py).
-    "nation_pair_trade_volume",
-    "nation_market_share",
-    "returned_revenue_top_customers",
-    "customer_order_count_distribution",
-    "large_volume_customers",
-    "disjunctive_band_revenue",
-    "idle_high_balance_customers",
-    # Round-2 fifth wave — tokenizer statistics, dedup diagnostics.
-    # (51-52nd in the window: if the driver caps CORRECTNESS at 50
-    # rows these two rotate to the r3 front; pytest parity covers
-    # them meanwhile.)
-    "corpus_bpe_pair_counts",
-    "dedup_component_size_histogram",
-    "referential_integrity_audit",
-    "lineitem_measure_melt",
-    "event_props_map_explode",
-    "embedding_dim_stats",
-    "corpus_oov_rate",
-    "event_props_variant_stats",
-    "multimodal_payload_dedup",
-    "trailing_24h_user_spend",
-    "dedup_cross_source_matrix",
-    "events_asof_last_click_30m",
-    "doc_quality_deciles",
+    "multimodal_media_features",
+}
+
+#: Queries whose implementation or oracle changed THIS round after
+#: already earning a green row — force them back into the window so the
+#: recorded certification never goes stale against the shipped code.
+_RECERTIFY = [
+    "dedup_embedding_components",  # n-scaled SRP geometry (r3)
+    "trailing_24h_user_spend",  # microsecond RANGE frame (r3, ADVICE)
+    "event_props_map_explode",  # TRY_CAST oracle (r3, ADVICE)
 ]
 
-#: Round-1 green + trivially re-certifiable locally — cede window slots.
-_DRIVER_LAST = [
-    "distinct_segments",
-    "revenue_by_dow",
-    "custkeys_1995_not_1996",
-    "custkeys_both_years",
-    "discount_histogram",
-    "quantity_buckets",
-    "cumulative_yearly_revenue",
-    "orders_null_profile",
-    "lineitem_describe",
-    "salted_status_totals",
-    "segment_profile",
-    "top3_orders_per_priority",
-    "customers_without_orders",
-    "region_nation_rollup",
-    "yearly_revenue_yoy",
-    "customer_spend_deciles",
-]
+
+def _driver_certified() -> set[str]:
+    """Names with a green (or by-design rows-only) row in any recorded
+    CORRECTNESS_r*.json. Missing/corrupt files are simply skipped — on a
+    fresh clone every query is uncertified and goes to the front."""
+    import json
+    import pathlib
+
+    certified: set[str] = set()
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                certified.add(name)
+            elif (
+                row.get("err") == "no_oracle"
+                and name in _ROWS_ONLY_BY_DESIGN
+                and row.get("spark_rows") is not None
+            ):
+                certified.add(name)
+    return certified
 
 
 def _reorder_registry() -> None:
-    middle = [
-        n for n in QUERIES if n not in _DRIVER_FIRST and n not in _DRIVER_LAST
-    ]
+    certified = _driver_certified() - set(_RECERTIFY)
     snapshot = dict(QUERIES)
+    front = [n for n in snapshot if n not in certified]
+    back = [n for n in snapshot if n in certified]
     QUERIES.clear()
-    for name in [*_DRIVER_FIRST, *middle, *_DRIVER_LAST]:
+    for name in [*front, *back]:
         QUERIES[name] = snapshot[name]
 
 

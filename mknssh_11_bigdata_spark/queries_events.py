@@ -815,8 +815,8 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, prop_key,
            CAST(COUNT(*) AS BIGINT) AS n_values,
            CAST(COUNT(DISTINCT prop_value) AS BIGINT) AS n_distinct,
-           MIN(CAST(prop_value AS INTEGER)) AS min_int,
-           MAX(CAST(prop_value AS INTEGER)) AS max_int
+           MIN(TRY_CAST(prop_value AS INTEGER)) AS min_int,
+           MAX(TRY_CAST(prop_value AS INTEGER)) AS max_int
     FROM kv GROUP BY 1, 2
     """,
 )
@@ -913,15 +913,20 @@ def trailing_24h_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIME interval, so variable event density changes the frame size
     per row.
 
-    Spark bounds RANGE frames numerically → order by the epoch-seconds
-    cast with a [-24*3600, 0] bound; DuckDB's INTERVAL RANGE frame has
-    the same both-ends-inclusive semantics, which the oracle hash
-    certifies. Partitioned by user_id — parallel, frame state bounded
-    per user; no single-partition window."""
+    Spark bounds RANGE frames numerically → order by ``unix_micros(ts)``
+    with a [-24h, 0] bound in MICROseconds, matching the timestamps' full
+    precision. An epoch-SECONDS cast would truncate: two purchases inside
+    the same second become RANGE peers (a later one counted in an earlier
+    row's "trailing" frame) and rows up to 1s older than 24h slip in —
+    exactly the drift DuckDB's exact INTERVAL arithmetic would expose on
+    denser data. DuckDB's INTERVAL RANGE frame has the same
+    both-ends-inclusive semantics, which the oracle hash certifies.
+    Partitioned by user_id — parallel, frame state bounded per user; no
+    single-partition window."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-TRAILING_HOURS * 3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-TRAILING_HOURS * 3600 * 1_000_000, 0)
     )
     p = _t(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"

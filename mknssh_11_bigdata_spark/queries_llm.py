@@ -649,7 +649,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SRP_BITS = 32
-SRP_BANDS = 4
 #: Hot-bucket guard cap, armed on every registered LSH query. Far above
 #: any bucket at test SFs (max observed: 36 at sf0.1), so local output
 #: stays exact and oracle-checked — while the anti-join guard path is
@@ -658,15 +657,25 @@ SRP_BANDS = 4
 LSH_MAX_BUCKET = 1000
 
 
+#: Auto-geometry switch points (mirror operators.dedup.srp_rows_per_band
+#: with n_bits=32, target bucket load 64): n ≤ 64·2^8 → 8-bit bands,
+#: n ≤ 64·2^16 → 16-bit, else one 32-bit band.
+SRP_SWITCH_16 = 64 * (1 << 8)
+SRP_SWITCH_32 = 64 * (1 << 16)
+
+
 def _srp_lsh_oracle() -> str:
     """The SRP-LSH pipeline is seed-fixed and fully deterministic — the
     hyperplanes are literal arrays — so DuckDB reproduces every sign bit
-    (verified bit-for-bat at sf0.01/sf0.1: list_dot_product folds doubles
-    in the same left-to-right order as Spark's ``aggregate``)."""
+    (verified bit-for-bit at sf0.01/sf0.1: list_dot_product folds doubles
+    in the same left-to-right order as Spark's ``aggregate``). The band
+    GEOMETRY is n-scaled (VERDICT r2 #3) via the same deterministic step
+    function the operator uses — a CASE on the corpus count, so the
+    oracle stays green at every SF while the 8-bit demo geometry never
+    touches a 10⁵+-row corpus."""
     from .operators.dedup import hyperplane_coefficients
 
     planes = hyperplane_coefficients(SRP_BITS, EMB_DIM, seed=42)
-    rows = SRP_BITS // SRP_BANDS
     bit_sql = ",\n        ".join(
         "CASE WHEN list_dot_product(v, [%s]) > 0 THEN '1' ELSE '0' END"
         % ", ".join(repr(x) for x in plane)
@@ -677,9 +686,17 @@ def _srp_lsh_oracle() -> str:
         "(sqrt(list_dot_product(ea.v, ea.v)) * "
         "sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
+    max_bands = SRP_BITS // 8
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    geom AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM e) <= {SRP_SWITCH_16}
+                    THEN 8
+                    WHEN (SELECT COUNT(*) FROM e) <= {SRP_SWITCH_32}
+                    THEN 16
+                    ELSE 32 END AS rows
     ),
     sig AS (
         SELECT vec_id, concat(
@@ -687,11 +704,12 @@ def _srp_lsh_oracle() -> str:
         ) AS sig FROM e
     ),
     bands AS (
-        SELECT vec_id, j AS band_idx, substr(sig, j * {rows} + 1, {rows})
-                   AS band_key
-        FROM sig CROSS JOIN (
-            SELECT unnest([{", ".join(str(j) for j in range(SRP_BANDS))}])
+        SELECT s.vec_id, j AS band_idx,
+               substr(s.sig, j * g.rows + 1, g.rows) AS band_key
+        FROM sig s CROSS JOIN geom g CROSS JOIN (
+            SELECT unnest([{", ".join(str(j) for j in range(max_bands))}])
                    AS j)
+        WHERE j < {SRP_BITS} / g.rows
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -714,12 +732,17 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate RECALL, but deterministic OUTPUT (seed-fixed literal
     hyperplanes) — the SQL oracle reproduces the sign bits, band buckets
     and verification bit-for-bit. Recall vs the exact scorer is
-    additionally asserted in tests/test_dedup.py on planted dups."""
-    # 4 bands × 8 bits: random pairs collide per band with P≈2⁻⁸, so
-    # candidates ≈ 4·n²/512 of all-pairs — the pruning that makes this
-    # the scale path. Tuned for the near-dup regime (cosine ≥ 0.9 ⇒
-    # P(bit)≈0.86 ⇒ recall ≈ 0.74; ≥0.95 ⇒ ≈0.89); at this demo
-    # threshold (0.4) recall is intentionally partial.
+    additionally asserted in tests/test_dedup.py on planted dups.
+
+    Band geometry is N-SCALED (``bands=None`` → the operator counts the
+    corpus and picks the smallest rows-per-band keeping expected random
+    bucket load ≤ 64): ≤16384 vectors → 4×8-bit bands (candidates ≈
+    4·n²/512 of all-pairs), ≤4.2M → 2×16-bit, else 1×32-bit — so the
+    geometry that BASELINE.md measured saturating at 100k vectors
+    (100.6M candidate pairs) is never the registered behavior at that
+    scale. Recall shifts toward near-1-cosine pairs as bands widen
+    (P(bit)≈0.86 at cosine 0.9 → 8-bit band recall ≈ 0.74; the
+    _fine variant certifies the 16-bit regime on planted dups)."""
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -727,7 +750,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM,
         threshold=COSINE_DUP_THRESHOLD,
         n_bits=SRP_BITS,
-        bands=SRP_BANDS,
+        bands=None,
         max_bucket_size=LSH_MAX_BUCKET,
     )
 
@@ -1890,7 +1913,7 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM,
         threshold=COSINE_DUP_THRESHOLD,
         n_bits=SRP_BITS,
-        bands=SRP_BANDS,
+        bands=None,  # n-scaled geometry, mirrored by the oracle's CASE
         max_bucket_size=LSH_MAX_BUCKET,
     )
     return (

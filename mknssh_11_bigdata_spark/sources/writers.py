@@ -141,8 +141,15 @@ def compact_parquet(
     MEASURED input bytes (never a guessed shuffle count), optionally
     restoring the range-cluster layout while it rewrites.
 
-    Writes to ``<path>__compacting`` then atomically swaps, so a
-    failed compaction never corrupts the source directory.
+    Writes to ``<path>__compacting`` then swaps via two renames — this
+    is CRASH-SAFE but NOT atomic: an in-process failure of the second
+    rename restores the original (the ``except`` below), but a process
+    death between the two renames leaves the dataset absent at ``path``
+    with the original stranded at ``<path>__old``. Recovery after such
+    a crash: ``mv <path>__old <path>`` (the compacted copy, if complete,
+    is at ``<path>__compacting``). A truly atomic swap needs a
+    current-pointer/symlink layout or a table format (Iceberg/Delta)
+    rather than plain directories.
 
     Hive-partitioned inputs: partition COLUMNS are inferred on read and
     preserved as data columns, but the rewritten layout is flat — to

@@ -55,7 +55,14 @@ class IdempotentParquetSink:
     def committed_batches(self) -> set[int]:
         if not self._marker_dir.exists():
             return set()
-        return {int(p.name) for p in self._marker_dir.iterdir()}
+        # Digit-only filter: a stray non-numeric entry (editor temp file,
+        # .DS_Store, filesystem artifact) must not poison every subsequent
+        # micro-batch with ValueError — markers are written as str(int).
+        return {
+            int(p.name)
+            for p in self._marker_dir.iterdir()
+            if p.name.isdigit()
+        }
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.committed_batches():

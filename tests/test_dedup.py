@@ -208,6 +208,48 @@ def test_embedding_lsh_recall_on_planted_near_dups(spark, vecs):
     assert approx == exact
 
 
+def test_srp_rows_per_band_n_scaled_geometry():
+    """VERDICT r2 #3: band width derives from corpus size — smallest r
+    from the {8,16,32} ladder keeping expected random bucket load
+    n/2^r ≤ 64 — so the 8-bit demo geometry never runs on the ≥100k
+    corpora where BASELINE measured it saturating (100.6M pairs)."""
+    from mknssh_11_bigdata_spark.operators.dedup import srp_rows_per_band
+
+    assert srp_rows_per_band(0) == 8
+    assert srp_rows_per_band(500) == 8
+    assert srp_rows_per_band(64 * 256) == 8  # boundary: load exactly 64
+    assert srp_rows_per_band(64 * 256 + 1) == 16
+    assert srp_rows_per_band(100_000) == 16  # the measured saturation n
+    assert srp_rows_per_band(64 * 65536) == 16
+    assert srp_rows_per_band(64 * 65536 + 1) == 32
+    assert srp_rows_per_band(10**9) == 32  # clamped at n_bits
+    # narrower signature clamps earlier
+    assert srp_rows_per_band(10**9, n_bits=16) == 16
+
+
+def test_embedding_near_dup_auto_bands_matches_pinned(spark, vecs):
+    """bands=None on a small corpus resolves to the same 8-bit-band
+    output as the pinned geometry (the oracle-compatibility contract)."""
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    kw = dict(dim=8, threshold=0.95, n_bits=16)
+    pinned = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            vecs, "vec_id", "embedding", bands=2, **kw
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            vecs, "vec_id", "embedding", bands=None, **kw
+        ).collect()
+    }
+    assert auto == pinned
+
+
 def test_hyperplane_signatures_shape_and_determinism(spark, vecs):
     from mknssh_11_bigdata_spark.operators.dedup import hyperplane_signatures
 
