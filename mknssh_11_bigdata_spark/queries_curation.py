@@ -1393,3 +1393,213 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI) and DSIR importance weighting — round-3 wave
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram occurrences for a PMI candidate: PMI of a
+#: singleton bigram is pure noise (one co-occurrence of two rare
+#: tokens maxes the score), so every collocation pipeline floors
+#: the count first.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def _pmi_oracle() -> str:
+    toks = SQL_TOKS.format(col="lower(text)")
+    return f"""
+    WITH t AS (SELECT {toks} AS t FROM documents),
+    uni AS (
+        SELECT token, COUNT(*) AS cu
+        FROM (SELECT unnest(t) AS token FROM t) GROUP BY token
+    ),
+    tot_u AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nu FROM uni),
+    big AS (
+        SELECT bigram, COUNT(*) AS cb
+        FROM (SELECT unnest({SQL_BIGRAMS}) AS bigram FROM t)
+        GROUP BY bigram
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    tot_b AS (SELECT CAST(SUM(cb) AS DOUBLE) AS nb FROM
+              (SELECT COUNT(*) AS cb
+               FROM (SELECT unnest({SQL_BIGRAMS}) AS bigram FROM t)
+               GROUP BY bigram))
+    SELECT b.bigram,
+           CAST(b.cb AS BIGINT) AS n_occurrences,
+           ROUND(ln((b.cb / tb.nb) /
+                    ((u1.cu / tu.nu) * (u2.cu / tu.nu))), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.token = split_part(b.bigram, ' ', 1)
+    JOIN uni u2 ON u2.token = split_part(b.bigram, ' ', 2)
+    CROSS JOIN tot_u tu CROSS JOIN tot_b tb
+    ORDER BY pmi DESC, b.bigram ASC
+    LIMIT {PMI_TOPK}
+    """
+
+
+@register("corpus_bigram_pmi", _pmi_oracle())
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the corpus's most
+    over-represented word pairs relative to their unigram frequencies
+    (PMI = ln P(ab)/(P(a)P(b)) over count-floored bigrams) — the
+    statistic behind phrase/boilerplate detection and tokenizer-merge
+    candidates, one step past raw bigram counts (which just surface
+    stopword pairs).
+
+    Scale: two explode+agg passes over one cached token frame build the
+    unigram and bigram count tables (both vocab-sized); the scoring
+    joins key on single tokens against the vocab-sized unigram table
+    (AQE broadcasts it in practice), totals are broadcast scalars, and
+    the top-k is TakeOrdered on the count-floored candidate sliver —
+    no corpus-scale sort anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    # one tokenized frame feeds the unigram AND bigram aggregations
+    t = t.localCheckpoint(eager=True)
+    uni = (
+        t.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    big_all = (
+        t.select(F.explode(TX.bigrams_of(F.col("t"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    nu = uni.agg(F.sum("cu").cast("double").alias("nu"))
+    nb = big_all.agg(F.sum("cb").cast("double").alias("nb"))
+    big = big_all.filter(F.col("cb") >= PMI_MIN_COUNT).select(
+        "bigram",
+        "cb",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("__w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("__w2"),
+    )
+    u1 = uni.select(F.col("token").alias("__w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("token").alias("__w2"), F.col("cu").alias("cu2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.col("nb"))
+            / ((F.col("cu1") / F.col("nu")) * (F.col("cu2") / F.col("nu")))
+        ),
+        6,
+    )
+    return (
+        big.join(u1, "__w1")
+        .join(u2, "__w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bigram",
+            F.col("cb").cast("long").alias("n_occurrences"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOPK)
+    )
+
+
+#: DSIR target domain: English docs stand in for "the distribution we
+#: want more of" (in production: a high-quality seed corpus).
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_oracle() -> str:
+    toks = SQL_TOKS.format(col="lower(text)")
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, lang, unnest({toks}) AS token FROM documents
+    ),
+    call AS (SELECT token, COUNT(*) AS ca FROM ex GROUP BY token),
+    ctgt AS (SELECT token, COUNT(*) AS ct FROM ex
+             WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token),
+    scal AS (
+        SELECT CAST((SELECT COUNT(*) FROM call) AS DOUBLE) AS v,
+               CAST((SELECT SUM(ca) FROM call) AS DOUBLE) AS na,
+               CAST((SELECT COALESCE(SUM(ct), 0) FROM ctgt) AS DOUBLE)
+                   AS nt
+    ),
+    lr AS (
+        SELECT e.doc_id,
+               ROUND(ln((COALESCE(t.ct, 0) + 1) / (s.nt + s.v))
+                     - ln((c.ca + 1) / (s.na + s.v)), 6) AS lr
+        FROM ex e
+        JOIN call c USING (token)
+        LEFT JOIN ctgt t USING (token)
+        CROSS JOIN scal s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lr) / COUNT(*), 4) AS avg_logratio,
+           ROUND(SUM(lr) / COUNT(*), 4) > 0 AS target_like
+    FROM lr GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("dsir_importance_weights", _dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by the mean
+    per-token log-ratio of an add-1-smoothed TARGET unigram LM (here:
+    the corpus's English slice) over the full-corpus LM. Positive mean
+    ⇒ the doc looks more like the target domain than the raw pool —
+    the ranking a data-selection pass resamples by. Hashed-ngram DSIR
+    swaps the token key for a hashed-feature key; the plan is
+    identical.
+
+    Scale: the same shape as ``doc_unigram_logprob`` with TWO count
+    tables fit in one explode pass (the target table is a filtered
+    re-aggregation, both vocab-sized); smoothing constants travel as
+    one broadcast scalar row; per-token ratios are rounded before the
+    per-doc mean so both engines sum identical doubles."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    call = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .localCheckpoint(eager=True)
+    )
+    ctgt = (
+        ex.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    scal = F.broadcast(
+        call.agg(
+            F.count(F.lit(1)).cast("double").alias("v"),
+            F.sum("ca").cast("double").alias("na"),
+        ).crossJoin(
+            ctgt.agg(
+                F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")
+            )
+        )
+    )
+    lr = F.round(
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("v")))
+        - F.log((F.col("ca") + 1) / (F.col("na") + F.col("v"))),
+        6,
+    )
+    scored = (
+        ex.join(call, "token")
+        .join(ctgt, "token", "left")
+        .crossJoin(scal)
+        .select("doc_id", lr.alias("lr"))
+    )
+    avg = F.round(F.sum("lr") / F.count(F.lit(1)), 4)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            avg.alias("avg_logratio"),
+            (avg > 0).alias("target_like"),
+        )
+        .orderBy("doc_id")
+    )

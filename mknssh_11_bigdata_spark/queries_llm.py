@@ -2355,3 +2355,172 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("q"), 6).alias("max_q"),
         F.round(F.avg("q"), 6).alias("avg_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by cluster-then-prune (round-3 wave)
+# ---------------------------------------------------------------------------
+
+#: Within-cluster cosine above which the larger-id vector is pruned.
+#: At the synthetic corpus's cosine range (max pair ≈ 0.51) this keeps
+#: the prune set non-empty without being trivially everything.
+SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """Unrolls the SAME deterministic Lloyd fit as
+    :func:`_ivf_kmeans_oracle` (kept textually separate so this round's
+    query can't invalidate that oracle's green row), then prunes
+    within-cluster: a vector is dropped iff a SMALLER-id cluster-mate
+    sits within SEMDEDUP_TAU cosine."""
+    cos_fc = (
+        "ROUND(list_dot_product(f.v, c.emb) / "
+        "(sqrt(list_dot_product(f.v, f.v)) * "
+        "sqrt(list_dot_product(c.emb, c.emb))), 6)"
+    )
+    iter_ctes = []
+    for it in range(1, KM_ITERS + 1):
+        p = it - 1
+        iter_ctes.append(f"""
+    a{it} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT f.vec_id, f.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                        ORDER BY {cos_fc} DESC NULLS LAST,
+                                 c.cid ASC) AS rn
+            FROM e f CROSS JOIN c{p} c
+        ) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT cid, dim, ROUND(AVG(x), 9) AS m
+        FROM (SELECT cid, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS dim
+              FROM a{it})
+        GROUP BY cid, dim
+    ),
+    c{it} AS (
+        SELECT c.cid,
+               COALESCE((SELECT list(m ORDER BY dim)
+                         FROM m{it} WHERE m{it}.cid = c.cid),
+                        c.emb) AS emb
+        FROM c{p} c
+    )""")
+    cos_ac = (
+        "ROUND(list_dot_product(av, cent) / "
+        "(sqrt(list_dot_product(av, av)) * "
+        "sqrt(list_dot_product(cent, cent))), 6)"
+    )
+    cos_ab = (
+        "ROUND(list_dot_product(a.av, b.av) / "
+        "(sqrt(list_dot_product(a.av, a.av)) * "
+        "sqrt(list_dot_product(b.av, b.av))), 6)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
+                    AS INTEGER) AS cid, v AS emb
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY vec_id ASC LIMIT {KM_CENTROIDS})
+    ),{",".join(iter_ctes)},
+    cent AS (
+        SELECT cid AS centroid_id, emb AS cent FROM c{KM_ITERS}
+    ),
+    assigned AS (
+        SELECT vec_id, av, centroid_id FROM (
+            SELECT e.vec_id, e.v AS av, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_ac} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {cos_ab} >= {SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, s.centroid_id,
+           p.vec_id IS NOT NULL AS pruned
+    FROM assigned s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+@register("dedup_semdedup_prune", _semdedup_oracle())
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the
+    deterministic Lloyd fit, then prune within-cluster semantic
+    duplicates — a vector is dropped iff a smaller-id cluster-mate sits
+    at cosine ≥ τ (the greedy keep-min-id policy; the paper keeps the
+    centroid-farthest, any deterministic keeper works). The point of
+    the method is the SCALE shape: pairwise comparison happens only
+    INSIDE clusters (Σ nᵢ² ≪ n² for balanced clusters), so the
+    quadratic step is bounded by the largest cluster, not the corpus —
+    the same cost discipline as the LSH buckets, with semantic rather
+    than syntactic candidate generation.
+
+    Plan: one broadcast-assignment pass (model-sized centroid table),
+    one centroid_id-keyed self-join for candidates, exact rounded
+    cosine verification, then a left anti-ish flag join back — all
+    shuffles keyed on centroid_id/vec_id, no corpus² anywhere."""
+    from .operators.similarity import cosine_similarity, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", n_centroids=KM_CENTROIDS, iters=KM_ITERS
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("av")
+    )
+    cos_vc = F.round(
+        cosine_similarity(F.col("av"), F.col("cent")), 6
+    )
+    assigned = (
+        e.crossJoin(
+            F.broadcast(
+                cents.select(
+                    "centroid_id", F.col("__cent").alias("cent")
+                )
+            )
+        )
+        .withColumn("__sim", cos_vc)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__sim"), -F.col("centroid_id")),
+            ).alias("centroid_id"),
+            F.first("av").alias("av"),
+        )
+        .localCheckpoint(eager=True)  # feeds the self-join twice
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos_ab = F.round(
+        cosine_similarity(F.col("a.av"), F.col("b.av")), 6
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos_ab >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__p", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("__p"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )

@@ -661,3 +661,88 @@ def lineitem_measure_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total"),
         F.round(F.avg("value"), 6).alias("mean"),
     )
+
+
+# --- Bucketed-layout join (VERDICT r2 #4) -----------------------------------
+#
+# write_bucketed_table's shuffle-free fact⋈fact claim is plan-asserted in
+# tests/test_writers.py, but no registered query ran against a bucketed
+# layout — so the claim had no driver-gate oracle row. This query IS that
+# row: it prepares orders/lineitem bucketed+sorted on the order key (once
+# per session per sf_dir; reuse afterwards — exactly how a production
+# layout amortizes), then runs the canonical revenue join ON the bucketed
+# tables with a merge-join hint so the bucket layout, not a broadcast,
+# carries the join. The oracle joins the raw parquet views — same
+# semantics, so the hash row certifies that the bucketed layout changes
+# the PLAN (no Exchange upstream of the SortMergeJoin; asserted in
+# tests/test_plans.py) and not the ANSWER.
+
+BUCKETED_JOIN_BUCKETS = 8
+
+
+def _bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """orders/lineitem as bucket(8, orderkey) sorted managed tables.
+
+    Table names carry an sf_dir content tag, and data files live under
+    the repo's gitignored ``spark-warehouse/`` regardless of the
+    caller's cwd. Rewritten only when the session catalog doesn't know
+    the table (bucket METADATA lives in the catalog; a bare parquet
+    directory can't be trusted as bucketed) — callers with mutable
+    source dirs must use fresh dirs, as the test fixtures do.
+    """
+    import hashlib
+    import pathlib
+
+    from .sources.writers import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = pathlib.Path(__file__).resolve().parent.parent / (
+        "spark-warehouse"
+    )
+    names = {}
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"bkt_{table}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            write_bucketed_table(
+                _t(spark, sf_dir, table),
+                tbl,
+                bucket_cols=[key],
+                n_buckets=BUCKETED_JOIN_BUCKETS,
+                sort_cols=[key],
+                path=str(warehouse / tbl),
+            )
+        names[table] = tbl
+    return spark.table(names["orders"]), spark.table(names["lineitem"])
+
+
+@register(
+    "bucketed_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join on a prepared bucketed layout: both
+    sides hash-clustered into the same 8 buckets on the order key, so
+    the merge join reads co-located buckets with NO Exchange and (both
+    sides bucket-sorted) no extra Sort — the physical plan a recurring
+    100 TB fact join should run, where the one-time layout write
+    replaces a per-query full-data shuffle. The merge hint keeps AQE
+    from broadcasting the small test-SF side, so the driver certifies
+    the bucketed plan itself."""
+    orders, lineitem = _bucketed_fact_tables(spark, sf_dir)
+    joined = orders.hint("merge").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.round(F.sum(_rev()), 2).alias("revenue"),
+    )

@@ -63,6 +63,14 @@ def sessionize_with_state(
 ) -> DataFrame:
     """Per-user sessionization with explicit state + event-time timeout.
 
+    SCOPE: this is the STREAMING operator — explicit state is what an
+    unbounded stream needs, and the Python fold pays for it (~100k
+    rows/s measured at sf5). For BOUNDED data use the registered
+    ``batch_sessionization`` (queries_events.py): identical output from
+    a pure JVM window plan, certified against the same oracle, ~3×
+    faster and scale-proportional. Don't benchmark this fold as "the"
+    sessionization.
+
     Streaming: groups by user; each micro-batch folds that user's events
     into the open-session state; a session is emitted when a new event
     arrives more than ``gap_seconds`` after the last one (half-open, like

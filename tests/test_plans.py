@@ -416,3 +416,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_bucketed_join_no_exchange_below_merge_join(spark):
+    """The prepared bucketed layout must carry the fact⋈fact join: both
+    scans read bucketed tables and NO Exchange appears below the
+    SortMergeJoin (the only exchange is the post-join groupBy's). This
+    is the physical plan the one-time layout write buys at 100 TB."""
+    plan = _plan(spark, "bucketed_priority_revenue")
+    assert "SortMergeJoin" in plan
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree
+    assert join_subtree.count("Bucketed: true") == 2
