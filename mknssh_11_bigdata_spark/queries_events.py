@@ -1241,3 +1241,81 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+#: 3 × 1.4826 (the normal-consistency constant): the classic robust
+#: "beyond 3 sigma-equivalents" outlier cut. One literal shared with the
+#: oracle so both engines compare against the identical double.
+MAD_CUT = 4.4478
+
+
+@register(
+    "event_value_outliers_mad",
+    f"""
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, m.med,
+               ROUND(abs(e.value - m.med), 6) AS dev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ANY_VALUE(d.med) AS median_value,
+           ANY_VALUE(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > ROUND({MAD_CUT} * a.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event type, median → per-row absolute deviation → median of
+    deviations (MAD) → count of rows beyond 3×1.4826×MAD. Unlike
+    mean/stddev z-scores (event_hourly_anomaly's shape), the MAD cut
+    itself is immune to the outliers it hunts — the robust-statistics
+    gate a value-distribution monitor actually ships.
+
+    Scale: exact two-level medians genuinely cost two passes over the
+    fact (no single-pass decomposition exists); each pass is a
+    types-keyed exact percentile with the tiny per-type frames
+    broadcast back. Every intermediate is rounded to 6 digits BEFORE
+    the next stage so both engines interpolate and compare identical
+    doubles. At 100 TB swap `percentile` for `approx_percentile` and
+    one pass disappears — registered exact to keep the hash oracle."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.round(F.lit(MAD_CUT) * F.col("mad"), 6),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

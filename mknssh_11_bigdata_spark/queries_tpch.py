@@ -746,3 +746,76 @@ def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         F.round(F.sum(_rev()), 2).alias("revenue"),
     )
+
+
+RFM_TILES = 4
+
+
+@register(
+    "customer_rfm_segments",
+    f"""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT custkey, monetary,
+               NTILE({RFM_TILES}) OVER (ORDER BY last_order DESC, custkey)
+                   AS r_tile,
+               NTILE({RFM_TILES}) OVER (ORDER BY frequency DESC, custkey)
+                   AS f_tile,
+               NTILE({RFM_TILES}) OVER (ORDER BY monetary DESC, custkey)
+                   AS m_tile
+        FROM rfm
+    )
+    SELECT r_tile, f_tile, m_tile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 2) AS total_monetary
+    FROM t GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartiles per
+    customer, aggregated to segment cells (the marketing-analytics
+    workhorse). Each quartile is a TOTAL-ordered NTILE; ties broken by
+    custkey, and the monetary sort key is rounded BEFORE ranking so
+    double summation-order noise can't reorder near-equal customers
+    across engines.
+
+    Scale: the ranked frame is the per-customer aggregate (≪ orders);
+    each quartile runs through ``global_ntile`` — a range-repartitioned
+    distributed rank, never the single-partition ``ntile().over()``
+    window — and the final segment rollup is a ≤4³-cell aggregate."""
+    from .operators.relational import global_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    t = global_ntile(
+        rfm,
+        RFM_TILES,
+        [F.col("last_order").desc(), F.col("custkey").asc()],
+        out="r_tile",
+    )
+    t = global_ntile(
+        t,
+        RFM_TILES,
+        [F.col("frequency").desc(), F.col("custkey").asc()],
+        out="f_tile",
+    )
+    t = global_ntile(
+        t,
+        RFM_TILES,
+        [F.col("monetary").desc(), F.col("custkey").asc()],
+        out="m_tile",
+    )
+    return t.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    )
