@@ -59,3 +59,65 @@ def test_crashed_partial_write_is_overwritten(spark, tmp_path):
     sink(batch, 0)  # replay commits properly
     assert sink.read(spark).count() == 50
     assert sink.committed_batches() == {0}
+
+
+def test_latest_snapshot_sink_matches_batch_compaction(spark, tmp_path):
+    """Streamed upsert over micro-batches must converge to the same
+    snapshot the batch latest-record-per-key query computes."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import LatestSnapshotSink
+
+    sink = LatestSnapshotSink(
+        str(tmp_path / "snap"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    stream = stream_from_parquet_events(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.event_id)
+        for r in sink.read(spark).collect()
+    }
+    want = {
+        (r.user_id, r.last_event_id)
+        for r in QUERIES["events_latest_per_user"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+
+
+def test_latest_snapshot_sink_replay_and_versioning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.streaming.sinks import LatestSnapshotSink
+
+    sink = LatestSnapshotSink(
+        str(tmp_path / "snap"), key_cols=["k"], order_cols=["seq"]
+    )
+    b0 = spark.createDataFrame([(1, 10, "a"), (2, 11, "b")], ["k", "seq", "v"])
+    b1 = spark.createDataFrame([(1, 20, "c"), (3, 12, "d")], ["k", "seq", "v"])
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay of a committed batch — must be a no-op
+    snap = {(r.k, r.seq, r.v) for r in sink.read(spark).collect()}
+    assert snap == {(1, 20, "c"), (2, 11, "b"), (3, 12, "d")}
+    # crashed half-write of batch 2: version dir exists, marker absent
+    b2 = spark.createDataFrame([(2, 30, "e")], ["k", "seq", "v"])
+    b2.write.mode("overwrite").parquet(f"{sink.root}/v=2")
+    assert sink.committed_batches() == {0, 1}
+    sink(b2, 2)  # replay merges against the last COMMITTED version
+    snap = {(r.k, r.seq, r.v) for r in sink.read(spark).collect()}
+    assert snap == {(1, 20, "c"), (2, 30, "e"), (3, 12, "d")}
+    # old versions pruned beyond keep_versions=2
+    assert sink.committed_batches() == {1, 2}
