@@ -1319,3 +1319,193 @@ def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff — what changed between two as-of materializations
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_T1 = "2024-01-20 00:00:00"
+SNAPSHOT_T2 = "2024-01-30 00:00:00"
+
+
+@register(
+    "events_snapshot_diff",
+    f"""
+    WITH s1 AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{SNAPSHOT_T1}'
+        ) WHERE rn = 1
+    ),
+    s2 AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{SNAPSHOT_T2}'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+           COALESCE(s2.event_type, s1.event_type) AS event_type,
+           CASE WHEN s1.user_id IS NULL THEN 'inserted'
+                WHEN s1.event_id <> s2.event_id THEN 'updated'
+                ELSE 'unchanged' END AS status,
+           s1.event_id AS old_event_id,
+           s2.event_id AS new_event_id
+    FROM s1 FULL OUTER JOIN s2
+      ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — classify every (user, event-type) key as
+    inserted / updated / unchanged between two as-of compactions of the
+    changelog (the table-versioning "what changed since T1" audit;
+    deletes can't occur on an append-only log, so the full-outer shape
+    still proves out the three-way CASE).
+
+    Physical shape: both snapshots are rank-1 windows over the SAME
+    key partitioning, and the diff is a full-outer join on that same
+    key — one shuffle layout reused three times. At 100 TB the as-of
+    filters push to the scan, and incremental engines would read two
+    manifest versions instead; the relational semantics certified here
+    are exactly what a snapshot-isolation reader must produce."""
+    e = _t(spark, sf_dir, "events")
+
+    def snap(hi: str, tag: str) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            e.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("event_type").alias(f"{tag}_type"),
+                F.col("event_id").alias(f"{tag}_event_id"),
+            )
+        )
+
+    s1, s2 = snap(SNAPSHOT_T1, "s1"), snap(SNAPSHOT_T2, "s2")
+    j = s1.join(
+        s2,
+        (s1.s1_user == s2.s2_user) & (s1.s1_type == s2.s2_type),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("s2_user", "s1_user").alias("user_id"),
+        F.coalesce("s2_type", "s1_type").alias("event_type"),
+        F.when(F.col("s1_user").isNull(), "inserted")
+        .when(F.col("s1_event_id") != F.col("s2_event_id"), "updated")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.col("s1_event_id").alias("old_event_id"),
+        F.col("s2_event_id").alias("new_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 — value-tier history intervals per user (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+SCD2_TIER_MID = 100.0
+SCD2_TIER_HIGH = 300.0
+
+
+@register(
+    "user_value_scd2",
+    f"""
+    WITH tiers AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value >= {SCD2_TIER_HIGH} THEN 'high'
+                    WHEN value >= {SCD2_TIER_MID} THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN tier = lag(tier) OVER w THEN 0 ELSE 1 END
+                   AS changed
+        FROM tiers
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT *,
+               SUM(changed) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, tier, island,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, tier, island
+    )
+    SELECT user_id, tier, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           CAST(lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) IS NULL
+               AS BOOLEAN) AS is_current,
+           n_events
+    FROM intervals
+    """,
+)
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build — collapse each user's
+    purchase history into tier intervals (valid_from / valid_to /
+    is_current), where tier is a spend band per purchase and
+    consecutive same-tier purchases merge into one interval
+    (gaps-and-islands on attribute change, not time gap — the
+    dimension-history twin of sessionization).
+
+    Physical shape: every window partitions by user_id with the same
+    (ts, event_id) total order, so ONE hash shuffle feeds the lag flag,
+    the running island sum, the interval rollup, and the lead stitch —
+    Catalyst collapses adjacent same-partitioning windows into a single
+    exchange. Intervals are half-open ``[valid_from, valid_to)`` with a
+    NULL-ended current row, the standard warehouse dimension contract."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    tiered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= SCD2_TIER_HIGH, "high")
+        .when(F.col("value") >= SCD2_TIER_MID, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = tiered.withColumn(
+        "changed",
+        F.when(
+            F.col("tier") == F.lag("tier").over(seq), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("changed").over(
+            seq.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = islands.groupBy("user_id", "tier", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    stitch = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(stitch).alias("valid_to"),
+        F.lead("valid_from").over(stitch).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -2533,3 +2533,134 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse idf-weighted cosine near-dup — the inverted-index arm of the
+# similarity family (dense cosine above scores vectors; this scores the
+# documents themselves, no embedding model required)
+# ---------------------------------------------------------------------------
+
+#: Inverted-index posting caps: a shingle participates in candidate
+#: generation only if its document frequency is BOTH ≤ 10% of the corpus
+#: (a shared-by-everyone shingle carries no signal) and ≤ an absolute
+#: posting bound (at 100 TB a boilerplate shingle in 10% of documents
+#: would alone emit ~(0.1N)² pairs). Locally non-binding (max df at
+#: sf0.1 is ~70), armed for scale — same pattern as LSH_MAX_BUCKET.
+TFIDF_DF_FRAC_DEN = 10  # df * 10 <= n_docs  ⇔  df ≤ 10% of corpus
+TFIDF_DF_ABS_CAP = 1000
+TFIDF_COSINE_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_tfidf_cosine",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='lower(text)')} AS t
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    df AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT ex.doc_id, ex.shingle,
+               ROUND(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS w
+        FROM ex JOIN df USING (shingle) CROSS JOIN n
+        WHERE df.df * {TFIDF_DF_FRAC_DEN} <= n.n_docs
+          AND df.df <= {TFIDF_DF_ABS_CAP}
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(a.w * b.w) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.id_a
+    JOIN norms nb ON nb.doc_id = dots.id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COSINE_THRESHOLD}
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse idf-weighted cosine near-dup pairs over word-shingle sets
+    — the inverted-index similarity arm: no MinHash approximation, no
+    embedding model, exact cosine on the df-capped shingle vocabulary.
+
+    Physical shape: ONE explode builds the posting list; it feeds the
+    document-frequency table, the per-document norms, and BOTH sides of
+    the candidate self-join, so it is materialized once
+    (localCheckpoint — the inverted index every IR system persists).
+    Candidate pairs come from the shingle-keyed self-join, never a
+    doc×doc cross join, and cost is Σ_shingle df² with df bounded by
+    the posting caps above. The dot product is a plain partial-agg SUM
+    per pair; cosine is rounded to 6 before the threshold compare on
+    both engines (repo float policy). Complements `dedup_minhash_lsh`
+    (probabilistic recall) and `dedup_embedding_cosine*` (dense
+    vectors): at sf0.01 the three arms agree on the planted clusters."""
+    from .plans.layout import spread
+
+    d = _t(spark, sf_dir, "documents")
+    ex = spread(d).select(
+        "doc_id",
+        F.explode(
+            TX.shingles_of(TX.tokens(F.lower(F.col("text"))))
+        ).alias("shingle"),
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        ex.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") * TFIDF_DF_FRAC_DEN <= F.col("n_docs"))
+            & (F.col("df") <= TFIDF_DF_ABS_CAP)
+        )
+        .select(
+            "doc_id",
+            "shingle",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0,
+                6,
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingle"),
+        F.col("w").alias("wa"),
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingle"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, (a.shingle == b.shingle) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("na_id"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("nb_id"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, dots.id_a == na.na_id)
+        .join(nb, dots.id_b == nb.nb_id)
+        .filter(cos >= TFIDF_COSINE_THRESHOLD)
+        .select("id_a", "id_b", "n_shared", cos.alias("cosine"))
+    )

@@ -819,3 +819,334 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("total_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion revenue share per month (conditional-share over a dim join)
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "PROMO"
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(EXTRACT(MONTH FROM l.l_shipdate) AS INTEGER) AS ship_month,
+           SUM(CASE WHEN p.p_type = '{PROMO_TYPE}'
+                    THEN ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000, 0)
+                    ELSE 0 END) / 10000.0 AS promo_revenue,
+           {SQL_REV_EXACT} AS total_revenue,
+           ROUND(100.0 * (SUM(CASE WHEN p.p_type = '{PROMO_TYPE}'
+                                   THEN ROUND(l.l_extendedprice
+                                              * (1 - l.l_discount)
+                                              * 10000, 0)
+                                   ELSE 0 END))
+                 / SUM(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                             * 10000, 0)), 4) AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — monthly share of revenue from promotional
+    parts: one fact⋈dim join feeding a guarded-sum / total-sum ratio
+    computed in a single aggregation pass (never two scans).
+
+    Physical shape: ``part`` projects to (key, type) and broadcasts —
+    the dim is small relative to the fact at every scale that matters,
+    and even when it isn't, AQE's size estimate decides. Both sums ride
+    the exact quarter-cent ledger (module header), so the share ratio
+    divides two integers that are bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        F.round(_rev() * F.lit(10000.0), 0).alias("rev4"),
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    promo4 = F.sum(
+        F.when(F.col("p_type") == PROMO_TYPE, F.col("rev4")).otherwise(0.0)
+    )
+    total4 = F.sum("rev4")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("ship_year", "ship_month")
+        .agg(
+            (promo4 / F.lit(10000.0)).alias("promo_revenue"),
+            (total4 / F.lit(10000.0)).alias("total_revenue"),
+            F.round(F.lit(100.0) * promo4 / total4, 4).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by revenue in a window (global-max correlated agg)
+# ---------------------------------------------------------------------------
+
+TOP_SUPP_LO = "1996-01-01"
+TOP_SUPP_HI = "1996-04-01"
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+        SELECT l.l_suppkey AS suppkey,
+               SUM(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                         * 10000, 0)) AS rev4
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '{TOP_SUPP_LO}'
+          AND l.l_shipdate <  TIMESTAMP '{TOP_SUPP_HI}'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rev4 / 10000.0 AS total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.suppkey
+    WHERE rev.rev4 = (SELECT MAX(rev4) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) whose quarterly revenue equals
+    the global maximum (ALL ties kept, unlike top-1-with-limit). The
+    scalar subquery becomes an aggregate-then-broadcast join: the
+    per-supplier rollup is computed once (checkpointed so the max and
+    the filter read the same frame), its single-row MAX broadcasts back
+    against it — never a global window over the fact, never a second
+    scan. Equality compares the exact quarter-cent ledger INTEGER, so
+    double summation order can't split a tie across engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(TOP_SUPP_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TOP_SUPP_HI).cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            F.round(_rev() * F.lit(10000.0), 0).alias("rev4"),
+        )
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum("rev4").alias("rev4"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("rev4").alias("max4"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.rev4 == F.col("max4"))
+        .join(s, rev.suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev4") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — profit by supplier nation × year for one part family
+# ---------------------------------------------------------------------------
+
+PROFIT_PART_TOKEN = "gear"
+
+
+@register(
+    "nation_part_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {SQL_REV_EXACT} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%{PROFIT_PART_TOKEN}%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit contribution of one part family by
+    supplier nation and ship year: a 4-way star join where the ONLY
+    selective predicate lives on the part dimension (name substring).
+
+    Physical shape: filter part FIRST, then broadcast the survivors so
+    the fact scan is pruned by the join itself (dynamic filtering /
+    broadcast semi-reduction — the join is the filter). supplier⋈nation
+    resolve as further broadcasts; the single wide shuffle is the final
+    25-nation × 7-year rollup, which partial (map-side) aggregation
+    collapses to almost nothing."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.round(_rev() * F.lit(10000.0), 0).alias("rev4"),
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(PROFIT_PART_TOKEN))
+        .select("p_partkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("nation", "ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum("rev4") / F.lit(10000.0)).alias("profit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier variety per part attribute, excluding flagged suppliers
+# ---------------------------------------------------------------------------
+
+VARIETY_EXCLUDE_BRAND = "Brand#9"
+
+
+@register(
+    "part_supplier_variety",
+    f"""
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{VARIETY_EXCLUDE_BRAND}'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers ship each
+    (brand, type) part family, excluding one brand and every supplier
+    on a complaint list (negative account balance stands in for the
+    reference's comment-scan predicate).
+
+    Physical shape: the NOT IN subquery is a broadcast ANTI-join (the
+    flagged-supplier list is tiny by construction — it's an exclusion
+    list); the brand exclusion prunes inside the broadcast part dim
+    before the join; COUNT(DISTINCT) runs as Spark's two-phase
+    partial-distinct expand, never a driver collect."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != VARIETY_EXCLUDE_BRAND)
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    flagged = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(flagged, li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — sole-returning supplier on multi-supplier orders (EXISTS+NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+SOLE_RETURN_TOPN = 20
+
+
+@register(
+    "sole_returned_supplier_waits",
+    f"""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+    )
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT {SOLE_RETURN_TOPN}
+    """,
+)
+def sole_returned_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the ONLY supplier to return
+    goods on a finished multi-supplier order, ranked by how many such
+    orders (the blame-assignment query; returnflag stands in for the
+    receipt-past-commit predicate, which this corpus lacks).
+
+    Physical shape: the correlated EXISTS becomes a LEFT SEMI join and
+    the NOT EXISTS a LEFT ANTI join, both on the order key with the
+    supplier-inequality as a residual join condition — three passes
+    over lineitem co-partitioned on l_orderkey, so AQE reuses one
+    exchange layout; no row-at-a-time subquery evaluation anywhere.
+    Top-N is TakeOrderedAndProject with a deterministic name tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    o_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    survivors = l1.join(
+        l2,
+        (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        survivors.join(s, survivors.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(SOLE_RETURN_TOPN)
+    )
