@@ -36,6 +36,47 @@ __all__ = [
 ]
 
 
+def nearest_centroid_expr(
+    vec: F.Column,
+    cents: list[tuple[int, list[float]]],
+    id_type: str = "int",
+) -> F.Column:
+    """Argmax-cosine centroid id as a single PROJECTION over a literal
+    centroid table — the scan-shaped assignment plan.
+
+    The centroid model is driver-side (k × dim floats — model-sized by
+    construction, like any broadcast ML model), so assignment needs no
+    join at all: per row, evaluate the k rounded cosines and take the
+    max via lexicographic ``array_max`` over ``(sim, -centroid_id)``
+    structs — identical values and tie-break (toward the smaller id) to
+    the previous ``crossJoin + groupBy(max_by(struct(sim, -cid)))``
+    form, which shuffled the ENTIRE corpus (vectors included) through a
+    hash aggregate just to pick each row's best centroid. At 100 TB the
+    corpus-side shuffle is the difference between a map-only stage and
+    moving the whole embedding payload across the cluster.
+
+    Sims are rounded to 6 digits first (repo float policy), so the SQL
+    oracles reproduce the argmax bit-for-bit. ``id_type`` pins the
+    returned id's type to what the caller's schema contract expects
+    (``int`` for dense 0..k-1 model ids, ``long`` for corpus-row ids).
+    """
+    from ..functions.vectors import cosine_similarity as _cos
+
+    ordered = sorted(cents, key=lambda t: t[0])
+    ids = [int(cid) for cid, _ in ordered]
+    matrix = [[float(x) for x in cvec] for _, cvec in ordered]
+    # ONE nested-array literal (a handful of Py4J calls total) — per-
+    # element F.lit construction costs ~k×dim driver round-trips, which
+    # dominated the Lloyd loop's wall time before any executor ran.
+    mat = F.lit(matrix)
+    sims = F.transform(mat, lambda c: F.round(_cos(vec, c), 6))
+    # First occurrence of the max = smallest position; with centroids
+    # sorted by id, that reproduces max_by(struct(sim, -cid))'s
+    # smaller-id tie-break exactly.
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    return F.element_at(F.lit(ids), pos).cast(id_type)
+
+
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -121,9 +162,11 @@ def kmeans_centroids(
     if sample_mod > 1:
         fit = fit.filter(F.col(id_col) % sample_mod == 0)
     # The fit frame is consumed once for init and once per Lloyd
-    # iteration; checkpoint so the scan+cast runs once. At 100 TB the
-    # fit input is the sample_mod slice — sized to be materializable.
-    fit = fit.localCheckpoint(eager=True)
+    # iteration; checkpoint so the scan+cast runs once (lazy — the init
+    # collect below materializes it, saving a separate job). At 100 TB
+    # the fit input is the sample_mod slice — sized to be
+    # materializable.
+    fit = fit.localCheckpoint(eager=False)
     schema = StructType(
         [
             StructField("centroid_id", IntegerType()),
@@ -133,26 +176,20 @@ def kmeans_centroids(
     init = fit.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
     cents: list[list[float]] = [list(r["__v"]) for r in init]
     for _ in range(iters):
-        cent_df = spark.createDataFrame(list(enumerate(cents)), schema)
-        assigned = (
-            fit.crossJoin(F.broadcast(cent_df))
-            .withColumn(
-                "__sim",
-                F.round(
-                    cosine_similarity(F.col("__v"), F.col("__cent")), 6
-                ),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    F.col("centroid_id"),
-                    F.struct(F.col("__sim"), -F.col("centroid_id")),
-                ).alias("cid"),
-                F.first("__v").alias("__v"),
-            )
+        # Assignment is a PROJECTION against the literal centroid model
+        # (nearest_centroid_expr) — each Lloyd iteration is exactly one
+        # job: map-side argmax + one (cid, dim) partial-agg shuffle.
+        # (The previous crossJoin + groupBy(id) form ran three shuffles
+        # per iteration and moved every fit vector through a hash agg.)
+        cid = nearest_centroid_expr(
+            F.col("__v"), list(enumerate(cents)), id_type="int"
         )
+        # (cid is computed in its own projection: a generator in the
+        # same select forces Catalyst's generator extraction, which
+        # renames the argmax struct's fields before resolution.)
         means = (
-            assigned.select("cid", F.posexplode("__v").alias("dim", "x"))
+            fit.withColumn("cid", cid)
+            .select("cid", F.posexplode("__v").alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(F.round(F.avg("x"), round_to).alias("m"))
             .collect()
@@ -193,14 +230,15 @@ def ivf_topk(
     Probing fraction n_probe/n_centroids bounds the scan. Recall is
     tested against ``brute_force_topk`` (tests/test_similarity.py).
     """
+    # The centroid model is collected ONCE (k rows — model-sized) and
+    # serves both consumers: corpus assignment reads it as a literal
+    # matrix, query probing as a driver-built broadcast frame. One
+    # action total; float→double widening through collect is exact, so
+    # the literals reproduce the in-plan cast bit-for-bit.
     if centroids is not None:
-        cent = centroids
+        cent_rows = centroids.collect()
     else:
-        # cent is broadcast from TWO consumers (corpus assignment +
-        # query probing); left lazy each broadcast recomputes the
-        # orderBy+limit over the corpus scan. n_centroids rows —
-        # materialize once. (The kmeans path checkpoints its own fit.)
-        cent = (
+        cent_rows = (
             corpus.select(F.col(id_col), F.col(vec_col))
             .orderBy(F.col(id_col).asc())
             .limit(n_centroids)
@@ -208,31 +246,30 @@ def ivf_topk(
                 F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).alias("__cent"),
             )
-            .localCheckpoint(eager=True)
+            .collect()
         )
+    cent_model = [
+        (r["centroid_id"], list(r["__cent"])) for r in cent_rows
+    ]
+    cent = corpus.sparkSession.createDataFrame(
+        cent_model, "centroid_id long, __cent array<double>"
+    )
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         )
     )
-    # argmax via max_by on (sim, -centroid_id): one partial-aggregating
-    # groupBy instead of a sort window — no per-row rank shuffle. Ties
-    # break toward the smaller centroid id (matching the probe order).
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "__csim",
-            F.round(cosine_similarity(F.col("__cv"), F.col("__cent")), 6),
-        )
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(F.col("__csim"), -F.col("centroid_id")),
-            ).alias("centroid_id"),
-            F.first("__cv").alias("__cv"),
-        )
-        .select("neighbor_id", "__cv", "centroid_id")
+    # Corpus assignment is a map-only projection against the literal
+    # centroid model. Ties break toward the smaller centroid id
+    # (matching the probe order). The previous crossJoin + groupBy form
+    # shuffled every corpus VECTOR through a hash agg just to label it
+    # with a cell id.
+    assigned = c.select(
+        "neighbor_id",
+        "__cv",
+        nearest_centroid_expr(
+            F.col("__cv"), cent_model, id_type="long"
+        ).alias("centroid_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -369,31 +406,31 @@ def ivf_int8_topk(
             )
         )
 
-    # Same double-broadcast consumer pattern as ivf_topk: materialize
-    # the tiny centroid frame once instead of re-running the
-    # quantize+limit scan per broadcast.
-    cent = (
+    # Same single-collect centroid model as ivf_topk: one action feeds
+    # the literal assignment matrix AND the driver-built probe frame.
+    cent_rows = (
         q8(corpus, "centroid_id")
         .orderBy(F.col("centroid_id").asc())
         .limit(n_centroids)
         .select("centroid_id", F.col("__v").alias("__cent"))
-        .localCheckpoint(eager=True)
+        .collect()
+    )
+    cent_model = [
+        (r["centroid_id"], list(r["__cent"])) for r in cent_rows
+    ]
+    cent = corpus.sparkSession.createDataFrame(
+        cent_model, "centroid_id long, __cent array<double>"
     )
     c = spread(q8(corpus, "neighbor_id"))
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "__csim",
-            F.round(cosine_similarity(F.col("__v"), F.col("__cent")), 6),
-        )
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(F.col("__csim"), -F.col("centroid_id")),
-            ).alias("centroid_id"),
-            F.first("__q").alias("__nq"),
-        )
+    # Map-only cell assignment against the literal centroid model —
+    # same scan-shaped plan as ivf_topk: the quantized corpus payload
+    # never shuffles for labeling.
+    assigned = c.select(
+        "neighbor_id",
+        F.col("__q").alias("__nq"),
+        nearest_centroid_expr(
+            F.col("__v"), cent_model, id_type="long"
+        ).alias("centroid_id"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__qsim").desc(), F.col("centroid_id").asc()

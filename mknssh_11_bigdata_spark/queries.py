@@ -1179,6 +1179,8 @@ _RECERTIFY = [
     "dedup_embedding_components",  # n-scaled SRP geometry (r3)
     "trailing_24h_user_spend",  # microsecond RANGE frame (r3, ADVICE)
     "event_props_map_explode",  # TRY_CAST oracle (r3, ADVICE)
+    "embedding_topk_ivf_kmeans",  # map-only centroid assignment (r3)
+    "embedding_topk_ivf_int8",  # map-only centroid assignment (r3)
 ]
 
 

@@ -2365,6 +2365,12 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: At the synthetic corpus's cosine range (max pair ≈ 0.51) this keeps
 #: the prune set non-empty without being trivially everything.
 SEMDEDUP_TAU = 0.4
+#: The Lloyd fit runs on a deterministic 1-in-4 id slice (the
+#: ``sample_mod`` practice the operator documents for 100 TB: centroid
+#: QUALITY needs a sample, assignment covers the full corpus). The
+#: oracle reproduces the same slice, so certification covers the
+#: sampled-fit path — the one a production corpus would actually run.
+SEMDEDUP_FIT_MOD = 4
 
 
 def _semdedup_oracle() -> str:
@@ -2388,7 +2394,7 @@ def _semdedup_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY f.vec_id
                         ORDER BY {cos_fc} DESC NULLS LAST,
                                  c.cid ASC) AS rn
-            FROM e f CROSS JOIN c{p} c
+            FROM fit f CROSS JOIN c{p} c
         ) WHERE rn = 1
     ),
     m{it} AS (
@@ -2419,10 +2425,13 @@ def _semdedup_oracle() -> str:
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    fit AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {SEMDEDUP_FIT_MOD} = 0
+    ),
     c0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
                     AS INTEGER) AS cid, v AS emb
-        FROM (SELECT vec_id, v FROM e
+        FROM (SELECT vec_id, v FROM fit
               ORDER BY vec_id ASC LIMIT {KM_CENTROIDS})
     ),{",".join(iter_ctes)},
     cent AS (
@@ -2473,34 +2482,32 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; sqrt-per-row × sqrt-per-row is value-identical to the
     oracle's sqrt(dot)·sqrt(dot), so the hash still matches)."""
     from .functions.vectors import dot, l2_norm
-    from .operators.similarity import cosine_similarity, kmeans_centroids
+    from .operators.similarity import (
+        kmeans_centroids,
+        nearest_centroid_expr,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(
-        emb, "vec_id", "embedding", n_centroids=KM_CENTROIDS, iters=KM_ITERS
+        emb, "vec_id", "embedding", n_centroids=KM_CENTROIDS, iters=KM_ITERS,
+        sample_mod=SEMDEDUP_FIT_MOD,
     )
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("av")
     )
-    cos_vc = F.round(
-        cosine_similarity(F.col("av"), F.col("cent")), 6
-    )
+    # Assignment is a map-only projection against the fitted centroid
+    # model (k × dim — driver-sized by construction): the corpus never
+    # shuffles just to be labeled with its cluster id.
+    cent_model = [
+        (r["centroid_id"], list(r["__cent"])) for r in cents.collect()
+    ]
     assigned = (
-        e.crossJoin(
-            F.broadcast(
-                cents.select(
-                    "centroid_id", F.col("__cent").alias("cent")
-                )
-            )
-        )
-        .withColumn("__sim", cos_vc)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(F.col("__sim"), -F.col("centroid_id")),
+        e.select(
+            "vec_id",
+            "av",
+            nearest_centroid_expr(
+                F.col("av"), cent_model, id_type="int"
             ).alias("centroid_id"),
-            F.first("av").alias("av"),
         )
         .withColumn("nv", l2_norm(F.col("av")))
         .localCheckpoint(eager=True)  # feeds the self-join twice
