@@ -29,7 +29,7 @@ output edge per registry policy (registry.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -1149,4 +1149,276 @@ def sole_returned_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(SOLE_RETURN_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (Deequ-style declarative rule evaluation)
+# ---------------------------------------------------------------------------
+
+#: (table, rule, ANSI metric expression, op, threshold). The SAME SQL
+#: text runs on Spark (over temp views of the loaded tables) and DuckDB
+#: (the oracle) — the rules can never drift between engines because
+#: there is only one copy of them.
+EXPECTATION_RULES: list[tuple[str, str, str, str, float]] = [
+    # float literals are written 1e0/0e0: Spark parses bare 1.0 as
+    # DECIMAL and truncates the averaged metric at decimal scale.
+    ("orders", "custkey_never_null",
+     "AVG(CASE WHEN o_custkey IS NULL THEN 1e0 ELSE 0e0 END)", "<=", 0.0),
+    ("orders", "orderkey_unique",
+     "COUNT(DISTINCT o_orderkey) * 1e0 / COUNT(*)", ">=", 1.0),
+    ("orders", "totalprice_positive",
+     "MIN(o_totalprice)", ">=", 0.0),
+    ("orders", "status_accepted_values",
+     "AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0e0 ELSE 1e0 END)",
+     "<=", 0.0),
+    ("lineitem", "quantity_in_range",
+     "AVG(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0e0 ELSE 1e0 END)",
+     "<=", 0.0),
+    ("lineitem", "discount_in_range",
+     "MAX(l_discount)", "<=", 0.5),
+    ("lineitem", "shipdate_known_fraction",
+     "AVG(CASE WHEN l_shipdate IS NULL THEN 1e0 ELSE 0e0 END)", "<=", 0.01),
+    ("customer", "acctbal_not_all_negative",
+     "AVG(CASE WHEN c_acctbal < 0 THEN 1e0 ELSE 0e0 END)", "<=", 0.5),
+]
+
+
+def _expectations_sql() -> str:
+    arms = []
+    for table, rule, metric, op, thr in EXPECTATION_RULES:
+        arms.append(
+            f"SELECT '{table}' AS table_name, '{rule}' AS rule, "
+            f"ROUND({metric}, 6) AS metric_value, "
+            f"CAST({thr} AS DOUBLE) AS threshold, '{op}' AS op "
+            f"FROM {table}"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    SELECT table_name, rule, metric_value, threshold,
+           CASE WHEN op = '<=' THEN metric_value <= threshold
+                ELSE metric_value >= threshold END AS passed
+    FROM ({union})
+    """
+
+
+@register("table_expectations_report", _expectations_sql())
+def table_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/dbt-test
+    pattern): each rule is an ANSI aggregate metric plus a threshold,
+    evaluated table-side and reported as (metric, threshold, passed).
+
+    The Spark side registers the loaded tables as temp views and runs
+    the IDENTICAL SQL text the oracle runs — certifying the engine's
+    ANSI surface directly and making rule drift impossible. Plan shape:
+    one scan + partial-agg pass per referenced table (Catalyst merges
+    the per-table rule arms sharing a scan), a few dozen result rows
+    regardless of corpus size — the constraint-validation gate a 100 TB
+    ingest runs before publishing a partition."""
+    for table in sorted({t for t, *_ in EXPECTATION_RULES}):
+        _t(spark, sf_dir, table).createOrReplaceTempView(table)
+    return spark.sql(_expectations_sql())
+
+
+# ---------------------------------------------------------------------------
+# Algebraic partial re-aggregation (daily partials → monthly rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_reaggregate_rollup",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+           CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS ship_month,
+           l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {SQL_REV_EXACT.replace('l.', '')} AS revenue,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def monthly_reaggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic re-aggregation: build DAILY partial aggregates, then
+    merge them into the monthly rollup — sum-of-sums, count-of-counts,
+    min-of-mins, max-of-maxes, and average RECOMPOSED as merged-sum /
+    merged-count (never an average of averages). The oracle computes
+    the monthly answer directly from the fact table, so the green row
+    PROVES the two-level path is exact — the contract that lets a
+    100 TB pipeline maintain materialized daily partials and serve any
+    coarser rollup without rescanning facts. Revenue rides the exact
+    quarter-cent ledger so daily/monthly summation grouping can't
+    drift; the partial frame is day-keyed (≈31× smaller than facts) and
+    the merge shuffle moves only partials."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("ship_day"),
+        "l_returnflag",
+        "l_quantity",
+        F.round(_rev() * F.lit(10000.0), 0).alias("rev4"),
+    )
+    daily = li.groupBy("ship_day", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("p_count"),
+        F.sum("rev4").alias("p_rev4"),
+        F.min("l_quantity").alias("p_min_qty"),
+        F.max("l_quantity").alias("p_max_qty"),
+        F.sum("l_quantity").alias("p_sum_qty"),
+    )
+    return (
+        daily.groupBy(
+            F.year("ship_day").cast("int").alias("ship_year"),
+            F.month("ship_day").cast("int").alias("ship_month"),
+            "l_returnflag",
+        )
+        .agg(
+            F.sum("p_count").cast("long").alias("n_lines"),
+            (F.sum("p_rev4") / F.lit(10000.0)).alias("revenue"),
+            F.min("p_min_qty").alias("min_qty"),
+            F.max("p_max_qty").alias("max_qty"),
+            F.round(
+                F.sum("p_sum_qty") / F.sum("p_count"), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-window surface: percent_rank / cume_dist / nth_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_balance_percentiles",
+    """
+    SELECT c_mktsegment, c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
+               AS cume_dist,
+           NTH_VALUE(c_custkey, 3) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+               AS third_richest_custkey
+    FROM customer
+    """,
+)
+def segment_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family analytic windows per market segment: PERCENT_RANK
+    and CUME_DIST over account balance (value-based — tied balances
+    share a value in both engines, no tiebreak needed), plus NTH_VALUE
+    over the full frame with a (balance, custkey) TOTAL order so the
+    picked row is deterministic. One segment-keyed window exchange
+    serves all three functions; output is row-per-customer — the
+    distribution-position labeling a feature pipeline attaches before
+    thresholding."""
+    e = _t(spark, sf_dir, "customer")
+    rank_w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    nth_w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(rank_w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(rank_w), 6).alias("cume_dist"),
+        F.nth_value("c_custkey", 3)
+        .over(nth_w)
+        .alias("third_richest_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine build + zero-filled gap-free daily series
+# ---------------------------------------------------------------------------
+
+CAL_LO = "1995-01-01"
+CAL_HI = "1996-12-31"
+
+
+@register(
+    "calendar_daily_orders",
+    f"""
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS cal_date
+        FROM (SELECT unnest(generate_series(DATE '{CAL_LO}',
+                                            DATE '{CAL_HI}',
+                                            INTERVAL 1 DAY)) AS d)
+    ),
+    per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS od,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS day_revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{CAL_LO}'
+          AND o_orderdate <  TIMESTAMP '{CAL_HI}' + INTERVAL 1 DAY
+        GROUP BY 1
+    )
+    SELECT s.cal_date,
+           CAST(EXTRACT(YEAR FROM s.cal_date) AS INTEGER) AS year,
+           CAST(quarter(s.cal_date) AS INTEGER) AS quarter,
+           CAST(EXTRACT(MONTH FROM s.cal_date) AS INTEGER) AS month,
+           CAST(isodow(s.cal_date) AS INTEGER) AS dow,
+           isodow(s.cal_date) >= 6 AS is_weekend,
+           CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(p.day_revenue, 0.0) AS day_revenue
+    FROM spine s LEFT JOIN per_day p ON p.od = s.cal_date
+    """,
+)
+def calendar_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension build + gap-free daily series: generate the
+    date spine with ``sequence``/explode (no source table needed),
+    derive the dimension attributes (ISO weekday via ``weekday()+1`` ≡
+    DuckDB's ``isodow``), and LEFT-join the per-day order rollup so
+    order-free days appear as explicit zeros — the zero-fill every
+    time-series consumer (anomaly detection, forecasting) needs and a
+    bare GROUP BY can never produce. The spine is two years ≈ 730 rows
+    (always driver-trivial; a century is 36k rows), so the join
+    broadcasts the SPINE side; facts aggregate BEFORE joining."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(CAL_LO).cast("date"),
+                F.lit(CAL_HI).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("cal_date")
+    )
+    per_day = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(CAL_LO).cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.date_add(F.lit(CAL_HI).cast("date"), 1).cast("timestamp")
+            )
+        )
+        .groupBy(F.to_date("o_orderdate").alias("od"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_revenue"),
+        )
+    )
+    dow = F.weekday("cal_date") + 1
+    return (
+        F.broadcast(spine)
+        .join(per_day, spine.cal_date == per_day.od, "left")
+        .select(
+            "cal_date",
+            F.year("cal_date").cast("int").alias("year"),
+            F.quarter("cal_date").cast("int").alias("quarter"),
+            F.month("cal_date").cast("int").alias("month"),
+            dow.cast("int").alias("dow"),
+            (dow >= 6).alias("is_weekend"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("day_revenue", F.lit(0.0)).alias("day_revenue"),
+        )
     )

@@ -147,3 +147,81 @@ def test_quantize_int8_roundtrip_error_bound(spark, emb):
         assert r.qmax <= 127
         # half-up rounding error is at most half a quantization step
         assert r.err <= r.half_step + 1e-12
+
+
+def test_nearest_centroid_expr_matches_crossjoin_argmax(spark):
+    """The literal-model projection must reproduce the reference
+    crossJoin + max_by(struct(sim, -cid)) assignment exactly —
+    including ties (equal rounded cosine → smaller centroid id) and
+    unsorted centroid input (the expr sorts by id internally)."""
+    import random
+
+    from mknssh_11_bigdata_spark.functions.vectors import cosine_similarity
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        nearest_centroid_expr,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(200)
+    ]
+    # plant exact ties: duplicate centroid vectors under different ids
+    base = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+    cents = [
+        (3, list(base)),
+        (1, list(base)),  # tie with cid 3 → must pick 1
+        (2, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]),
+        (0, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r["id"]: r["cid"]
+        for r in df.select(
+            "id",
+            nearest_centroid_expr(F.col("v"), cents, "int").alias("cid"),
+        ).collect()
+    }
+    cdf = spark.createDataFrame(cents, "cid int, cent array<double>")
+    want = {
+        r["id"]: r["cid"]
+        for r in df.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "s",
+            F.round(cosine_similarity(F.col("v"), F.col("cent")), 6),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("s"), -F.col("cid"))
+            ).alias("cid")
+        )
+        .collect()
+    }
+    assert got == want
+    # the planted tie must break toward the smaller id somewhere
+    assert 1 in set(got.values())
+
+
+def test_kmeans_sample_mod_is_deterministic_subset_fit(spark):
+    """sample_mod fits on the id-slice only: fitting on the full frame
+    vs pre-filtered slice must give identical centroids."""
+    import random
+
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(6)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    sliced = df.filter(F.col("id") % 3 == 0)
+    a = kmeans_centroids(df, "id", "v", n_centroids=4, iters=2, sample_mod=3)
+    b = kmeans_centroids(sliced, "id", "v", n_centroids=4, iters=2)
+    ca = {r["centroid_id"]: r["__cent"] for r in a.collect()}
+    cb = {r["centroid_id"]: r["__cent"] for r in b.collect()}
+    assert ca == cb
