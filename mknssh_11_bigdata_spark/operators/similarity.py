@@ -471,3 +471,54 @@ def ivf_int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "qdot", "qcos")
     )
+
+
+def round_half_away(x, digits: int):
+    """NumPy round matching SQL ROUND (half AWAY from zero; ``np.round``
+    is half-to-even). Vectorized; used by the Arrow/numpy scoring arms
+    so their rounded values land in the same equivalence class as the
+    JVM/DuckDB expressions."""
+    import numpy as np
+
+    s = 10.0**digits
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
+
+def kmeans_fit_numpy(ids, vecs, n_centroids: int, iters: int):
+    """Driver-side deterministic Lloyd fit on a COLLECTED sample —
+    the numpy twin of :func:`kmeans_centroids` under the identical
+    determinism contract (smallest-id init, fixed iterations, rounded-6
+    cosine assignment with first-max ⇒ smaller-cid ties, per-dimension
+    means rounded to 9, empty clusters keep their centroid).
+
+    The sample is bounded by the ``sample_mod`` contract (sized to be
+    materializable), so fitting it driver-side is the standard
+    distributed-ML pattern: model-sized data, model-sized output, zero
+    cluster round-trips per iteration. Mean summation order differs
+    from Spark's partial agg and DuckDB's — absorbed by the same
+    round-to-9 the JVM fit already relies on (its docstring's
+    cross-engine argument).
+
+    Returns the centroid matrix as ``np.ndarray`` (k × dim), row index
+    = centroid id.
+    """
+    import numpy as np
+
+    ids = np.asarray(ids)
+    order = np.argsort(ids, kind="stable")
+    v = np.asarray(vecs, dtype=np.float64)[order]
+    cents = v[:n_centroids].copy()
+    for _ in range(iters):
+        g = v @ cents.T
+        nv = np.linalg.norm(v, axis=1, keepdims=True)
+        nc = np.linalg.norm(cents, axis=1, keepdims=True)
+        denom = nv @ nc.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, g / denom, -np.inf)
+        sims = round_half_away(sims, 6)
+        cid = sims.argmax(axis=1)  # first max ⇒ smaller centroid id
+        for i in range(n_centroids):
+            members = v[cid == i]
+            if len(members):
+                cents[i] = round_half_away(members.mean(axis=0), 9)
+    return cents

@@ -2372,6 +2372,31 @@ SEMDEDUP_TAU = 0.4
 #: sampled-fit path — the one a production corpus would actually run.
 SEMDEDUP_FIT_MOD = 4
 
+#: n-scaled cluster count (same discipline as the SRP band geometry,
+#: VERDICT r2 #3): SemDeDup's quadratic stage is Σ nᵢ² ≈ n²/k, so a
+#: FIXED k makes the method quadratic in the corpus — k must grow with
+#: n to hold expected cluster load (n/k) in the 256–1024 band. Step
+#: ladder k = 8·4^i; the oracle reproduces the choice with a CASE on
+#: COUNT(*), so the registered geometry is green at every SF and the
+#: 8-cluster demo geometry never touches a 10⁴⁺-vector corpus.
+SEMDEDUP_K_LADDER = [(2048, 8), (8192, 32), (32768, 128)]
+SEMDEDUP_K_MAX = 512
+
+
+def _semdedup_k(n: int) -> int:
+    for hi, k in SEMDEDUP_K_LADDER:
+        if n <= hi:
+            return k
+    return SEMDEDUP_K_MAX
+
+
+def _semdedup_k_sql() -> str:
+    arms = " ".join(
+        f"WHEN COUNT(*) <= {hi} THEN {k}"
+        for hi, k in SEMDEDUP_K_LADDER
+    )
+    return f"SELECT CASE {arms} ELSE {SEMDEDUP_K_MAX} END AS k FROM e"
+
 
 def _semdedup_oracle() -> str:
     """Unrolls the SAME deterministic Lloyd fit as
@@ -2428,11 +2453,13 @@ def _semdedup_oracle() -> str:
     fit AS (
         SELECT vec_id, v FROM e WHERE vec_id % {SEMDEDUP_FIT_MOD} = 0
     ),
+    kc AS ({_semdedup_k_sql()}),
     c0 AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
-                    AS INTEGER) AS cid, v AS emb
-        FROM (SELECT vec_id, v FROM fit
-              ORDER BY vec_id ASC LIMIT {KM_CENTROIDS})
+        SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS emb
+        FROM (SELECT vec_id, v,
+                     ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn
+              FROM fit)
+        WHERE rn <= (SELECT k FROM kc)
     ),{",".join(iter_ctes)},
     cent AS (
         SELECT cid AS centroid_id, emb AS cent FROM c{KM_ITERS}
@@ -2488,8 +2515,11 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # k scales with the corpus (step ladder, oracle-mirrored CASE) so
+    # the within-cluster quadratic stage stays bounded: n/k ≤ ~1024.
+    k = _semdedup_k(emb.count())
     cents = kmeans_centroids(
-        emb, "vec_id", "embedding", n_centroids=KM_CENTROIDS, iters=KM_ITERS,
+        emb, "vec_id", "embedding", n_centroids=k, iters=KM_ITERS,
         sample_mod=SEMDEDUP_FIT_MOD,
     )
     e = emb.select(
@@ -2670,4 +2700,96 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, dots.id_b == nb.nb_id)
         .filter(cos >= TFIDF_COSINE_THRESHOLD)
         .select("id_a", "id_b", "n_shared", cos.alias("cosine"))
+    )
+
+
+@register("dedup_semdedup_prune_fast", _semdedup_oracle())
+def dedup_semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, the Arrow/numpy production arm — IDENTICAL semantics
+    and oracle to ``dedup_semdedup_prune``, but every dense-vector
+    stage runs vectorized instead of through Catalyst's interpreted
+    higher-order-function folds (measured ~200k dot-products/s on 32
+    cores — the real dense-math scale-killer the JVM arm hits):
+
+    * fit — the deterministic Lloyd loop on the bounded ``sample_mod``
+      slice, collected and fitted DRIVER-side in numpy
+      (``kmeans_fit_numpy``, bit-equal to the JVM fit by test);
+    * assignment — ``mapInPandas``: one Arrow scan, batch matmul
+      against the broadcast centroid matrix, first-max argmax ⇒ the
+      same smaller-id tie-break;
+    * within-cluster prune — ``applyInPandas`` per centroid group:
+      one nᵢ×nᵢ matmul per cluster (the SemDeDup paper's actual
+      implementation shape) instead of a pair-exploded self-join.
+
+    Float contract: cosines are rounded half-away to 6 digits
+    (``round_half_away``) before every compare, same as the SQL; BLAS
+    summation order vs left-to-right folds differs below the rounding
+    scale, the same acceptance class as the repo's ROUND(SUM(..))
+    aggregates. Registered alongside the JVM arm so the driver
+    certifies both paths against one oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.similarity import kmeans_fit_numpy, round_half_away
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = _semdedup_k(emb.count())
+    sample = (
+        emb.filter(F.col("vec_id") % SEMDEDUP_FIT_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = kmeans_fit_numpy(
+        [r["vec_id"] for r in sample],
+        np.array([r["embedding"] for r in sample], dtype=np.float64),
+        n_centroids=k,
+        iters=KM_ITERS,
+    )
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = b_cents.value
+        nc = np.linalg.norm(c, axis=1, keepdims=True)
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nv = np.linalg.norm(v, axis=1, keepdims=True)
+            denom = nv @ nc.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, (v @ c.T) / denom, -np.inf)
+            sims = round_half_away(sims, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": sims.argmax(axis=1).astype("int32"),
+                    "av": list(v),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, centroid_id int, av array<double>"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        v = np.stack(pdf["av"].to_numpy())
+        nv = np.linalg.norm(v, axis=1, keepdims=True)
+        denom = nv @ nv.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (v @ v.T) / denom, -np.inf)
+        sims = round_half_away(sims, 6)
+        # pruned[j] ⇔ some i<j (smaller id) in the cluster has
+        # cosine ≥ τ — the upper triangle read column-wise.
+        hit = np.triu(sims >= SEMDEDUP_TAU, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "pruned": hit,
+            }
+        )
+
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(prune, "vec_id long, centroid_id int, pruned boolean")
+        .orderBy("vec_id")
     )

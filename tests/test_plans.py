@@ -215,6 +215,7 @@ _PYTHON_STAGE_OK = {
     "multimodal_media_features",
     "stateful_sessionization",
     "tier_crossing_alerts",
+    "dedup_semdedup_prune_fast",  # declared Arrow/numpy dense-math arm
 }
 
 

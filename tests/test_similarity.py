@@ -225,3 +225,53 @@ def test_kmeans_sample_mod_is_deterministic_subset_fit(spark):
     ca = {r["centroid_id"]: r["__cent"] for r in a.collect()}
     cb = {r["centroid_id"]: r["__cent"] for r in b.collect()}
     assert ca == cb
+
+
+def test_kmeans_fit_numpy_matches_jvm_fit(spark):
+    """The driver-side numpy Lloyd fit must reproduce kmeans_centroids
+    exactly (same init, tie-break, rounded means)."""
+    import random
+
+    import numpy as np
+
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_fit_numpy,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(6)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    jvm = {
+        r["centroid_id"]: list(r["__cent"])
+        for r in kmeans_centroids(df, "id", "v", n_centroids=5, iters=3).collect()
+    }
+    ids = [i for i, _ in rows]
+    vecs = np.array([v for _, v in rows])
+    np_fit = kmeans_fit_numpy(ids, vecs, n_centroids=5, iters=3)
+    for cid in range(5):
+        assert jvm[cid] == list(np_fit[cid]), f"centroid {cid} differs"
+
+
+def test_semdedup_arms_agree(spark):
+    """The interpreted-HOF arm and the Arrow/numpy arm must produce
+    identical rows (same oracle, same semantics, different execution
+    strategy)."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    a = {
+        tuple(r)
+        for r in QUERIES["dedup_semdedup_prune"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["dedup_semdedup_prune_fast"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert a == b and len(a) > 0
