@@ -2793,3 +2793,98 @@ def dedup_semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(prune, "vec_id long, centroid_id int, pruned boolean")
         .orderBy("vec_id")
     )
+
+
+def _minhash_bands_prefix(table: str = "documents") -> str:
+    """The toks→sig→bands CTE chain of :func:`_minhash_oracle`,
+    regenerated (not refactored out of it) so the certified pair oracle's
+    text stays untouched; both derive from the same coefficient
+    machinery, so they cannot drift."""
+    from .operators.dedup import MINHASH_P, minhash_coefficients
+
+    coeffs = minhash_coefficients(NUM_HASHES)
+    sig_cols = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {j} AS band_idx, md5(concat_ws('|', '{j}', {hs})) AS band_key FROM sig".format(
+            j=j,
+            hs=", ".join(
+                f"CAST(h{j * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for j in range(BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM {table}
+    ),
+    sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    exh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM ex
+    ),
+    sig AS (
+        SELECT doc_id,
+           {sig_cols}
+        FROM exh GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    )"""
+
+
+@register(
+    "dedup_minhash_band_stats",
+    _minhash_bands_prefix()
+    + f"""
+    ,
+    bucket AS (
+        SELECT band_idx, band_key, COUNT(*) AS sz
+        FROM bands GROUP BY 1, 2
+    )
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_colliding_buckets,
+           CAST(SUM(sz * (sz - 1)) / 2 AS BIGINT) AS candidate_pairs
+    FROM bucket GROUP BY 1
+    """,
+)
+def dedup_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH observability: per-band bucket census (bucket count, largest
+    bucket, colliding buckets, implied candidate-pair total Σ sz·(sz−1)/2)
+    — the diagnostic an operator runs BEFORE a 100 TB dedup to check
+    the band geometry against the corpus (a saturating geometry shows
+    up here as a handful of giant buckets long before the self-join
+    melts; this is how the SRP 8-bit saturation in BASELINE.md was
+    found). Plan: signature build + band melt + two small aggregations —
+    no self-join anywhere, so the census costs a scan even when the
+    pair stage it predicts would be explosive."""
+    from .operators.dedup import melt_band_keys, minhash_signatures
+
+    sig = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", NUM_HASHES
+    )
+    melted = melt_band_keys(sig, "doc_id", BANDS, ROWS_PER_BAND)
+    bucket = melted.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return bucket.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_buckets"),
+        (F.sum(F.col("sz") * (F.col("sz") - 1)) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    )

@@ -1422,3 +1422,113 @@ def calendar_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("day_revenue", F.lit(0.0)).alias("day_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap features (churn/recency signals per customer)
+# ---------------------------------------------------------------------------
+
+GAP_MIN_ORDERS = 3
+
+
+@register(
+    "customer_order_gap_stats",
+    f"""
+    WITH gaps AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER w,
+                         o_orderdate) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           ROUND(AVG(gap_days), 6) AS avg_gap_days
+    FROM gaps
+    GROUP BY custkey
+    HAVING COUNT(gap_days) >= {GAP_MIN_ORDERS} - 1
+    """,
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap features per customer — days between
+    consecutive orders (lag diff over a (date, orderkey) total order),
+    rolled up to min/max/mean per customer with ≥ {GAP_MIN_ORDERS}
+    orders. The churn-model recency feature; one customer-keyed
+    exchange serves both the lag window and the rollup (same
+    partitioning → Catalyst reuses it)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("custkey")
+        .agg(
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= GAP_MIN_ORDERS - 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score standardization (feature-engineering primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_balance_zscore",
+    """
+    WITH stats AS (
+        SELECT s_nationkey,
+               AVG(s_acctbal) AS mu,
+               STDDEV_SAMP(s_acctbal) AS sigma,
+               COUNT(*) AS n
+        FROM supplier GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_nationkey,
+           ROUND(s.s_acctbal, 2) AS acctbal,
+           CASE WHEN st.n > 1 AND st.sigma > 0
+                THEN ROUND((s.s_acctbal - st.mu) / st.sigma, 6)
+           END AS balance_z
+    FROM supplier s JOIN stats st ON st.s_nationkey = s.s_nationkey
+    """,
+)
+def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — subtract the group mean,
+    divide by the group sample-stddev (NULL for singleton or
+    zero-variance groups, mirrored by the CASE): the normalization
+    step every feature pipeline applies before distance-based models.
+    Aggregate-then-broadcast-back join, one pass each way; never a
+    per-row window over the full order (the agg output is
+    groups-sized, facts stay scan-shaped)."""
+    s = _t(spark, sf_dir, "supplier")
+    stats = s.groupBy("s_nationkey").agg(
+        F.avg("s_acctbal").alias("mu"),
+        F.stddev_samp("s_acctbal").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = s.join(
+        F.broadcast(stats.withColumnRenamed("s_nationkey", "nk")),
+        F.col("s_nationkey") == F.col("nk"),
+    )
+    return joined.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.when(
+            (F.col("n") > 1) & (F.col("sigma") > 0),
+            F.round(
+                (F.col("s_acctbal") - F.col("mu")) / F.col("sigma"), 6
+            ),
+        ).alias("balance_z"),
+    )
