@@ -1509,3 +1509,75 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(stitch).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned scan over a date-partitioned layout
+# ---------------------------------------------------------------------------
+
+PART_WEEK_LO = "2024-01-08"
+PART_WEEK_HI = "2024-01-15"  # exclusive
+
+
+def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Prepare (once per session per sf_dir) a date-partitioned events
+    layout — ``event_date=YYYY-MM-DD/`` directories — the standard
+    time-partitioned fact table every warehouse lands its event stream
+    into. The one-time partitioned write is what buys every subsequent
+    time-ranged query its partition pruning."""
+    import hashlib
+    import pathlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "spark-warehouse"
+        / f"part_events_{tag}"
+    )
+    if not (root / "_SUCCESS").exists():
+        (
+            _t(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(str(root))
+        )
+    return str(root)
+
+
+@register(
+    "partitioned_events_week",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '{PART_WEEK_LO}'
+      AND CAST(ts AS DATE) <  DATE '{PART_WEEK_HI}'
+    GROUP BY 1
+    """,
+)
+def partitioned_events_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One week's rollup read from the DATE-PARTITIONED events layout —
+    the partition-pruning twin of `bucketed_priority_revenue`'s
+    shuffle-free join: the date predicate resolves against partition
+    DIRECTORIES at planning time (PartitionFilters in the scan,
+    asserted by `tests/test_plans.py`), so the job reads 7 of 30 day
+    partitions and never opens the rest — at 100 TB the difference
+    between scanning a week and scanning three years. The oracle
+    certifies the ANSWER against the unpartitioned raw table, so the
+    layout round-trip (derive event_date, partitioned write, pruned
+    read) is value-exact end-to-end."""
+    path = _partitioned_events_path(spark, sf_dir)
+    e = spark.read.parquet(path)
+    return (
+        e.filter(
+            (F.col("event_date") >= F.lit(PART_WEEK_LO).cast("date"))
+            & (F.col("event_date") < F.lit(PART_WEEK_HI).cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

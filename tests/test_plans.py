@@ -429,3 +429,37 @@ def test_bucketed_join_no_exchange_below_merge_join(spark):
     join_subtree = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree
     assert join_subtree.count("Bucketed: true") == 2
+
+
+def test_partitioned_scan_prunes_date_partitions(spark):
+    """partitioned_events_week must resolve its date range against
+    partition directories (PartitionFilters on the scan), reading 7 of
+    the ~30 day partitions — the planning-time pruning the partitioned
+    layout exists for."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.queries_events import (
+        _partitioned_events_path,
+    )
+
+    df = QUERIES["partitioned_events_week"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "event_date" in pf, pf
+    # planning-time file pruning: the selected partitions are a strict
+    # subset of the layout
+    import pathlib
+
+    root = pathlib.Path(_partitioned_events_path(spark, SF_SMOKE))
+    n_parts = len(list(root.glob("event_date=*")))
+    assert n_parts > 7  # the layout has ~30 day partitions
+    from pyspark.sql import functions as F
+
+    read = spark.read.parquet(str(root)).filter(
+        "event_date >= DATE'2024-01-08' AND event_date < DATE'2024-01-15'"
+    )
+    files = read.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    dates = {f.f.split("event_date=")[1].split("/")[0] for f in files}
+    assert len(dates) == 7, sorted(dates)
