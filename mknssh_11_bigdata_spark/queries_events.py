@@ -1581,3 +1581,57 @@ def partitioned_events_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+EVENTS_CAL_LO = "2024-01-01"
+EVENTS_CAL_HI = "2024-01-31"
+
+
+@register(
+    "weekend_events_dpp",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{EVENTS_CAL_LO}'
+                               AND DATE '{EVENTS_CAL_HI}'
+      AND isodow(CAST(ts AS DATE)) >= 6
+    GROUP BY 1
+    """,
+)
+def weekend_events_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend rollup via DYNAMIC partition pruning: the fact side is
+    the date-partitioned events layout, the dim side is the generated
+    calendar spine filtered to weekends, and the join key is the
+    partition column — so Catalyst (a) infers the weekday predicate
+    onto the fact scan through join-constraint propagation and (b)
+    plants a ``dynamicpruningexpression`` PartitionFilter that reuses
+    the dim's broadcast to enumerate exactly the weekend partition
+    directories before any fact byte is read (asserted in
+    ``tests/test_plans.py``). The selective-dim ⋈ partitioned-fact
+    pattern is THE star-schema scan-killer at 100 TB — this certifies
+    Spark's automatic version of it end-to-end against the raw-table
+    oracle."""
+    path = _partitioned_events_path(spark, sf_dir)
+    e = spark.read.parquet(path)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(EVENTS_CAL_LO).cast("date"),
+                F.lit(EVENTS_CAL_HI).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("cal_date")
+    )
+    weekends = spine.filter(F.weekday("cal_date") + 1 >= 6)
+    return (
+        e.join(weekends, e.event_date == weekends.cal_date)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_date").cast("long").alias("n_days"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -463,3 +463,14 @@ def test_partitioned_scan_prunes_date_partitions(spark):
     ).distinct().collect()
     dates = {f.f.split("event_date=")[1].split("/")[0] for f in files}
     assert len(dates) == 7, sorted(dates)
+
+
+def test_weekend_dpp_dynamic_partition_filter(spark):
+    """weekend_events_dpp must carry a dynamicpruningexpression in the
+    fact scan's PartitionFilters — the dim's broadcast enumerates the
+    weekend partitions before the fact is read."""
+    plan = _plan(spark, "weekend_events_dpp")
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "dynamicpruning" in pf, pf
+    assert "event_date" in pf, pf
