@@ -2888,3 +2888,153 @@ def dedup_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+@register(
+    "dedup_tfidf_rescore_lsh",
+    _minhash_bands_prefix()
+    + f"""
+    ,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    cand_ids AS (
+        SELECT id_a AS doc_id FROM cand
+        UNION SELECT id_b FROM cand
+    ),
+    ltoks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='lower(text)')} AS t
+        FROM documents
+    ),
+    lsh_sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM ltoks),
+    lex AS (SELECT doc_id, unnest(s) AS shingle FROM lsh_sh),
+    ldf AS (SELECT shingle, COUNT(*) AS df FROM lex GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT lex.doc_id, lex.shingle,
+               ROUND(ln((n.n_docs + 1.0) / (ldf.df + 1.0)) + 1.0, 6) AS w
+        FROM lex JOIN ldf USING (shingle) CROSS JOIN n
+        JOIN cand_ids ci ON ci.doc_id = lex.doc_id
+        WHERE ldf.df * {TFIDF_DF_FRAC_DEN} <= n.n_docs
+          AND ldf.df <= {TFIDF_DF_ABS_CAP}
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT c.id_a, c.id_b,
+               SUM(a.w * b.w) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN w a ON a.doc_id = c.id_a
+        JOIN w b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.id_a
+    JOIN norms nb ON nb.doc_id = dots.id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COSINE_THRESHOLD}
+    """,
+)
+def dedup_tfidf_rescore_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE composition of the sparse scorer: MinHash-LSH proposes
+    candidate pairs (banded buckets — linear-ish in corpus), and the
+    exact idf-weighted shingle cosine re-scores ONLY those candidates.
+
+    Rationale, measured (BASELINE.md): the standalone exact arm's
+    inverted-index self-join emits Σdf² rows, and at 250k documents
+    91% of that 140M-row mass comes from benign df≤16 shingle
+    collisions — no df cap removes it, which is exactly why LSH
+    banding (r-of-k agreement) exists. Here the posting list is
+    semi-joined down to candidate documents BEFORE any pair work, and
+    the pair join drives off the candidate list (id-keyed) instead of
+    the shingle key, so pair cost is |candidates|, not Σdf².
+    Tokenization per arm keeps each arm's own convention (LSH bands:
+    raw text, the repo-wide MinHash contract; tf-idf weights:
+    lowercased — same as the standalone scorer)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .plans.layout import spread
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", NUM_HASHES)
+    cand = lsh_candidate_pairs(
+        sig, "doc_id", BANDS, ROWS_PER_BAND
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # NOTE: the tokenize+shingle explode feeds BOTH the df count and the
+    # candidate posting list; recomputing it twice measured CHEAPER than
+    # localCheckpoint-ing the ~25M-row string-shingle frame (68.6 s vs
+    # 202 s at sf5) — wide string payloads make materialization the
+    # bottleneck, not the regex work.
+    ex = spread(d).select(
+        "doc_id",
+        F.explode(
+            TX.shingles_of(TX.tokens(F.lower(F.col("text"))))
+        ).alias("shingle"),
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        ex.join(F.broadcast(cand_ids), "doc_id")
+        .join(dfreq, "shingle")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") * TFIDF_DF_FRAC_DEN <= F.col("n_docs"))
+            & (F.col("df") <= TFIDF_DF_ABS_CAP)
+        )
+        .select(
+            "doc_id",
+            "shingle",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0,
+                6,
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingle"),
+        F.col("w").alias("wa"),
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b_r"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        cand.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("id_b_r"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("na_id"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("nb_id"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, dots.id_a == na.na_id)
+        .join(nb, F.col("id_b") == nb.nb_id)
+        .filter(cos >= TFIDF_COSINE_THRESHOLD)
+        .select("id_a", "id_b", "n_shared", cos.alias("cosine"))
+    )
