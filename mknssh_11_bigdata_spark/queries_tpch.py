@@ -1532,3 +1532,203 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("balance_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — late-shipment order counts by priority (correlated EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+#: Quarter under audit (half-open) and the lateness cutoff in days.
+LATE_Q_LO = "1996-01-01"
+LATE_Q_HI = "1996-04-01"
+LATE_AFTER_DAYS = 90
+
+
+@register(
+    "late_shipment_priority_counts",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{LATE_Q_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{LATE_Q_HI} 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+                              + INTERVAL {LATE_AFTER_DAYS} DAY
+      )
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape — per-priority count of one quarter's orders with
+    at least one line shipped more than {LATE_AFTER_DAYS} days after
+    the order date. The physical point is the correlated EXISTS: it is
+    a LEFT SEMI join whose condition spans BOTH sides (key equality
+    plus the cross-table lateness inequality), so each order counts
+    once no matter how many lines are late — a plain inner join would
+    double-count and a post-join distinct would pay an extra exchange.
+    The quarter filter prunes the orders scan before the join (pushed
+    to parquet), and both timestamps stay in timestamp arithmetic
+    (`+ INTERVAL`) so Spark and the oracle bound the same instant."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(LATE_Q_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(LATE_Q_HI).cast("timestamp"))
+    )
+    lines = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        lines,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {LATE_AFTER_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay bands × priority class (CASE-sum split aggregation)
+# ---------------------------------------------------------------------------
+
+#: Band edges in days from order date to line ship date (the schema has
+#: no l_shipmode/l_commitdate; delay bands replace ship modes while
+#: keeping Q12's dual-CASE-sum plan shape). The synthetic generator
+#: draws l_shipdate independently of o_orderdate, so an "early"
+#: (negative-delay) band legitimately exists.
+DELAY_FAST_DAYS = 30
+DELAY_NORMAL_DAYS = 90
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "shipping_delay_priority_split",
+    f"""
+    SELECT CASE
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 0
+               THEN 'early'
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                  <= {DELAY_FAST_DAYS} THEN 'fast'
+             WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                  <= {DELAY_NORMAL_DAYS} THEN 'normal'
+             ELSE 'late'
+           END AS delay_band,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                    ('{HIGH_PRIORITIES[0]}', '{HIGH_PRIORITIES[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                    ('{HIGH_PRIORITIES[0]}', '{HIGH_PRIORITIES[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def shipping_delay_priority_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape — one pass over the order⋈lineitem join that
+    splits every group's count into two mutually-exclusive CASE-sums
+    (high vs low priority) instead of two filtered aggregations. Four
+    delay bands (derived from datediff, the schema's stand-in for ship
+    modes) key the group-by; the dual CASE-sum means the fact join is
+    scanned ONCE and the split costs zero extra shuffles."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay < 0, "early")
+        .when(delay <= DELAY_FAST_DAYS, "fast")
+        .when(delay <= DELAY_NORMAL_DAYS, "normal")
+        .otherwise("late")
+    )
+    is_high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (
+        o.join(lines, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue for one brand (per-key mean threshold)
+# ---------------------------------------------------------------------------
+
+SMALL_QTY_BRAND = "Brand#23"
+SMALL_QTY_FRACTION = 0.2  # of the part's mean order quantity
+
+
+@register(
+    "small_quantity_brand_revenue",
+    f"""
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = '{SMALL_QTY_BRAND}'
+    ),
+    pq AS (
+        SELECT l_partkey,
+               {SMALL_QTY_FRACTION} * AVG(l_quantity) AS qty_thresh
+        FROM brand_lines GROUP BY 1
+    )
+    SELECT ROUND(SUM(ROUND(b.l_extendedprice * 100, 0)) / 100.0 / 7.0,
+                 2) AS avg_yearly
+    FROM brand_lines b
+    JOIN pq ON pq.l_partkey = b.l_partkey
+    WHERE b.l_quantity < pq.qty_thresh
+    """,
+)
+def small_quantity_brand_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape — yearly revenue lost if sub-threshold orders
+    (below {SMALL_QTY_FRACTION}× the part's own mean quantity) for one
+    brand were dropped. Physical shape: because p_brand is functionally
+    dependent on the part, the brand filter commutes with the per-part
+    mean — so the plan broadcast-semi-joins lineitem down to the
+    brand's parts FIRST (~1/25th of the fact survives), then computes
+    the per-part mean and the threshold filter in ONE partkey window
+    pass instead of Q17's classic aggregate-then-rejoin (one exchange,
+    not two). The threshold compare is engine-stable: AVG = exact
+    integral sum / exact count gives the identical double in both
+    engines, and revenue uses the integer-cent ledger before the single
+    output ROUND."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = lines.join(
+        F.broadcast(p), lines.l_partkey == p.p_partkey, "left_semi"
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = brand_lines.withColumn(
+        "qty_thresh", F.lit(SMALL_QTY_FRACTION) * F.avg("l_quantity").over(w)
+    )
+    return flagged.filter(F.col("l_quantity") < F.col("qty_thresh")).agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0))
+            / F.lit(100.0)
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly")
+    )
