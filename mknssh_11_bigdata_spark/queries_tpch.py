@@ -1564,13 +1564,18 @@ LATE_AFTER_DAYS = 90
 def late_shipment_priority_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """TPC-H Q4 shape — per-priority count of one quarter's orders with
-    at least one line shipped more than {LATE_AFTER_DAYS} days after
-    the order date. The physical point is the correlated EXISTS: it is
-    a LEFT SEMI join whose condition spans BOTH sides (key equality
-    plus the cross-table lateness inequality), so each order counts
-    once no matter how many lines are late — a plain inner join would
-    double-count and a post-join distinct would pay an extra exchange.
+    """TPC-H Q4 shape, CORRELATED-predicate variant — per-priority
+    count of one quarter's orders with at least one line shipped more
+    than {LATE_AFTER_DAYS} days after the order date. Deliberate
+    counterpart of ``returned_order_priority_counts`` (queries.py),
+    whose EXISTS predicate touches only the inner table and therefore
+    pushes to the lineitem scan BEFORE the semi join; here the
+    lateness inequality spans BOTH sides (l_shipdate vs o_orderdate),
+    so it cannot push anywhere — it must ride the LEFT SEMI join's
+    condition as a non-equi conjunct evaluated per matched pair. Each
+    order still counts once no matter how many lines are late — a
+    plain inner join would double-count and a post-join distinct would
+    pay an extra exchange.
     The quarter filter prunes the orders scan before the join (pushed
     to parquet), and both timestamps stay in timestamp arithmetic
     (`+ INTERVAL`) so Spark and the oracle bound the same instant."""
@@ -1697,15 +1702,19 @@ SMALL_QTY_FRACTION = 0.2  # of the part's mean order quantity
 def small_quantity_brand_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """TPC-H Q17 shape — yearly revenue lost if sub-threshold orders
-    (below {SMALL_QTY_FRACTION}× the part's own mean quantity) for one
-    brand were dropped. Physical shape: because p_brand is functionally
-    dependent on the part, the brand filter commutes with the per-part
-    mean — so the plan broadcast-semi-joins lineitem down to the
-    brand's parts FIRST (~1/25th of the fact survives), then computes
-    the per-part mean and the threshold filter in ONE partkey window
-    pass instead of Q17's classic aggregate-then-rejoin (one exchange,
-    not two). The threshold compare is engine-stable: AVG = exact
+    """TPC-H Q17 shape, WINDOW-pass variant — yearly revenue lost if
+    sub-threshold orders (below {SMALL_QTY_FRACTION}× the part's own
+    mean quantity) for one brand were dropped. Deliberate counterpart
+    of ``small_quantity_revenue`` (queries.py), which keeps the classic
+    decorrelation: per-part aggregate over the FULL fact, rejoined on
+    partkey (two exchanges, mean computed for every part). This
+    variant exploits that p_brand is functionally dependent on the
+    part, so the brand filter commutes with the per-part mean: a
+    broadcast semi-join shrinks the fact ~25× FIRST, then ONE partkey
+    window pass computes the mean and the threshold filter together
+    (one exchange, means only for surviving parts). Same logical
+    query; the two registrations pin both physical strategies and the
+    bench shows their costs side by side. The threshold compare is engine-stable: AVG = exact
     integral sum / exact count gives the identical double in both
     engines, and revenue uses the integer-cent ledger before the single
     output ROUND."""
