@@ -1706,13 +1706,15 @@ def small_quantity_brand_revenue(
     sub-threshold orders (below {SMALL_QTY_FRACTION}× the part's own
     mean quantity) for one brand were dropped. Deliberate counterpart
     of ``small_quantity_revenue`` (queries.py), which keeps the classic
-    decorrelation: per-part aggregate over the FULL fact, rejoined on
-    partkey (two exchanges, mean computed for every part). This
-    variant exploits that p_brand is functionally dependent on the
-    part, so the brand filter commutes with the per-part mean: a
-    broadcast semi-join shrinks the fact ~25× FIRST, then ONE partkey
-    window pass computes the mean and the threshold filter together
-    (one exchange, means only for surviving parts). Same logical
+    decorrelation: TWO lineitem scans — the fact plus a per-part mean
+    over EVERY part, rejoined on partkey (broadcastable at demo scale,
+    a second fact-sized exchange at 100 TB). This variant exploits
+    that p_brand is functionally dependent on the part, so the brand
+    filter commutes with the per-part mean: ONE lineitem scan, shrunk
+    ~25× by a broadcast semi-join FIRST, then a single partkey window
+    pass computes the mean and the threshold filter together (one
+    exchange of the shrunk fact, means only for surviving parts; plan
+    pinned in tests/test_plans.py). Same logical
     query; the two registrations pin both physical strategies and the
     bench shows their costs side by side. The threshold compare is engine-stable: AVG = exact
     integral sum / exact count gives the identical double in both

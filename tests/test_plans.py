@@ -474,3 +474,57 @@ def test_weekend_dpp_dynamic_partition_filter(spark):
     pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
     assert "dynamicpruning" in pf, pf
     assert "event_date" in pf, pf
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def _fact_scans(plan: str, table: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Scan parquet" in line and table in line
+    )
+
+
+def test_q17_window_variant_single_fact_scan(spark):
+    """The two registered Q17 physical strategies must actually differ
+    the way their docstrings claim. The classic decorrelation
+    (small_quantity_revenue) reads lineitem TWICE — once as the fact,
+    once to build the per-part mean over EVERY part (at demo scale the
+    optimizer broadcasts that aggregate; at 100 TB it cannot, and the
+    rejoin becomes a second fact-sized exchange). The window variant
+    (small_quantity_brand_revenue) reads lineitem ONCE, shrinks it
+    ~25x via the broadcast brand semi-join, and its only hash exchange
+    carries the shrunk fact into the partkey window."""
+    classic = _plan(spark, "small_quantity_revenue")
+    window = _plan(spark, "small_quantity_brand_revenue")
+    assert _fact_scans(classic, "lineitem") == 2
+    assert _fact_scans(window, "lineitem") == 1
+    assert "LeftSemi" in window and "Window" in window
+    assert _shuffles(window) == 1
+
+
+def test_q4_correlated_predicate_rides_semi_join(spark):
+    """The cross-table lateness inequality cannot push to either scan —
+    it must appear inside the LeftSemi join condition. The quarter
+    filter, by contrast, must reach the orders parquet scan."""
+    plan = _plan(spark, "late_shipment_priority_counts")
+    assert "LeftSemi" in plan
+    semi = plan[plan.index("LeftSemi"):].splitlines()[0]
+    assert "l_shipdate" in semi and "o_orderdate" in semi
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q12_single_fact_scan_dual_case_sum(spark):
+    """Q12's split must be one aggregation over one join — no Union of
+    per-class scans, exactly one lineitem scan."""
+    plan = _plan(spark, "shipping_delay_priority_split")
+    assert "Union" not in plan
+    assert plan.count("lineitem") <= plan.count("Scan parquet") * 1  # sanity
+    assert sum(
+        1 for line in plan.splitlines() if "Scan parquet" in line and "lineitem" in line
+    ) == 1
