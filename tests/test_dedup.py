@@ -501,3 +501,29 @@ def test_containment_catches_excerpt_lsh_misses_it(spark):
         ).collect()
     }
     assert (1, 2) not in lsh
+
+
+def test_tfidf_rescore_lsh_contained_in_exact_arm(spark):
+    """Semantic link between the two registered tf-idf arms: the
+    composed LSH→re-score path may only MISS pairs (LSH recall), never
+    invent or mis-score one — its output must be a subset of the exact
+    inverted-index arm's pairs with bit-equal rounded cosines on the
+    intersection, at identical thresholds."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["id_a"], r["id_b"]): (r["cosine"], r["n_shared"])
+        for r in QUERIES["dedup_tfidf_cosine"].spark(spark, sf).collect()
+    }
+    rescored = {
+        (r["id_a"], r["id_b"]): (r["cosine"], r["n_shared"])
+        for r in QUERIES["dedup_tfidf_rescore_lsh"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert rescored, "planted duplicates must survive LSH at sf0.001"
+    missing = set(rescored) - set(exact)
+    assert missing == set(), f"rescore invented pairs: {missing}"
+    for pair, (cos, n) in rescored.items():
+        assert exact[pair] == (cos, n), (pair, exact[pair], (cos, n))
