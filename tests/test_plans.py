@@ -528,3 +528,48 @@ def test_q12_single_fact_scan_dual_case_sum(spark):
     assert sum(
         1 for line in plan.splitlines() if "Scan parquet" in line and "lineitem" in line
     ) == 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Optimizer pillar #4 (after static pruning, DPP, bucketing):
+    runtime bloom-filter join pruning. The session enables it by
+    default, but its application-side threshold (10 GB scan) only
+    fires at real scale — exactly the 100 TB case, where the filtered
+    dim's bloom filter prunes fact rows BEFORE the shuffle. Pin the
+    mechanism by dropping the thresholds at demo scale: a selective
+    dim filter on a non-broadcast join must plant `might_contain` on
+    the fact side."""
+    from pyspark.sql import functions as F
+
+    # sf0.01, not SF_SMOKE: the injection rule compares side sizes, and
+    # at sf0.001 the fact side is too small to clear the heuristic even
+    # with the scan-size threshold dropped to zero.
+    sf = "/root/testdata/sf0.01"
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "-1")
+        spark.conf.set(keys[2], "-1")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
