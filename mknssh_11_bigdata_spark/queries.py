@@ -1172,28 +1172,42 @@ _ROWS_ONLY_BY_DESIGN = {
     "multimodal_media_features",
 }
 
-#: Queries whose implementation or oracle changed THIS round after
-#: already earning a green row — force them back into the window so the
-#: recorded certification never goes stale against the shipped code.
-_RECERTIFY = [
-    "dedup_embedding_components",  # n-scaled SRP geometry (r3)
-    "trailing_24h_user_spend",  # microsecond RANGE frame (r3, ADVICE)
-    "event_props_map_explode",  # TRY_CAST oracle (r3, ADVICE)
-    "embedding_topk_ivf_kmeans",  # map-only centroid assignment (r3)
-    "embedding_topk_ivf_int8",  # map-only centroid assignment (r3)
-]
+#: Queries whose implementation or oracle changed after already earning
+#: a green row, mapped to the FIRST round whose CORRECTNESS record
+#: certifies the shipped code (the round in which the change lands).
+#: Older green rows are ignored for these names, so they rotate back
+#: into the window — and the entry expires automatically once the
+#: driver records a green row in round ≥ the stated round.
+_RECERTIFY = {
+    "dedup_embedding_components": 3,  # n-scaled SRP geometry (r3)
+    "trailing_24h_user_spend": 3,  # microsecond RANGE frame (r3, ADVICE)
+    "event_props_map_explode": 3,  # TRY_CAST oracle (r3, ADVICE)
+    "embedding_topk_ivf_kmeans": 3,  # map-only centroid assignment (r3)
+    "embedding_topk_ivf_int8": 3,  # map-only centroid assignment (r3)
+}
 
 
 def _driver_certified() -> set[str]:
-    """Names with a green (or by-design rows-only) row in any recorded
-    CORRECTNESS_r*.json. Missing/corrupt files are simply skipped — on a
-    fresh clone every query is uncertified and goes to the front."""
+    """Names with a green (or by-design rows-only) row in a recorded
+    CORRECTNESS_r*.json that still certifies the SHIPPED code. Missing/
+    corrupt files are simply skipped — on a fresh clone every query is
+    uncertified and goes to the front.
+
+    A name listed in :data:`_RECERTIFY` with required round ``N`` counts
+    only if a round ≥ N recorded it green: its pre-change rows are stale
+    by definition, and the entry EXPIRES BY ITSELF once the driver
+    re-records the query — no hand-clearing between rounds (the r3
+    version subtracted the list forever, which would have silently
+    burned len(_RECERTIFY) window slots every later round)."""
     import json
     import pathlib
+    import re
 
     certified: set[str] = set()
     root = pathlib.Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -1203,6 +1217,8 @@ def _driver_certified() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            if rnd < _RECERTIFY.get(name, 0):
+                continue  # pre-change record: stale for the shipped code
             if row.get("hash_match") is True:
                 certified.add(name)
             elif (
@@ -1215,7 +1231,7 @@ def _driver_certified() -> set[str]:
 
 
 def _reorder_registry() -> None:
-    certified = _driver_certified() - set(_RECERTIFY)
+    certified = _driver_certified()
     snapshot = dict(QUERIES)
     front = [n for n in snapshot if n not in certified]
     back = [n for n in snapshot if n in certified]

@@ -201,11 +201,29 @@ def test_driver_window_registry_ordering():
     )
 
     names = list(QUERIES)
-    certified = _driver_certified() - set(_RECERTIFY)
+    certified = _driver_certified()
     front = [n for n in names if n not in certified]
     back = [n for n in names if n in certified]
     assert names == front + back  # uncertified strictly first
     assert set(_RECERTIFY) <= set(QUERIES)  # no stale recertify names
+    # recertify semantics: a name required to re-certify in a round for
+    # which no CORRECTNESS record exists yet must sort into the front
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    recorded = set()
+    for p in root.glob("CORRECTNESS_r*.json"):
+        import re
+
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m:
+            recorded.add(int(m.group(1)))
+    for name, rnd in _RECERTIFY.items():
+        if not any(r >= rnd for r in recorded):
+            assert name in front, (
+                f"{name} awaits round-{rnd} recertification but sorted "
+                "into the certified back"
+            )
     # window arithmetic: everything needing a row must actually fit
     assert len(front) <= 50, (
         f"{len(front)} uncertified queries exceed the driver's 50-row "
