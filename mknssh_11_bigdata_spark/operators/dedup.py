@@ -632,11 +632,20 @@ def srp_rows_per_band(n: int, n_bits: int = 32) -> int:
     16-bit band keys and a ~400× pair reduction. A deterministic step
     function (not a float log2) so SQL oracles reproduce the choice
     exactly with a CASE expression.
+
+    The ladder contains only DIVISORS of ``n_bits``: a non-dividing
+    width would make the caller recompute ``rows = n_bits // bands``
+    and silently run a different geometry than the one chosen here
+    (e.g. n_bits=24 at 100k rows used to return 16 → bands=1 → one
+    24-bit band, collapsing recall with no error).
     """
-    r = 8
-    while r < n_bits and n > SRP_AUTO_TARGET_BUCKET_ROWS * (1 << r):
-        r *= 2
-    return min(r, n_bits)
+    ladder = [r for r in range(8, n_bits + 1) if n_bits % r == 0]
+    if not ladder:
+        ladder = [n_bits]  # n_bits < 8: a single full-width band
+    for r in ladder:
+        if n <= SRP_AUTO_TARGET_BUCKET_ROWS * (1 << r):
+            return r
+    return ladder[-1]
 
 
 def embedding_near_dup_pairs(

@@ -72,8 +72,14 @@ def nearest_centroid_expr(
     sims = F.transform(mat, lambda c: F.round(_cos(vec, c), 6))
     # First occurrence of the max = smallest position; with centroids
     # sorted by id, that reproduces max_by(struct(sim, -cid))'s
-    # smaller-id tie-break exactly.
-    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    # smaller-id tie-break exactly. A zero-norm vector yields all-NULL
+    # sims (cosine's denom guard), so array_max/array_position are NULL
+    # — coalesce to position 1 (the smallest centroid id), which is what
+    # the max_by form, the numpy argmax-over--inf arm, and the oracles'
+    # ORDER BY cos DESC NULLS LAST, cid ASC all resolve to.
+    pos = F.coalesce(
+        F.array_position(sims, F.array_max(sims)).cast("int"), F.lit(1)
+    )
     return F.element_at(F.lit(ids), pos).cast(id_type)
 
 

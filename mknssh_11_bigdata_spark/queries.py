@@ -1198,12 +1198,17 @@ def _driver_certified() -> set[str]:
     by definition, and the entry EXPIRES BY ITSELF once the driver
     re-records the query — no hand-clearing between rounds (the r3
     version subtracted the list forever, which would have silently
-    burned len(_RECERTIFY) window slots every later round)."""
+    burned len(_RECERTIFY) window slots every later round).
+
+    The MOST RECENT recorded row per name wins: a query that was green
+    in round N but recorded a failure in round M > N is uncertified
+    again and rotates back into the window to be re-proved — otherwise
+    one stale green row would mask every later regression forever."""
     import json
     import pathlib
     import re
 
-    certified: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path.name)
@@ -1219,15 +1224,14 @@ def _driver_certified() -> set[str]:
                 continue
             if rnd < _RECERTIFY.get(name, 0):
                 continue  # pre-change record: stale for the shipped code
-            if row.get("hash_match") is True:
-                certified.add(name)
-            elif (
+            green = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and name in _ROWS_ONLY_BY_DESIGN
                 and row.get("spark_rows") is not None
-            ):
-                certified.add(name)
-    return certified
+            )
+            if rnd >= latest.get(name, (-1, False))[0]:
+                latest[name] = (rnd, green)
+    return {name for name, (_, green) in latest.items() if green}
 
 
 def _reorder_registry() -> None:

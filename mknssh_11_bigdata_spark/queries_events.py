@@ -1449,9 +1449,9 @@ SCD2_TIER_HIGH = 300.0
     )
     SELECT user_id, tier, valid_from,
            lead(valid_from) OVER (
-               PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+               PARTITION BY user_id ORDER BY valid_from, island) AS valid_to,
            CAST(lead(valid_from) OVER (
-               PARTITION BY user_id ORDER BY valid_from) IS NULL
+               PARTITION BY user_id ORDER BY valid_from, island) IS NULL
                AS BOOLEAN) AS is_current,
            n_events
     FROM intervals
@@ -1500,7 +1500,11 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    stitch = Window.partitionBy("user_id").orderBy("valid_from")
+    # island is the deterministic tiebreak: two adjacent islands share
+    # valid_from when a user's tier changes between two same-ts
+    # purchases, and valid_from alone would leave the lead() stitch
+    # engine-defined for that pair (cross-engine hash flap).
+    stitch = Window.partitionBy("user_id").orderBy("valid_from", "island")
     return intervals.select(
         "user_id",
         "tier",
@@ -1520,15 +1524,19 @@ PART_WEEK_HI = "2024-01-15"  # exclusive
 
 
 def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Prepare (once per session per sf_dir) a date-partitioned events
+    """Prepare (once per source-data version) a date-partitioned events
     layout — ``event_date=YYYY-MM-DD/`` directories — the standard
     time-partitioned fact table every warehouse lands its event stream
     into. The one-time partitioned write is what buys every subsequent
-    time-ranged query its partition pruning."""
-    import hashlib
+    time-ranged query its partition pruning. The cache tag fingerprints
+    the source parquet's file stats, not just the path, so regenerating
+    the same sf_dir invalidates the prepared copy instead of serving
+    stale rows against a fresh oracle."""
     import pathlib
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    from .sources.readers import source_fingerprint
+
+    tag = source_fingerprint(sf_dir, "events")
     root = (
         pathlib.Path(__file__).resolve().parent.parent
         / "spark-warehouse"

@@ -685,19 +685,20 @@ def _bucketed_fact_tables(
 ) -> tuple[DataFrame, DataFrame]:
     """orders/lineitem as bucket(8, orderkey) sorted managed tables.
 
-    Table names carry an sf_dir content tag, and data files live under
-    the repo's gitignored ``spark-warehouse/`` regardless of the
-    caller's cwd. Rewritten only when the session catalog doesn't know
-    the table (bucket METADATA lives in the catalog; a bare parquet
-    directory can't be trusted as bucketed) — callers with mutable
-    source dirs must use fresh dirs, as the test fixtures do.
+    Table names carry an sf_dir content tag (path + source-file stats,
+    so a regenerated source dir gets a fresh bucketed copy rather than
+    stale rows), and data files live under the repo's gitignored
+    ``spark-warehouse/`` regardless of the caller's cwd. Rewritten only
+    when the session catalog doesn't know the table (bucket METADATA
+    lives in the catalog; a bare parquet directory can't be trusted as
+    bucketed).
     """
-    import hashlib
     import pathlib
 
+    from .sources.readers import source_fingerprint
     from .sources.writers import write_bucketed_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = source_fingerprint(sf_dir, "orders", "lineitem")
     warehouse = pathlib.Path(__file__).resolve().parent.parent / (
         "spark-warehouse"
     )
@@ -1663,7 +1664,11 @@ def shipping_delay_priority_split(
             F.sum(F.when(is_high, 1).otherwise(0))
             .cast("long")
             .alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1))
+            # ~is_high, not otherwise(1): a NULL priority is NULL under
+            # both IN and NOT IN three-valued logic, so the oracle's
+            # CASE counts it in NEITHER bucket — otherwise(1) would
+            # claim it for the low bucket on the Spark side only.
+            F.sum(F.when(~is_high, 1).otherwise(0))
             .cast("long")
             .alias("low_line_count"),
         )

@@ -127,6 +127,35 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Content tag for a prepared-layout cache (bucketed tables,
+    partitioned copies): an md5 over the source dir PLUS each source
+    table's file stats (relative name, size, mtime). A path-only tag
+    serves STALE prepared data when the same directory is regenerated
+    (e.g. tools/make_scale_data.py rerun fair→dense into the same out
+    dir); folding the stats in makes regeneration produce a new tag, so
+    the layout is rebuilt instead of silently read from the old copy."""
+    import hashlib
+    import pathlib
+
+    h = hashlib.md5(sf_dir.encode())
+    for table in tables:
+        src = pathlib.Path(sf_dir) / f"{table}.parquet"
+        files = (
+            sorted(p for p in src.rglob("*") if p.is_file())
+            if src.is_dir()
+            else [src]
+        )
+        for p in files:
+            try:
+                st = p.stat()
+            except OSError:
+                continue
+            rel = p.name if not src.is_dir() else str(p.relative_to(src))
+            h.update(f"{table}/{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def read_format(
     spark: SparkSession,
     path: str,

@@ -34,7 +34,40 @@ import pathlib
 from pyspark.sql import DataFrame, SparkSession
 
 
-class IdempotentParquetSink:
+class _CommitMarkerLedger:
+    """The ``<root>/_committed/<batchId>`` marker contract shared by
+    every sink in this module: a batch counts as committed iff its
+    marker file exists, markers are written only AFTER the data commit,
+    and listing tolerates stray non-numeric entries (editor temp file,
+    .DS_Store, filesystem artifact) — markers are written as str(int),
+    so only digit-named files are ledger rows. One implementation, so a
+    marker-format change can never drift between sinks."""
+
+    def __init__(self, root: str):
+        self.root = str(root)
+        self._marker_dir = pathlib.Path(self.root) / "_committed"
+
+    def committed_batches(self) -> set[int]:
+        if not self._marker_dir.exists():
+            return set()
+        return {
+            int(p.name)
+            for p in self._marker_dir.iterdir()
+            if p.name.isdigit()
+        }
+
+    def _mark_committed(self, batch_id: int) -> None:
+        self._marker_dir.mkdir(parents=True, exist_ok=True)
+        (self._marker_dir / str(batch_id)).touch()
+
+    def _unmark(self, batch_id: int) -> None:
+        try:
+            (self._marker_dir / str(batch_id)).unlink()
+        except OSError:
+            pass
+
+
+class IdempotentParquetSink(_CommitMarkerLedger):
     """``foreachBatch`` callable with exactly-once parquet semantics.
 
     Usage::
@@ -48,22 +81,6 @@ class IdempotentParquetSink:
     partial output.
     """
 
-    def __init__(self, root: str):
-        self.root = str(root)
-        self._marker_dir = pathlib.Path(self.root) / "_committed"
-
-    def committed_batches(self) -> set[int]:
-        if not self._marker_dir.exists():
-            return set()
-        # Digit-only filter: a stray non-numeric entry (editor temp file,
-        # .DS_Store, filesystem artifact) must not poison every subsequent
-        # micro-batch with ValueError — markers are written as str(int).
-        return {
-            int(p.name)
-            for p in self._marker_dir.iterdir()
-            if p.name.isdigit()
-        }
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.committed_batches():
             return  # replay of a committed batch — exactly-once drop
@@ -72,8 +89,7 @@ class IdempotentParquetSink:
                 f"{self.root}/batch_id={batch_id}"
             )
         )
-        self._marker_dir.mkdir(parents=True, exist_ok=True)
-        (self._marker_dir / str(batch_id)).touch()
+        self._mark_committed(batch_id)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read back only COMMITTED batches, batch_id column dropped."""
@@ -90,7 +106,7 @@ class IdempotentParquetSink:
         return df.drop("batch_id")
 
 
-class LatestSnapshotSink:
+class LatestSnapshotSink(_CommitMarkerLedger):
     """``foreachBatch`` upsert maintaining a latest-record-per-key
     snapshot — the streaming twin of the batch
     ``events_latest_per_user`` compaction (MERGE INTO's "keep the
@@ -124,20 +140,10 @@ class LatestSnapshotSink:
         order_cols: list[str],
         keep_versions: int = 2,
     ):
-        self.root = str(root)
+        super().__init__(root)
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
         self.keep_versions = keep_versions
-        self._marker_dir = pathlib.Path(self.root) / "_committed"
-
-    def committed_batches(self) -> set[int]:
-        if not self._marker_dir.exists():
-            return set()
-        return {
-            int(p.name)
-            for p in self._marker_dir.iterdir()
-            if p.name.isdigit()
-        }
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """The latest COMMITTED snapshot (None before the first commit)."""
@@ -166,8 +172,7 @@ class LatestSnapshotSink:
             .drop("__rn")
         )
         snap.write.mode("overwrite").parquet(f"{self.root}/v={batch_id}")
-        self._marker_dir.mkdir(parents=True, exist_ok=True)
-        (self._marker_dir / str(batch_id)).touch()
+        self._mark_committed(batch_id)
         self._prune()
 
     def _prune(self) -> None:
@@ -178,7 +183,4 @@ class LatestSnapshotSink:
             shutil.rmtree(
                 f"{self.root}/v={old}", ignore_errors=True
             )
-            try:
-                (self._marker_dir / str(old)).unlink()
-            except OSError:
-                pass
+            self._unmark(old)

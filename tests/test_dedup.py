@@ -225,6 +225,13 @@ def test_srp_rows_per_band_n_scaled_geometry():
     assert srp_rows_per_band(10**9) == 32  # clamped at n_bits
     # narrower signature clamps earlier
     assert srp_rows_per_band(10**9, n_bits=16) == 16
+    # the returned width must DIVIDE n_bits, or the caller's
+    # bands/rows recomputation silently runs a different geometry
+    for n_bits in (16, 24, 32, 40, 48, 64):
+        for n in (0, 10_000, 100_000, 10**7, 10**9):
+            r = srp_rows_per_band(n, n_bits)
+            assert n_bits % r == 0, (n, n_bits, r)
+    assert srp_rows_per_band(100_000, n_bits=24) == 12  # not a 24-bit band
 
 
 def test_embedding_near_dup_auto_bands_matches_pinned(spark, vecs):

@@ -291,3 +291,27 @@ def test_json_corrupt_records_are_quarantined_not_fatal(spark, tmp_path):
         .json(str(p))
     )
     assert {r.id for r in dropped.filter(F.col("id").isNotNull()).collect()} == {1, 2, 3}
+
+
+def test_source_fingerprint_tracks_content_not_just_path(tmp_path):
+    """Prepared-layout caches (bucketed tables, partitioned copies) key
+    on this tag: same bytes → same tag, regenerated source → new tag,
+    so a rewritten sf_dir can never serve a stale prepared layout."""
+    import os
+    import shutil
+
+    from mknssh_11_bigdata_spark.sources.readers import source_fingerprint
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(src, d / "events.parquet")
+    a = source_fingerprint(str(d), "events")
+    assert a == source_fingerprint(str(d), "events")  # stable
+    os.utime(d / "events.parquet", ns=(1, 2))  # "regenerated"
+    assert a != source_fingerprint(str(d), "events")
+    # distinct dirs with identical bytes still differ (path is folded in)
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    shutil.copy(src, d2 / "events.parquet")
+    assert source_fingerprint(str(d2), "events") != a

@@ -16,11 +16,27 @@ import duckdb
 from mknssh_11_bigdata_spark import get_spark
 from mknssh_11_bigdata_spark.queries import QUERIES
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+args = []
 sf_dir = "/root/testdata/sf0.01"
-for a in sys.argv[1:]:
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--sf="):
         sf_dir = a.split("=", 1)[1]
+    elif a == "--sf":  # the space form from the usage line
+        i += 1
+        if i >= len(argv):
+            sys.exit("--sf requires a path argument")
+        sf_dir = argv[i]
+    elif a.startswith("--"):
+        sys.exit(f"unknown flag {a!r} (usage: name1 name2 ... [--sf DIR])")
+    else:
+        args.append(a)
+    i += 1
+unknown = [n for n in args if n not in QUERIES]
+if unknown:
+    sys.exit(f"unknown queries: {unknown}")
 
 spark = get_spark(app_name="parity-subset", master="local[8]", shuffle_partitions=8)
 con = duckdb.connect()
