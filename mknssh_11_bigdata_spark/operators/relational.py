@@ -28,6 +28,7 @@ __all__ = [
     "null_profile",
     "cumulative_sum",
     "histogram",
+    "global_rank_cumsum",
 ]
 
 
@@ -325,3 +326,69 @@ def global_ntile(
             F.lit(rem) + ((rank - F.lit(cut) - 1) / base).cast("int") + 1
         )
     return ordered.withColumn(out, tile.cast("int")).drop("__pid")
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    rank_out: str = "rank",
+    cum_out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global ROW_NUMBER + inclusive prefix-sum over a
+    TOTAL order — the scale-safe form of
+    ``row_number()/sum().over(Window.orderBy(...))``, which forces the
+    whole frame through ONE task.
+
+    Same two-phase shape as :func:`global_ntile`: range-repartition on
+    the sort key (a distributed sort), pin partition ids with one
+    materialization, then one tiny per-partition aggregation job
+    collects (row count, value sum) per partition — one pair of numbers
+    per partition, not data — from which driver-side running offsets
+    are folded into each partition's local ``row_number``/running
+    ``sum``. The result equals the single-partition window exactly but
+    every partition ranks in parallel.
+
+    ``order_by`` must be a total order (add a unique tiebreaker), and
+    ``value_col`` must be an integral column if exact cross-engine
+    parity of the prefix sums is required (bigint addition is
+    associative; double addition is not)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids across the two jobs
+    )
+    stats = {
+        r["__pid"]: (r["cnt"], r["vsum"] or 0)
+        for r in ordered.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("vsum"),
+        )
+        .collect()
+    }
+    n_off, v_off, nacc, vacc = {}, {}, 0, 0
+    for pid in sorted(stats):
+        n_off[pid], v_off[pid] = nacc, vacc
+        nacc += stats[pid][0]
+        vacc += stats[pid][1]
+    top = max(stats, default=0) + 1
+    n_expr = F.element_at(
+        F.array(*[F.lit(n_off.get(p, 0)) for p in range(top)]),
+        F.col("__pid") + 1,
+    )
+    v_expr = F.element_at(
+        F.array(*[F.lit(v_off.get(p, 0)) for p in range(top)]),
+        F.col("__pid") + 1,
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        ordered.withColumn(
+            rank_out, (n_expr + F.row_number().over(local_w)).cast("long")
+        )
+        .withColumn(cum_out, v_expr + F.sum(value_col).over(local_w))
+        .drop("__pid")
+    )

@@ -1146,6 +1146,7 @@ from . import queries_events  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
+from . import queries_analytics  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

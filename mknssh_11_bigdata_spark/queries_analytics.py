@@ -1,0 +1,955 @@
+"""Advanced-analytics query wave: time-series decomposition, Pareto /
+survivorship shapes, market-basket affinity, lifecycle segmentation,
+curation routing tiers, and physical-strategy counterparts.
+
+Fourth registration wave (after ``queries_llm`` / ``queries_events`` /
+``queries_curation`` / ``queries_tpch``), extending the reference's
+trend-analysis intent (/root/reference/scripts — genre-year trends,
+segment profiles) with the seasonal/backlog/affinity shapes a warehouse
+actually runs on the same star schema. Import ORDER matters: this
+module registers LAST so its (initially uncertified) names queue at the
+back of the driver-window front and never displace queries already
+slotted for certification this round.
+
+Parity discipline (same as the rest of the registry): money in integer
+cents before summing, per-group means only over exactly-representable
+values or via the scaled-integer trick, one final division per double
+output, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .operators.relational import global_rank_cumsum
+from .registry import register
+from .sources.readers import load_table
+
+#: Day-of-week index shared by both engines WITHOUT locale or
+#: first-day-of-week conventions: days since 1970-01-01 mod 7
+#: (epoch day 0 was a Thursday, so 0=Thu … 3=Sun … 6=Wed).
+_DOW_SQL = "CAST((d - DATE '1970-01-01') % 7 AS INTEGER)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dow_idx(col: str = "d") -> F.Column:
+    return (
+        F.datediff(F.col(col), F.lit("1970-01-01").cast("date")) % 7
+    ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Time-series: seasonal baseline + additive decomposition over the
+# daily events spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_baseline",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    keyed AS (SELECT d, n_events, {_DOW_SQL} AS dow_idx FROM daily),
+    base AS (
+        SELECT dow_idx, ROUND(AVG(n_events), 4) AS baseline
+        FROM keyed GROUP BY dow_idx
+    )
+    SELECT k.d, k.dow_idx, k.n_events, b.baseline,
+           ROUND(k.n_events - b.baseline, 4) AS residual
+    FROM keyed k JOIN base b USING (dow_idx)
+    ORDER BY k.d
+    """,
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline over the daily event-count spine:
+    each day's count against the mean count of its weekday, residual
+    attached — the first stage of any seasonality-aware anomaly gate
+    (``event_hourly_anomaly`` is the within-day counterpart).
+
+    Scale: the spine is one row per day (~36.5k rows even for a
+    century), so everything after the first groupBy is sliver-sized;
+    the weekday baseline is a 7-row broadcast join. The weekday key is
+    ``days-since-epoch mod 7`` — pure integer arithmetic, immune to the
+    locale/first-day conventions that make ``dayofweek`` differ across
+    engines. Baseline AVG divides one exact integer sum, so both
+    engines round the identical double."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("dow_idx", _dow_idx())
+    )
+    base = daily.groupBy("dow_idx").agg(
+        F.round(F.avg("n_events"), 4).alias("baseline")
+    )
+    return (
+        daily.join(F.broadcast(base), "dow_idx")
+        .select(
+            "d",
+            "dow_idx",
+            "n_events",
+            "baseline",
+            F.round(F.col("n_events") - F.col("baseline"), 4).alias(
+                "residual"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "events_stl_decomposition",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT d, cents,
+               SUM(cents) OVER w AS tsum,
+               COUNT(*) OVER w AS tcnt,
+               {_DOW_SQL} AS dow_idx
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT d, dow_idx, cents,
+               ROUND(tsum / (tcnt * 100.0), 2) AS trend,
+               (cents * tcnt - tsum) * (420 // tcnt) AS det420
+        FROM win
+    ),
+    seas AS (
+        SELECT dow_idx,
+               ROUND(SUM(det420) / (420.0 * COUNT(*) * 100.0), 2)
+                   AS seasonal
+        FROM det GROUP BY dow_idx
+    )
+    SELECT t.d, t.dow_idx,
+           ROUND(t.cents / 100.0, 2) AS revenue,
+           t.trend, s.seasonal,
+           ROUND(t.cents / 100.0 - t.trend - s.seasonal, 2) AS remainder
+    FROM det t JOIN seas s USING (dow_idx)
+    ORDER BY t.d
+    """,
+)
+def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of daily event revenue:
+    trend = centered 7-day rolling mean, seasonal = per-weekday mean of
+    the detrended series, remainder = what neither explains — the
+    classical STL skeleton (moving-average flavor) as one declarative
+    plan.
+
+    Exactness across engines is engineered, not hoped for: revenue
+    lives in integer cents; the rolling mean keeps (sum, count) as
+    exact bigints; and the detrended value is scaled by
+    ``tcnt · (420 // tcnt)`` (420 = lcm 4..7, the possible edge-window
+    widths) so the per-weekday seasonal mean sums EXACT INTEGERS in any
+    order and divides once at the end. Double addition never happens
+    before an aggregate.
+
+    Scale: the only window runs on the post-aggregation daily spine
+    (one row per day), where a single-partition ORDER BY d frame is
+    spine-sized by construction — the 100 TB cost center is the first
+    groupBy, a plain map-side-combined date rollup."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("tsum", F.sum("cents").over(w))
+        .withColumn("tcnt", F.count(F.lit(1)).over(w))
+        .withColumn("dow_idx", _dow_idx())
+        .withColumn(
+            "trend", F.round(F.col("tsum") / (F.col("tcnt") * 100.0), 2)
+        )
+        .withColumn(
+            "det420",
+            (F.col("cents") * F.col("tcnt") - F.col("tsum"))
+            * F.expr("420 DIV tcnt"),
+        )
+    )
+    seas = det.groupBy("dow_idx").agg(
+        F.round(
+            F.sum("det420") / (420.0 * F.count(F.lit(1)) * 100.0), 2
+        ).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow_idx")
+        .select(
+            "d",
+            "dow_idx",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("cents") / 100.0 - F.col("trend") - F.col("seasonal"),
+                2,
+            ).alias("remainder"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration over customer revenue (distributed prefix sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_revenue_pareto",
+    """
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT custkey, cents,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY cents DESC, custkey) AS BIGINT) AS rank,
+               SUM(cents) OVER
+                   (ORDER BY cents DESC, custkey
+                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(cents) AS total
+        FROM per
+    )
+    SELECT t.n AS n_customers,
+           MIN(CASE WHEN r.cum * 100 >= t.total * 50
+                    THEN r.rank END) AS n50,
+           MIN(CASE WHEN r.cum * 100 >= t.total * 80
+                    THEN r.rank END) AS n80,
+           MIN(CASE WHEN r.cum * 100 >= t.total * 95
+                    THEN r.rank END) AS n95,
+           ROUND(SUM(CASE WHEN r.rank * 10 <= t.n
+                          THEN r.cents ELSE 0 END) * 100.0 / t.total,
+                 2) AS top_decile_share_pct
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.n, t.total
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: how many customers cover
+    50 / 80 / 95 % of total order revenue, and what share the top
+    decile of customers holds — the 80/20 audit every go-to-market
+    review asks of a warehouse.
+
+    Scale: the naive form is ``SUM() OVER (ORDER BY …)`` across ALL
+    customers — a single-task window at 100 TB. This uses
+    :func:`operators.relational.global_rank_cumsum`: range-partitioned
+    sort, per-partition (count, sum) offsets folded driver-side (one
+    pair of ints per partition), local windows only — exact global rank
+    and prefix sum, fully parallel. Revenue is integer cents so the
+    prefix sums are associative and the threshold comparisons
+    (``cum·100 ≥ total·50``) are pure bigint arithmetic; the only
+    double division is the final share ratio."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    ranked = global_rank_cumsum(
+        per, [F.col("cents").desc(), F.col("custkey")], "cents"
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("total"),
+    )
+    r = ranked.crossJoin(F.broadcast(tot))
+    return r.groupBy("n", "total").agg(
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 50, F.col("rank"))
+        ).alias("n50"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 80, F.col("rank"))
+        ).alias("n80"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 95, F.col("rank"))
+        ).alias("n95"),
+        F.round(
+            F.sum(
+                F.when(F.col("rank") * 10 <= F.col("n"), F.col("cents"))
+                .otherwise(F.lit(0))
+            )
+            * 100.0
+            / F.col("total"),
+            2,
+        ).alias("top_decile_share_pct"),
+    ).select(
+        F.col("n").alias("n_customers"),
+        "n50",
+        "n80",
+        "n95",
+        "top_decile_share_pct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# User lifecycle segmentation over the events stream
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_ACTIVE_DAYS = 7
+_LIFECYCLE_COOLING_DAYS = 30
+
+
+@register(
+    "events_user_lifecycle",
+    f"""
+    WITH per AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MAX(CAST(ts AS DATE)) AS last_day,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    anchor AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    staged AS (
+        SELECT CASE
+                 WHEN a.maxd - p.last_day <= {_LIFECYCLE_ACTIVE_DAYS}
+                   THEN 'active'
+                 WHEN a.maxd - p.last_day <= {_LIFECYCLE_COOLING_DAYS}
+                   THEN 'cooling'
+                 ELSE 'churned'
+               END AS stage,
+               p.active_days, p.n_events,
+               CAST(p.last_day - p.first_day AS BIGINT) AS span_days
+        FROM per p CROSS JOIN anchor a
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(active_days), 4) AS avg_active_days,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           ROUND(AVG(span_days), 4) AS avg_span_days
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle segmentation of the user base: per user first/last
+    activity, distinct active days and event volume, then a
+    recency-based stage (active ≤7 d, cooling ≤30 d, churned beyond)
+    against the corpus's max date, reported per stage.
+
+    Scale: one user-keyed aggregation (map-side combined), the anchor
+    date is a broadcast scalar, and the stage rollup groups three rows.
+    All stage means divide exact integer sums."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.countDistinct("day").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    anchor = ev.agg(F.max("day").alias("maxd"))
+    recency = F.datediff(F.col("maxd"), F.col("last_day"))
+    staged = per.crossJoin(F.broadcast(anchor)).select(
+        F.when(recency <= _LIFECYCLE_ACTIVE_DAYS, "active")
+        .when(recency <= _LIFECYCLE_COOLING_DAYS, "cooling")
+        .otherwise("churned")
+        .alias("stage"),
+        "active_days",
+        "n_events",
+        F.datediff(F.col("last_day"), F.col("first_day"))
+        .cast("long")
+        .alias("span_days"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("active_days"), 4).alias("avg_active_days"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg("span_days"), 4).alias("avg_span_days"),
+        )
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog timeline (interval stabbing via difference array)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog",
+    """
+    WITH closes AS (
+        SELECT o.o_orderkey,
+               o.o_orderdate,
+               COALESCE(MAX(l.l_shipdate), o.o_orderdate) AS close_date
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT o_orderdate AS d, 1 AS delta FROM closes
+        UNION ALL
+        SELECT close_date + INTERVAL 1 DAY, -1 FROM closes
+    ),
+    daily AS (
+        SELECT CAST(d AS DATE) AS d,
+               CAST(SUM(delta) AS BIGINT) AS net_change
+        FROM deltas GROUP BY 1
+    )
+    SELECT d, net_change,
+           CAST(SUM(net_change) OVER
+               (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM daily ORDER BY d
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day: an order is open from its order
+    date until its last lineitem ships — how many are simultaneously
+    open on each day the backlog changes?
+
+    Scale: the textbook trap is a range join (days × orders where day
+    BETWEEN open AND close) — quadratic blowup. This is the
+    difference-array form: each order contributes +1 at open and −1 the
+    day after close, a date rollup sums the deltas, and a prefix sum
+    over the DAILY spine (one row per distinct date — spine-sized, so
+    the single-partition cumulative window is deliberate and bounded)
+    reconstructs the stabbing count exactly."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lastship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    closes = o.join(
+        lastship, o.o_orderkey == lastship.l_orderkey, "left"
+    ).select(
+        "o_orderdate",
+        F.coalesce(F.col("last_ship"), F.col("o_orderdate")).alias(
+            "close_date"
+        ),
+    )
+    deltas = closes.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        closes.select(
+            F.date_add(F.col("close_date"), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy(F.to_date("d").alias("d")).agg(
+        F.sum("delta").cast("long").alias("net_change")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("open_orders", F.sum("net_change").over(w))
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket brand affinity (co-occurrence + lift)
+# ---------------------------------------------------------------------------
+
+_AFFINITY_TOP_K = 20
+
+
+@register(
+    "brand_basket_affinity",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT orderkey) AS BIGINT) AS n FROM baskets
+    ),
+    brand_n AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM baskets GROUP BY brand
+    ),
+    pair_n AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM baskets a
+        JOIN baskets b ON b.orderkey = a.orderkey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(n_ab * 1.0 * t.n / (x.n_b * y.n_b), 4) AS lift
+    FROM pair_n p
+    JOIN brand_n x ON x.brand = p.brand_a
+    JOIN brand_n y ON y.brand = p.brand_b
+    CROSS JOIN n_orders t
+    ORDER BY n_ab DESC, brand_a, brand_b
+    LIMIT {_AFFINITY_TOP_K}
+    """,
+)
+def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: for each brand pair
+    co-occurring in an order, the co-occurrence count and its lift
+    (observed / expected-under-independence) — the association-rule
+    primitive behind cross-sell analytics, top pairs by support.
+
+    Scale: baskets are (orderkey, brand) DISTINCT pairs; the pair
+    generation self-joins ON THE ORDER KEY, so the blowup per order is
+    C(brands-in-order, 2) — bounded by basket width, never corpus size
+    (the same per-key-blocking argument as the LSH bucket joins). Both
+    sides of the self-join share one hash partitioning on orderkey; the
+    brand marginals are dimension-table-sized broadcasts; lift divides
+    exact integer products once."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 3×: pairs (both sides) + marginals
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("orderkey").cast("long").alias("n")
+    )
+    brand_n = baskets.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("b.orderkey") == F.col("a.orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    x = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("n_b").alias("na")
+    )
+    y = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("n_b").alias("nb")
+    )
+    return (
+        pair_n.join(F.broadcast(x), "brand_a")
+        .join(F.broadcast(y), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(_AFFINITY_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort-merge twin of the bucketed fact join (physical-strategy pair)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sortmerge_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def sortmerge_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unprepared-layout twin of ``bucketed_priority_revenue``
+    (queries_tpch.py): the SAME logical fact⋈fact join run straight off
+    the raw parquet with a merge hint — shuffle both sides, sort, merge
+    — the plan you pay when no bucketed layout exists. Registered so
+    the bench shows the layout dividend as a same-round pair (exactly
+    the Q17 two-strategy pattern): this twin carries two fact-sized
+    Exchanges the bucketed plan amortized into its one-time layout
+    write."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucket routing (curation-depth wave)
+# ---------------------------------------------------------------------------
+
+#: 5-decimal tier boundaries can never tie a 4-decimal rounded score,
+#: so tier assignment is deterministic across engines. Cut points
+#: bracket the corpus's logprob quartiles (q25 ≈ −3.4053,
+#: q75 ≈ −3.3986 at sf0.01) so every tier is populated.
+_ROUTE_HIGH_CUT = -3.39905
+_ROUTE_LOW_CUT = -3.40405
+#: Keep-rates per tier, per-mille — the routing policy a data-mixing
+#: pass applies (keep fluent text, thin the tail).
+_ROUTE_RATES_PM = {"high": 1000, "mid": 500, "low": 100}
+
+_SQL_TOKS = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+def _routing_oracle() -> str:
+    toks = _SQL_TOKS.format(col="lower(text)")
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({toks}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS tf FROM ex GROUP BY token),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq),
+    lp AS (
+        SELECT e.doc_id, ROUND(ln(f.tf / t.total), 6) AS lp
+        FROM ex e JOIN freq f USING (token) CROSS JOIN tot t
+    ),
+    per AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(lp) / COUNT(*), 4) AS alp
+        FROM lp GROUP BY doc_id
+    ),
+    tiers AS (
+        SELECT CASE WHEN alp > {_ROUTE_HIGH_CUT} THEN 'high'
+                    WHEN alp > {_ROUTE_LOW_CUT} THEN 'mid'
+                    ELSE 'low' END AS tier,
+               n_tokens,
+               CASE WHEN alp > {_ROUTE_HIGH_CUT}
+                      THEN {_ROUTE_RATES_PM["high"]}
+                    WHEN alp > {_ROUTE_LOW_CUT}
+                      THEN {_ROUTE_RATES_PM["mid"]}
+                    ELSE {_ROUTE_RATES_PM["low"]} END AS rate_pm
+        FROM per
+    ),
+    grand AS (SELECT SUM(n_tokens) AS all_tokens FROM tiers)
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) * MIN(rate_pm) // 1000 AS BIGINT)
+               AS kept_tokens,
+           ROUND(SUM(n_tokens) * 1.0 / MIN(g.all_tokens), 4)
+               AS token_share
+    FROM tiers CROSS JOIN grand g
+    GROUP BY tier ORDER BY tier
+    """
+
+
+@register("doc_perplexity_routing", _routing_oracle())
+def doc_perplexity_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket routing: score every document with the
+    corpus-fit unigram LM (``doc_unigram_logprob``'s scoring core),
+    band the scores into high/mid/low-fluency tiers, and apply a
+    per-tier keep-rate — reporting, per tier, the document count, the
+    token mass, the post-routing token budget, and the tier's share of
+    the corpus. This is the routing table a mixing pass feeds from
+    (CCNet's perplexity buckets; Gopher's quality bands).
+
+    Scale: identical plan shape to ``doc_unigram_logprob`` (one explode
+    + vocab-sized frequency table + broadcast scalar), then a 3-row
+    rollup. Keep-budgets use integer per-mille arithmetic (``DIV
+    1000``), token shares divide exact bigint sums once."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    freq = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tot = freq.agg(F.sum("tf").cast("double").alias("total"))
+    per = (
+        ex.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.round(F.log(F.col("tf") / F.col("total")), 6))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("alp"),
+        )
+    )
+    tier = (
+        F.when(F.col("alp") > _ROUTE_HIGH_CUT, "high")
+        .when(F.col("alp") > _ROUTE_LOW_CUT, "mid")
+        .otherwise("low")
+    )
+    rate = (
+        F.when(F.col("alp") > _ROUTE_HIGH_CUT, _ROUTE_RATES_PM["high"])
+        .when(F.col("alp") > _ROUTE_LOW_CUT, _ROUTE_RATES_PM["mid"])
+        .otherwise(_ROUTE_RATES_PM["low"])
+    )
+    tiers = per.select(
+        tier.alias("tier"), "n_tokens", rate.alias("rate_pm")
+    )
+    grand = tiers.agg(F.sum("n_tokens").alias("all_tokens"))
+    return (
+        tiers.crossJoin(F.broadcast(grand))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.expr("CAST(SUM(n_tokens) * MIN(rate_pm) DIV 1000 AS BIGINT)")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum("n_tokens") * 1.0 / F.min("all_tokens"), 4
+            ).alias("token_share"),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graded contamination tiers (decontamination depth)
+# ---------------------------------------------------------------------------
+
+#: n=3 over the synthetic 40-word vocabulary populates all three tiers
+#: (285 clean / 193 touched / 16 contaminated at sf0.01); the binary
+#: n=4 gate is ``doc_ngram_decontaminate`` (queries_curation.py).
+_CONTAM_N = 3
+_CONTAM_EVAL_MOD, _CONTAM_EVAL_REM = 97, 7
+
+
+def _contam_tiers_oracle() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    n = _CONTAM_N
+    gN = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))) "
+        "ELSE [array_to_string(t, ' ')] END"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, {toks} AS t FROM documents
+    ),
+    g AS (SELECT doc_id, n_chars, {gN} AS gn FROM t),
+    ev AS (
+        SELECT DISTINCT unnest(gn) AS g FROM g
+        WHERE doc_id % {_CONTAM_EVAL_MOD} = {_CONTAM_EVAL_REM}
+    ),
+    corp AS (
+        SELECT doc_id, unnest(gn) AS g FROM g
+        WHERE doc_id % {_CONTAM_EVAL_MOD} <> {_CONTAM_EVAL_REM}
+    ),
+    hits AS (
+        SELECT c.doc_id, COUNT(DISTINCT c.g) AS nhit
+        FROM corp c JOIN ev ON ev.g = c.g GROUP BY c.doc_id
+    ),
+    base AS (
+        SELECT b.doc_id, b.n_chars, COALESCE(h.nhit, 0) AS nhit
+        FROM (SELECT doc_id, n_chars FROM documents
+              WHERE doc_id % {_CONTAM_EVAL_MOD} <> {_CONTAM_EVAL_REM}) b
+        LEFT JOIN hits h ON h.doc_id = b.doc_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+    SELECT CASE WHEN nhit = 0 THEN 'clean'
+                WHEN nhit <= 2 THEN 'touched'
+                ELSE 'contaminated' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) * 100.0 / MIN(t.n), 2) AS share_pct,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM base CROSS JOIN tot t
+    GROUP BY 1 ORDER BY tier
+    """
+
+
+@register("doc_contamination_tiers", _contam_tiers_oracle())
+def doc_contamination_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination report: instead of the binary
+    flagged/clean gate, count how many DISTINCT eval n-grams each
+    training document shares with the held-out slice and band the
+    corpus into clean (0) / touched (1–2) / contaminated (3+) tiers —
+    the policy input for "drop hard hits, downweight soft hits"
+    decontamination (as opposed to drop-everything).
+
+    Scale: same broadcast-semi shape as ``doc_ngram_decontaminate`` —
+    the eval n-gram set is benchmark-sized and broadcasts; the corpus
+    side streams through one explode with NO corpus shuffle before the
+    sliver-sized per-doc distinct-hit count."""
+    d = _t(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % _CONTAM_EVAL_MOD) == _CONTAM_EVAL_REM
+    staged = d.select(
+        "doc_id", "n_chars", TX.tokens(F.col("text")).alias("__t")
+    )
+    eval_g = (
+        staged.filter(is_eval)
+        .select(
+            F.explode(TX.shingles_of(F.col("__t"), _CONTAM_N)).alias("g")
+        )
+        .distinct()
+    )
+    hits = (
+        staged.filter(~is_eval)
+        .select(
+            "doc_id",
+            F.explode(TX.shingles_of(F.col("__t"), _CONTAM_N)).alias("g"),
+        )
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("nhit"))
+    )
+    base = (
+        d.filter(~is_eval)
+        .select("doc_id", "n_chars")
+        .join(hits, "doc_id", "left")
+        .withColumn("nhit", F.coalesce(F.col("nhit"), F.lit(0)))
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tier = (
+        F.when(F.col("nhit") == 0, "clean")
+        .when(F.col("nhit") <= 2, "touched")
+        .otherwise("contaminated")
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.count(F.lit(1)) * 100.0 / F.min("n"), 2).alias(
+                "share_pct"
+            ),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality drift across crawl shards
+# ---------------------------------------------------------------------------
+
+_DRIFT_SHARDS = 5
+
+
+def _drift_oracle() -> str:
+    from .queries_llm import _STOPS_SQL
+
+    toks = _SQL_TOKS.format(col="text")
+    lower_toks = _SQL_TOKS.format(col="lower(text)")
+    return f"""
+    WITH t AS (
+        SELECT source, doc_id % {_DRIFT_SHARDS} AS shard,
+               length(text) AS n_chars, {toks} AS t, {lower_toks} AS lt
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, shard,
+            (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(t) > 0
+                       AND list_sum(list_transform(t,
+                               x -> CAST(length(x) AS DOUBLE))) / len(t)
+                           >= 2.0
+                       AND list_sum(list_transform(t,
+                               x -> CAST(length(x) AS DOUBLE))) / len(t)
+                           <= 12.0
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(lt) > 0
+                       AND len(list_filter(lt,
+                               x -> x IN ({_STOPS_SQL}))) / len(lt)
+                           >= 0.01
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(t) >= 10 THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+        FROM t
+    ),
+    per_shard AS (
+        SELECT source, shard, ROUND(AVG(q), 6) AS shard_q
+        FROM scored GROUP BY source, shard
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(s.q), 6) AS avg_quality,
+           MIN(p.min_q) AS min_shard_quality,
+           MIN(p.max_q) AS max_shard_quality,
+           ROUND(MIN(p.max_q) - MIN(p.min_q), 6) AS drift_range
+    FROM scored s
+    JOIN (SELECT source, MIN(shard_q) AS min_q, MAX(shard_q) AS max_q
+          FROM per_shard GROUP BY source) p
+      ON p.source = s.source
+    GROUP BY s.source ORDER BY s.source
+    """
+
+
+@register("doc_source_quality_drift", _drift_oracle())
+def doc_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift across crawl shards: split each source
+    into deterministic pseudo-shards (``doc_id mod 5`` — the stand-in
+    for crawl-batch ids), compute the composite quality score per
+    shard, and report each source's shard-to-shard quality range — the
+    monitor that catches a source whose quality decays between crawls
+    before it pollutes a training mix.
+
+    Exactness: the composite score is a mean of quarter-point gates
+    (multiples of 0.25 — exactly representable, so sums are exact in
+    any order); shard means divide exact sums and are rounded before
+    the max−min drift range, making every output deterministic.
+
+    Scale: two scan-speed aggregations (source×shard, then source) —
+    no joins against facts, no windows."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        (F.col("doc_id") % _DRIFT_SHARDS).alias("shard"),
+        TX.quality_score(F.col("text")).alias("q"),
+    )
+    per_shard = scored.groupBy("source", "shard").agg(
+        F.round(F.avg("q"), 6).alias("shard_q")
+    )
+    spans = per_shard.groupBy("source").agg(
+        F.min("shard_q").alias("min_q"), F.max("shard_q").alias("max_q")
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+    return (
+        per_source.join(F.broadcast(spans), "source")
+        .select(
+            "source",
+            "n_docs",
+            "avg_quality",
+            F.col("min_q").alias("min_shard_quality"),
+            F.col("max_q").alias("max_shard_quality"),
+            F.round(F.col("max_q") - F.col("min_q"), 6).alias(
+                "drift_range"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -277,6 +277,72 @@ def test_global_ntile_no_unpartitioned_window(spark):
         )
 
 
+def test_global_rank_cumsum_matches_window(spark):
+    """global_rank_cumsum must reproduce the single-partition
+    ROW_NUMBER + running SUM exactly — including n smaller than the
+    partition count and duplicate sort values broken by a tiebreaker."""
+    from pyspark.sql import Window, functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import (
+        global_rank_cumsum,
+    )
+
+    for n in (40, 3):
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") * 37 % 7).alias("v"),  # duplicate sort keys
+            (F.col("id") * 13 % 101).alias("amt"),
+        )
+        order = [F.col("v").desc(), F.col("id").asc()]
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        expected = {
+            (r["id"], r["r"], r["c"])
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy(*order))
+                .cast("long")
+                .alias("r"),
+                F.sum("amt").over(w).alias("c"),
+            ).collect()
+        }
+        got = {
+            (r["id"], r["rank"], r["cum"])
+            for r in global_rank_cumsum(df, order, "amt").select(
+                "id", "rank", "cum"
+            ).collect()
+        }
+        assert got == expected, n
+
+
+def test_global_rank_cumsum_no_unpartitioned_window(spark):
+    """The distributed form must not contain a single-partition
+    window: every windowspec partitions by the pid column."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import (
+        global_rank_cumsum,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = global_rank_cumsum(
+        df, [F.col("v").desc(), F.col("id").asc()], "v"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[(.*?)\])?", plan):
+        part = m.group(2)
+        assert "ASC" not in part and "DESC" not in part, (
+            "unpartitioned window found: " + m.group(0)[:120]
+        )
+
+
 def test_cli_list_and_run(capsys):
     """CLI smoke: `list` prints every registered query; unknown names
     exit 2 with a pointer."""
