@@ -1188,6 +1188,45 @@ _RECERTIFY = {
 }
 
 
+def _scan_correctness() -> tuple[set[str], set[str]]:
+    """(recorded, certified) name sets from the CORRECTNESS_r*.json
+    records at the repo root — ``recorded`` is every name the driver
+    has EVER written a row for (green or not), ``certified`` the subset
+    whose most recent still-valid row is green. See
+    :func:`_driver_certified` for the certification rules."""
+    import json
+    import pathlib
+    import re
+
+    recorded: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            recorded.add(name)
+            if rnd < _RECERTIFY.get(name, 0):
+                continue  # pre-change record: stale for the shipped code
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and name in _ROWS_ONLY_BY_DESIGN
+                and row.get("spark_rows") is not None
+            )
+            if rnd >= latest.get(name, (-1, False))[0]:
+                latest[name] = (rnd, green)
+    certified = {name for name, (_, green) in latest.items() if green}
+    return recorded, certified
+
+
 def _driver_certified() -> set[str]:
     """Names with a green (or by-design rows-only) row in a recorded
     CORRECTNESS_r*.json that still certifies the SHIPPED code. Missing/
@@ -1205,43 +1244,35 @@ def _driver_certified() -> set[str]:
     in round N but recorded a failure in round M > N is uncertified
     again and rotates back into the window to be re-proved — otherwise
     one stale green row would mask every later regression forever."""
-    import json
-    import pathlib
-    import re
-
-    latest: dict[str, tuple[int, bool]] = {}
-    root = pathlib.Path(__file__).resolve().parent.parent
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path.name)
-        rnd = int(m.group(1)) if m else 0
-        try:
-            rows = json.loads(path.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if rnd < _RECERTIFY.get(name, 0):
-                continue  # pre-change record: stale for the shipped code
-            green = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and name in _ROWS_ONLY_BY_DESIGN
-                and row.get("spark_rows") is not None
-            )
-            if rnd >= latest.get(name, (-1, False))[0]:
-                latest[name] = (rnd, green)
-    return {name for name, (_, green) in latest.items() if green}
+    return _scan_correctness()[1]
 
 
 def _reorder_registry() -> None:
-    certified = _driver_certified()
+    """Order the registry uncertified-first for the driver's ~50-row
+    window, with the uncertified FRONT itself priority-ordered:
+    *pending* names (the driver has already recorded a non-green row,
+    or a recertification debt is declared) sort before *fresh* names
+    (registered after the last recorded round, never seen by the
+    driver). A fresh name overflowing the window merely waits one
+    round — next round the newly-green front rotates to the back and
+    the fresh tail moves up — whereas a pending name kept out of the
+    window would stay uncertified forever. Registration order is
+    preserved within each band."""
+    recorded, certified = _scan_correctness()
     snapshot = dict(QUERIES)
-    front = [n for n in snapshot if n not in certified]
+    pending = [
+        n
+        for n in snapshot
+        if n not in certified and (n in recorded or n in _RECERTIFY)
+    ]
+    fresh = [
+        n
+        for n in snapshot
+        if n not in certified and n not in recorded and n not in _RECERTIFY
+    ]
     back = [n for n in snapshot if n in certified]
     QUERIES.clear()
-    for name in [*front, *back]:
+    for name in [*pending, *fresh, *back]:
         QUERIES[name] = snapshot[name]
 
 

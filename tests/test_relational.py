@@ -192,41 +192,53 @@ def test_deterministic_split_properties(spark):
 def test_driver_window_registry_ordering():
     """The driver-window rotation is DERIVED from recorded CORRECTNESS
     rows (VERDICT r2 #1): every uncertified or this-round-recertifying
-    query sorts before every certified one, the partition is exhaustive,
-    and the uncertified front fits the driver's ~50-row window."""
+    query sorts before every certified one, the uncertified front is
+    itself banded pending-before-fresh, and every PENDING name (already
+    recorded non-green, or declared recertification debt — the names
+    that would otherwise starve) fits the driver's ~50-row window.
+    Fresh names (never seen by the driver) may overflow; they wait one
+    round by construction."""
     from mknssh_11_bigdata_spark.queries import (
         QUERIES,
         _RECERTIFY,
         _driver_certified,
+        _scan_correctness,
     )
 
     names = list(QUERIES)
-    certified = _driver_certified()
+    recorded, certified = _scan_correctness()
+    assert certified == _driver_certified()
     front = [n for n in names if n not in certified]
     back = [n for n in names if n in certified]
     assert names == front + back  # uncertified strictly first
     assert set(_RECERTIFY) <= set(QUERIES)  # no stale recertify names
+    pending = [
+        n for n in front if n in recorded or n in _RECERTIFY
+    ]
+    fresh = [n for n in front if n not in pending]
+    assert front == pending + fresh  # pending band strictly first
     # recertify semantics: a name required to re-certify in a round for
     # which no CORRECTNESS record exists yet must sort into the front
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    recorded = set()
+    rounds = set()
     for p in root.glob("CORRECTNESS_r*.json"):
         import re
 
         m = re.search(r"_r(\d+)\.json$", p.name)
         if m:
-            recorded.add(int(m.group(1)))
+            rounds.add(int(m.group(1)))
     for name, rnd in _RECERTIFY.items():
-        if not any(r >= rnd for r in recorded):
+        if not any(r >= rnd for r in rounds):
             assert name in front, (
                 f"{name} awaits round-{rnd} recertification but sorted "
                 "into the certified back"
             )
-    # window arithmetic: everything needing a row must actually fit
-    assert len(front) <= 50, (
-        f"{len(front)} uncertified queries exceed the driver's 50-row "
+    # window arithmetic: every name with a pending certification debt
+    # must actually fit — only never-recorded fresh names may wait
+    assert len(pending) <= 50, (
+        f"{len(pending)} pending queries exceed the driver's 50-row "
         "CORRECTNESS window; some would never earn a hash row"
     )
 
