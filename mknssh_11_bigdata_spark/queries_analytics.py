@@ -953,3 +953,104 @@ def doc_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label consensus over the dedup component graph (graph-analytics wave)
+# ---------------------------------------------------------------------------
+
+
+def _label_consensus_oracle() -> str:
+    from .queries_llm import _components_oracle
+
+    return f"""
+    WITH comp AS ({_components_oracle()}),
+    labeled AS (
+        SELECT c.doc_id, c.component, d.lang
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    votes AS (
+        SELECT component, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled GROUP BY component, lang
+    ),
+    winner AS (
+        SELECT component, lang AS consensus_lang FROM (
+            SELECT component, lang,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n DESC, lang) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    )
+    SELECT l.doc_id, l.component, l.lang, w.consensus_lang,
+           l.lang <> w.consensus_lang AS relabeled
+    FROM labeled l JOIN winner w ON w.component = l.component
+    ORDER BY l.doc_id
+    """
+
+
+@register("dedup_component_label_consensus", _label_consensus_oracle())
+def dedup_component_label_consensus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label propagation over the near-duplicate graph, resolved at
+    component granularity: every document in a MinHash-LSH duplicate
+    component adopts the component's majority ``lang`` label (ties →
+    lexicographically smallest), flagging members whose own label
+    disagrees. This is the consensus form of label propagation — for a
+    similarity graph whose components ARE the propagation fixed point,
+    one majority vote per component gives the converged labels without
+    iterating, which is what a curation pass uses to repair mislabeled
+    near-duplicates (a doc whose twin cluster says 'en' is 'en').
+
+    Scale: the expensive part is the pair graph + components, both
+    already log-rounds/banded (``duplicate_components``,
+    ``minhash_dedup_pairs``); the vote is a component-keyed count and
+    the winner window partitions BY COMPONENT (parallel, no global
+    window). Component maps are sliver-sized next to the corpus, so
+    the label join broadcasts at scale."""
+    from .operators.dedup import duplicate_components
+    from .queries_llm import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+        minhash_dedup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = duplicate_components(pairs)
+    labeled = comp.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).localCheckpoint(eager=True)  # feeds votes AND the final join
+    votes = labeled.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    winner = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("lang").alias("consensus_lang"))
+    )
+    return (
+        labeled.join(F.broadcast(winner), "component")
+        .select(
+            "doc_id",
+            "component",
+            "lang",
+            "consensus_lang",
+            (F.col("lang") != F.col("consensus_lang")).alias("relabeled"),
+        )
+        .orderBy("doc_id")
+    )
