@@ -1054,3 +1054,118 @@ def dedup_component_label_consensus(
         )
         .orderBy("doc_id")
     )
+
+
+def _triangle_census_oracle() -> str:
+    from .queries_llm import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    e AS (SELECT id_a, id_b FROM pairs),
+    und AS (
+        SELECT id_a AS id, id_b AS other FROM e
+        UNION ALL
+        SELECT id_b AS id, id_a AS other FROM e
+    ),
+    deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY id),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_b
+        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(d) AS BIGINT) AS max_degree,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+        FROM deg
+    ),
+    edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT a.n_nodes, x.n_edges, t.n_tri AS n_triangles, a.max_degree,
+           ROUND(x.n_edges * 2.0 / a.n_nodes, 4) AS avg_degree,
+           CASE WHEN a.wedges > 0
+                THEN ROUND(t.n_tri * 3.0 / a.wedges, 4) END
+               AS global_clustering
+    FROM agg a CROSS JOIN edges x CROSS JOIN tri t
+    """
+
+
+@register("dedup_graph_triangle_census", _triangle_census_oracle())
+def dedup_graph_triangle_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structure census of the near-duplicate similarity graph:
+    node/edge counts, degree extremes, triangle count, and the global
+    clustering coefficient (3·triangles / wedges). High clustering says
+    the dup graph is clique-like (verbatim mirror clusters — safe to
+    collapse per component); low clustering with long paths says
+    chained templates, where transitive collapse over-merges — the
+    diagnostic that picks between keep-per-component and
+    keep-per-edge-cluster policies.
+
+    Scale: triangle enumeration joins the (id_a < id_b)-oriented edge
+    list with itself twice — the standard distributed triangle count,
+    whose join fan-out is bounded by degree, and degrees in a VERIFIED
+    near-dup graph are bounded by cluster width (the hot-bucket cap
+    upstream bounds candidate degree before verification). Wedge
+    counts use integer ``d·(d−1) div 2``; the two ratios are the only
+    doubles, divided once."""
+    from .queries_llm import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+        minhash_dedup_pairs,
+    )
+
+    e = (
+        minhash_dedup_pairs(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            num_hashes=NUM_HASHES,
+            bands=BANDS,
+            shingle_n=3,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket_size=LSH_MAX_BUCKET,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds degree, edges, 3 tri branches
+    )
+    und = e.select(F.col("id_a").alias("id")).unionAll(
+        e.select(F.col("id_b").alias("id"))
+    )
+    deg = und.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("wedges"),
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "max_degree",
+            F.round(F.col("n_edges") * 2.0 / F.col("n_nodes"), 4).alias(
+                "avg_degree"
+            ),
+            F.when(
+                F.col("wedges") > 0,
+                F.round(F.col("n_triangles") * 3.0 / F.col("wedges"), 4),
+            ).alias("global_clustering"),
+        )
+    )
