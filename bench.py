@@ -79,6 +79,8 @@ def main() -> int:
     # Sweep 0 is the untimed warmup (codegen + any first-run plan cost);
     # sweeps 1..reps are recorded. Skippable for quick local iteration.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    from mknssh_11_bigdata_spark.session import release_checkpoints
+
     for sweep in range(reps + (1 if warmup else 0)):
         record = not (warmup and sweep == 0)
         for name, spec in sorted(QUERIES.items()):
@@ -88,6 +90,11 @@ def main() -> int:
             ).save()
             if record:
                 samples[name].append(time.perf_counter() - t0)
+            # Outside the timed region: free the finished query's
+            # localCheckpoint blocks. Left to accumulate, ~600 query
+            # executions of checkpointing chains inflate later samples
+            # 3-5x (GC pressure, not plan cost).
+            release_checkpoints(spark)
 
     def median(xs: list[float]) -> float:
         xs = sorted(xs)

@@ -86,6 +86,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .withColumn("dow_idx", _dow_idx())
+        .localCheckpoint(eager=True)  # spine-sized; feeds baseline + join
     )
     base = daily.groupBy("dow_idx").agg(
         F.round(F.avg("n_events"), 4).alias("baseline")
@@ -182,6 +183,7 @@ def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") * F.col("tcnt") - F.col("tsum"))
             * F.expr("420 DIV tcnt"),
         )
+        .localCheckpoint(eager=True)  # spine-sized; feeds seasonal + join
     )
     seas = det.groupBy("dow_idx").agg(
         F.round(
@@ -273,7 +275,9 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank_cumsum(
         per, [F.col("cents").desc(), F.col("custkey")], "cents"
     )
-    tot = per.agg(
+    # from the operator's internal checkpoint, NOT from `per` — the
+    # latter would re-scan orders and re-run the groupBy
+    tot = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").alias("total"),
     )
@@ -362,8 +366,10 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("last_day"),
         F.countDistinct("day").cast("long").alias("active_days"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
-    anchor = ev.agg(F.max("day").alias("maxd"))
+    ).localCheckpoint(eager=True)  # user-dim-sized; feeds anchor + stages
+    # max over per-user last days == corpus max date; derived from the
+    # checkpoint so the fact table is scanned exactly once
+    anchor = per.agg(F.max("last_day").alias("maxd"))
     recency = F.datediff(F.col("maxd"), F.col("last_day"))
     staged = per.crossJoin(F.broadcast(anchor)).select(
         F.when(recency <= _LIFECYCLE_ACTIVE_DAYS, "active")
@@ -446,7 +452,7 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("last_ship"), F.col("o_orderdate")).alias(
             "close_date"
         ),
-    )
+    ).localCheckpoint(eager=True)  # order-sized; feeds both delta branches
     deltas = closes.select(
         F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
     ).unionAll(
@@ -509,42 +515,39 @@ def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (observed / expected-under-independence) — the association-rule
     primitive behind cross-sell analytics, top pairs by support.
 
-    Scale: baskets are (orderkey, brand) DISTINCT pairs; the pair
-    generation self-joins ON THE ORDER KEY, so the blowup per order is
-    C(brands-in-order, 2) — bounded by basket width, never corpus size
-    (the same per-key-blocking argument as the LSH bucket joins). Both
-    sides of the self-join share one hash partitioning on orderkey; the
-    brand marginals are dimension-table-sized broadcasts; lift divides
-    exact integer products once."""
+    Scale: ONE fact-sized shuffle total. Baskets collapse straight to
+    per-order brand SETS (``collect_set`` dedups, so no separate
+    DISTINCT pass), and pair generation is a join-free double explode
+    of each set with ``a < b`` — blowup C(brands-in-order, 2), bounded
+    by basket width, never corpus size, and immediately map-side
+    combined into the brand²-sized pair-count table (no pair rows ever
+    shuffle). The first cut self-joined the distinct (order, brand)
+    pairs on the order key instead: three fact-sized exchanges and
+    28 s warm at sf1-fair vs 11 s for this form (8 s of which is the
+    one collect_set shuffle). Brand marginals explode the same cached
+    sets; lift divides exact integer products once."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    basket_sets = (
         li.join(pt, li.l_partkey == pt.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("orderkey"),
-            F.col("p_brand").alias("brand"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # reused 3×: pairs (both sides) + marginals
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .select("brands")
+        .localCheckpoint(eager=True)  # reused 3×: pairs + both marginals
     )
-    n_orders = baskets.agg(
-        F.countDistinct("orderkey").cast("long").alias("n")
+    n_orders = basket_sets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    brand_n = (
+        basket_sets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
     )
-    brand_n = baskets.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n_b")
-    )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
     pair_n = (
-        a.join(
-            b,
-            (F.col("b.orderkey") == F.col("a.orderkey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        basket_sets.select(
+            F.explode("brands").alias("brand_a"), "brands"
         )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
-        )
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
     x = brand_n.select(
@@ -680,12 +683,18 @@ def doc_perplexity_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. This is the routing table a mixing pass feeds from
     (CCNet's perplexity buckets; Gopher's quality bands).
 
-    Scale: identical plan shape to ``doc_unigram_logprob`` (one explode
-    + vocab-sized frequency table + broadcast scalar), then a 3-row
-    rollup. Keep-budgets use integer per-mille arithmetic (``DIV
-    1000``), token shares divide exact bigint sums once."""
+    Scale: identical plan shape to ``doc_unigram_logprob`` (one
+    spread explode + vocab-sized frequency table + broadcast scalar),
+    then a 3-row rollup over the doc-count-sized per-doc scores —
+    which are checkpointed once, because BOTH the grand-total scalar
+    and the tier rollup consume them (left lazy, the full scoring
+    chain would run twice). Keep-budgets use integer per-mille
+    arithmetic (``DIV 1000``), token shares divide exact bigint sums
+    once."""
+    from .plans.layout import spread
+
     d = _t(spark, sf_dir, "documents")
-    ex = d.select(
+    ex = spread(d).select(
         "doc_id",
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
     )
@@ -704,6 +713,7 @@ def doc_perplexity_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("alp"),
         )
+        .localCheckpoint(eager=True)  # doc-count-sized; feeds grand + rollup
     )
     tier = (
         F.when(F.col("alp") > _ROUTE_HIGH_CUT, "high")
@@ -830,6 +840,7 @@ def doc_contamination_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .join(hits, "doc_id", "left")
         .withColumn("nhit", F.coalesce(F.col("nhit"), F.lit(0)))
+        .localCheckpoint(eager=True)  # doc-count-sized; feeds tot + rollup
     )
     tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
     tier = (
@@ -1082,7 +1093,9 @@ def _triangle_census_oracle() -> str:
     ),
     edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
     SELECT a.n_nodes, x.n_edges, t.n_tri AS n_triangles, a.max_degree,
-           ROUND(x.n_edges * 2.0 / a.n_nodes, 4) AS avg_degree,
+           CASE WHEN a.n_nodes > 0
+                THEN ROUND(x.n_edges * 2.0 / a.n_nodes, 4) END
+               AS avg_degree,
            CASE WHEN a.wedges > 0
                 THEN ROUND(t.n_tri * 3.0 / a.wedges, 4) END
                AS global_clustering
@@ -1160,9 +1173,10 @@ def dedup_graph_triangle_census(
             "n_edges",
             "n_triangles",
             "max_degree",
-            F.round(F.col("n_edges") * 2.0 / F.col("n_nodes"), 4).alias(
-                "avg_degree"
-            ),
+            F.when(
+                F.col("n_nodes") > 0,
+                F.round(F.col("n_edges") * 2.0 / F.col("n_nodes"), 4),
+            ).alias("avg_degree"),
             F.when(
                 F.col("wedges") > 0,
                 F.round(F.col("n_triangles") * 3.0 / F.col("wedges"), 4),

@@ -94,3 +94,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD in the context and return how
+    many were freed.
+
+    ``localCheckpoint(eager=True)`` — used by the dedup/ANN/affinity
+    chains to pin reused narrow frames — caches RDD blocks that
+    nothing ever frees. A long-lived session executing many
+    checkpointing queries (a bench sweep, the correctness drive)
+    accumulates hundreds of orphaned blocks; measured effect: 3-5×
+    inflated wall times on checkpoint-heavy queries after ~25 query
+    executions in one session (GC/memory pressure, not plan cost).
+    Call BETWEEN query executions: a finished query's checkpoints are
+    dead weight, and fresh invocations rebuild their own. Do NOT call
+    while a DataFrame backed by a truncated-lineage checkpoint is
+    still live and pending re-execution — the checkpoint is its only
+    copy."""
+    jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for jrdd in jrdds:
+        jrdd.unpersist(False)
+    return len(jrdds)

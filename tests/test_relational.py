@@ -355,6 +355,18 @@ def test_global_rank_cumsum_no_unpartitioned_window(spark):
         )
 
 
+def test_release_checkpoints_frees_blocks(spark):
+    """release_checkpoints must unpersist every localCheckpoint block
+    (the bench/drive inter-query hygiene call) and report the count."""
+    from mknssh_11_bigdata_spark.session import release_checkpoints
+
+    release_checkpoints(spark)  # start clean (fixture session is shared)
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert df.count() == 100
+    assert release_checkpoints(spark) >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
 def test_cli_list_and_run(capsys):
     """CLI smoke: `list` prints every registered query; unknown names
     exit 2 with a pointer."""

@@ -34,9 +34,12 @@ def canon(v):
         return tuple(canon(x) for x in v)
     return v
 
+from mknssh_11_bigdata_spark.session import release_checkpoints
+
 qs, oracles = e.queries(), e.oracle_sql()
 fails = []
 for name, fn in sorted(qs.items()):
+    release_checkpoints(spark)  # free the previous query's blocks
     sdf = fn(spark, "/root/testdata/sf0.01")
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
