@@ -1020,26 +1020,10 @@ def dedup_component_label_consensus(
     window). Component maps are sliver-sized next to the corpus, so
     the label join broadcasts at scale."""
     from .operators.dedup import duplicate_components
-    from .queries_llm import (
-        BANDS,
-        JACCARD_THRESHOLD,
-        LSH_MAX_BUCKET,
-        NUM_HASHES,
-        minhash_dedup_pairs,
-    )
+    from .queries_llm import minhash_pair_graph
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(
-        d,
-        "doc_id",
-        "text",
-        num_hashes=NUM_HASHES,
-        bands=BANDS,
-        shingle_n=3,
-        threshold=JACCARD_THRESHOLD,
-        max_bucket_size=LSH_MAX_BUCKET,
-    )
-    comp = duplicate_components(pairs)
+    comp = duplicate_components(minhash_pair_graph(spark, sf_dir))
     labeled = comp.join(
         d.select("doc_id", "lang"), "doc_id"
     ).localCheckpoint(eager=True)  # feeds votes AND the final join
@@ -1123,25 +1107,10 @@ def dedup_graph_triangle_census(
     upstream bounds candidate degree before verification). Wedge
     counts use integer ``d·(d−1) div 2``; the two ratios are the only
     doubles, divided once."""
-    from .queries_llm import (
-        BANDS,
-        JACCARD_THRESHOLD,
-        LSH_MAX_BUCKET,
-        NUM_HASHES,
-        minhash_dedup_pairs,
-    )
+    from .queries_llm import minhash_pair_graph
 
     e = (
-        minhash_dedup_pairs(
-            _t(spark, sf_dir, "documents"),
-            "doc_id",
-            "text",
-            num_hashes=NUM_HASHES,
-            bands=BANDS,
-            shingle_n=3,
-            threshold=JACCARD_THRESHOLD,
-            max_bucket_size=LSH_MAX_BUCKET,
-        )
+        minhash_pair_graph(spark, sf_dir)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)  # feeds degree, edges, 3 tri branches
     )

@@ -171,13 +171,19 @@ def test_unigram_logprob_broadcasts_scalar_total(spark):
 
 
 #: Unpartitioned windows allowed ONLY over bounded already-aggregated
-#: frames (years; the post-limit top-100 vocabulary) — BASELINE.md
-#: documents each.
-_BOUNDED_WINDOW_OK = {
-    "cumulative_yearly_revenue",
-    "yearly_revenue_yoy",
-    "corpus_vocabulary",
-}
+#: frames (years; the post-limit top-100 vocabulary; daily spines) —
+#: single source of truth lives in tools/plan_audit.py so the test and
+#: the PLANS.md audit can never drift apart.
+import importlib.util as _ilu
+import pathlib as _pl
+
+_spec = _ilu.spec_from_file_location(
+    "plan_audit",
+    _pl.Path(__file__).resolve().parent.parent / "tools" / "plan_audit.py",
+)
+_plan_audit = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_plan_audit)
+_BOUNDED_WINDOW_OK = _plan_audit.BOUNDED_WINDOW_OK
 
 
 def test_fleet_plan_invariants(spark):
