@@ -50,6 +50,7 @@ __all__ = [
     "incremental_dedup_status",
     "duplicate_components",
     "near_dup_components",
+    "kcore_peel",
     "embedding_cosine_pairs",
     "hyperplane_signatures",
     "embedding_near_dup_pairs",
@@ -1190,3 +1191,51 @@ def chunk_dedup(
         F.size(clean_toks).cast("long").alias("clean_n_tokens"),
         F.md5(F.col("__clean")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Edges of the k-core: iteratively remove nodes with degree < k
+    (and their edges) until stable or ``max_rounds`` is exhausted.
+
+    The graph-policy companion to :func:`duplicate_components`: where
+    components answer "which docs are transitively the same", the
+    k-core separates CLUSTERED duplication (cliques/cycles survive)
+    from incidental chains and pendant pairs (peeled away).
+
+    Scale: each round is one degree aggregation over the (id, id)
+    edge sliver plus two semi-join-shaped filters against the alive
+    set (AQE broadcasts it when small); the edge set only shrinks and
+    every round is localCheckpointed so lineage stays flat. Rounds are
+    CAPPED, not run to an unbounded fixpoint — an adversarial
+    2(R+1)-node path needs R rounds, so callers that need the true
+    core on pathological graphs raise ``max_rounds``; callers that
+    need cross-engine parity pin it (the loop's early exit on a stable
+    edge count is value-identical to running the remaining rounds).
+    """
+    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("id_a").alias("node"))
+            .unionAll(e.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "id_a"), "id_a")
+            .join(alive.withColumnRenamed("node", "id_b"), "id_b")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:  # converged: further rounds are no-ops
+            break
+        n_edges = n_now
+    return e

@@ -29,6 +29,7 @@ __all__ = [
     "cumulative_sum",
     "histogram",
     "global_rank_cumsum",
+    "global_running_max",
 ]
 
 
@@ -390,5 +391,69 @@ def global_rank_cumsum(
             rank_out, (n_expr + F.row_number().over(local_w)).cast("long")
         )
         .withColumn(cum_out, v_expr + F.sum(value_col).over(local_w))
+        .drop("__pid")
+    )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    out: str = "running_max",
+    strict: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running MAX over a TOTAL order — the scale-safe form
+    of ``max().over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    -1))``, which forces the whole frame through ONE task.
+
+    Same two-phase shape as :func:`global_rank_cumsum` with a max fold
+    (max is associative, so the offset for partition p is simply the
+    max of all earlier partitions' maxima): range-repartition on the
+    sort key, pin partition ids with one materialization, collect ONE
+    max per partition, fold driver-side running offsets, and combine
+    each row's local strictly-preceding window max with its partition's
+    offset via null-skipping ``greatest``.
+
+    ``strict=True`` (the default) excludes the current row — the frame
+    a streaming engine's watermark sees: "the high-water mark among
+    events that ARRIVED before this one". The first row's result is
+    NULL (no preceding rows). ``order_by`` must be a total order (add a
+    unique tiebreaker): with duplicate sort keys the strictly-preceding
+    frame is ordering-dependent and results are nondeterministic.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids across the two jobs
+    )
+    dtype = ordered.schema[value_col].dataType
+    stats = {
+        r["__pid"]: r["vmax"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.max(value_col).alias("vmax"))
+        .collect()
+    }
+    offs: dict[int, object] = {}
+    acc = None
+    for pid in sorted(stats):
+        offs[pid] = acc
+        if stats[pid] is not None:
+            acc = stats[pid] if acc is None else max(acc, stats[pid])
+    top = max(stats, default=0) + 1
+    off_expr = F.element_at(
+        F.array(*[F.lit(offs.get(p)).cast(dtype) for p in range(top)]),
+        F.col("__pid") + 1,
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*order_by)
+    frame = local_w.rowsBetween(
+        Window.unboundedPreceding, -1 if strict else 0
+    )
+    return (
+        ordered.withColumn(
+            out, F.greatest(off_expr, F.max(value_col).over(frame))
+        )
         .drop("__pid")
     )

@@ -1152,3 +1152,521 @@ def dedup_graph_triangle_census(
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over the documents corpus (IR-ranking wave)
+# ---------------------------------------------------------------------------
+
+#: Query terms for the registered BM25 search — drawn from the synthetic
+#: corpus vocabulary so df spans the idf range. A production retrieval
+#: pass broadcasts the (small) query-term table exactly like this.
+_BM25_TERMS = ("spark", "vector", "hash", "stream")
+_BM25_TOP_K = 10
+
+
+def _bm25_oracle() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl
+        FROM dl
+    ),
+    ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ex WHERE token IN ({terms}) GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                    / (s.total_dl / s.n_docs)))
+                   * 1000000.0, 0) AS BIGINT) AS term_score_micro
+        FROM tf t
+        JOIN dfreq d USING (token)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {_BM25_TOP_K}
+    """
+
+
+@register("doc_bm25_search", _bm25_oracle())
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed query-term set (k1=1.2,
+    b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))) — the retrieval shape a
+    RAG/training-data pipeline runs to find query-relevant corpus
+    slices.
+
+    Parity: per-(doc,term) BM25 is ONE double expression (mirrored
+    token-for-token in the oracle, so both engines fold identical IEEE
+    ops in the same order), immediately quantized to integer
+    micro-units; the per-doc sum is then exact BIGINT addition — no
+    cross-engine double-sum-order risk — and the top-k cut compares
+    integers with doc_id tie-break.
+
+    Scale: explode→filter keeps only query-term postings (the
+    broadcast-able term list prunes before the shuffle); df and corpus
+    stats are term-level/scalar broadcasts; the final cut is
+    ``top_n`` = TakeOrderedAndProject (per-partition size-k heaps), no
+    global sort, no single-partition window."""
+    from .operators.relational import top_n
+
+    d = _t(spark, sf_dir, "documents")
+    # corpus stats: one scan-shaped agg (n_docs, total token count)
+    stats = (
+        d.select(F.size(TX.tokens(F.col("text"))).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+    )
+    # postings restricted to the query terms, with doc length carried
+    ex = d.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).alias("dl"),
+        F.explode(TX.tokens(F.col("text"))).alias("token"),
+    ).filter(F.col("token").isin(*_BM25_TERMS))
+    tf = ex.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.min("dl").cast("long").alias("dl"),
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+        * 1000000.0
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(score, 0).cast("long").alias("term_score_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("term_score_micro").cast("long").alias("score_micro"),
+    )
+    return top_n(
+        agg,
+        [F.col("score_micro").desc()],
+        _BM25_TOP_K,
+        tie_breakers=[F.col("doc_id").asc()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-duplicate pair graph (graph wave)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+#: Fixed peel-round budget shared by BOTH engines, so outputs are equal
+#: by construction even if an adversarial graph hasn't converged (a
+#: 2(R+1)-node path needs R rounds; the near-dup graph's components are
+#: tiny cliques and converge in 1-2). The Spark loop early-exits when
+#: the edge set stabilizes — value-identical, fewer jobs.
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    from .queries_llm import _minhash_oracle
+
+    # Every e{i} is referenced three times by round i+1 (twice in the
+    # degree unpivot, once in the edge filter) — LAZY CTEs would
+    # re-inline the whole upstream chain per reference (≈3^R
+    # expansions of the MinHash subtree; DuckDB dies on file handles
+    # before it dies on CPU). MATERIALIZE each round exactly once.
+    parts = [
+        f"pairs AS MATERIALIZED ({_minhash_oracle()})",
+        "e0 AS MATERIALIZED (SELECT id_a, id_b FROM pairs)",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, COUNT(*) AS deg FROM ("
+            f"SELECT id_a AS node FROM e{i-1} UNION ALL "
+            f"SELECT id_b AS node FROM e{i-1}) GROUP BY node)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.id_a, e.id_b FROM e{i-1} e "
+            f"JOIN a{i} x ON e.id_a = x.node "
+            f"JOIN a{i} y ON e.id_b = y.node)"
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT id_a AS node FROM {last}
+          UNION ALL SELECT id_b AS node FROM {last})
+    GROUP BY node ORDER BY node
+    """
+    )
+
+
+@register("dedup_kcore", _kcore_oracle())
+def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the verified near-duplicate graph: iteratively peel
+    nodes with degree < 2 until every survivor keeps ≥ 2 neighbors.
+    Output = surviving nodes with their core degree.
+
+    The dedup-policy meaning: the 2-core separates CLUSTERED
+    duplication (cliques/cycles — boilerplate families, mirror sets,
+    where one canonical survivor should represent many) from incidental
+    pairwise matches (trees/chains, peeled away — likely borderline
+    jaccard pairs a keep-one-of-two policy handles). At sf0.01 the
+    graph's one triangle survives and 44 chain/pair nodes peel — both
+    branches certified.
+
+    Scale: each round is one sliver-sized degree aggregation plus two
+    joins against the alive set (AQE broadcasts it when small); edges
+    only shrink, frames stay (id, id) narrow, and each round is
+    localCheckpointed so lineage stays flat (same discipline as
+    ``duplicate_components``). Peel rounds are capped at
+    ``_KCORE_ROUNDS`` to match the unrolled oracle exactly; the loop
+    early-exits on edge-count convergence (the common case — near-dup
+    components are tiny)."""
+    from .operators.dedup import kcore_peel
+    from .queries_llm import minhash_pair_graph
+
+    core = kcore_peel(
+        minhash_pair_graph(spark, sf_dir),
+        k=_KCORE_K,
+        max_rounds=_KCORE_ROUNDS,
+    )
+    nodes = core.select(F.col("id_a").alias("node")).unionAll(
+        core.select(F.col("id_b").alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark drop audit: streaming semantics certified in batch
+# ---------------------------------------------------------------------------
+
+#: Watermark delay under audit, in microseconds (10 minutes).
+_WM_DELAY_US = 600_000_000
+
+
+@register(
+    "watermark_drop_audit",
+    f"""
+    WITH arr AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               MAX(epoch_us(ts)) OVER (
+                   ORDER BY date_trunc('hour', ts), user_id, ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN ts_us < prev_max - {_WM_DELAY_US}
+                                  THEN 1 END), 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(MAX(CASE WHEN prev_max > ts_us
+                                  THEN prev_max - ts_us END),
+                         0) AS BIGINT) AS max_late_us
+    FROM arr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many events would a 10-minute watermark DROP, per event
+    type, under a replayed out-of-order arrival? The capacity-planning
+    question behind every ``withWatermark`` setting — answered exactly,
+    in batch, before the streaming job ships.
+
+    Arrival order is a deterministic replay model: sources flush
+    per-hour, per-user batches (order = hour, user_id, ts, event_id —
+    event time inside the events table is globally monotone, so raw
+    order would make the audit degenerate-zero). An event is dropped
+    iff its timestamp is > 10 min older than the max event time among
+    events that arrived BEFORE it — exactly Structured Streaming's
+    watermark rule with this delay.
+
+    Scale: the running high-water mark uses
+    ``operators.relational.global_running_max`` — the two-phase
+    range-partition + per-partition-max + driver-folded-offset form —
+    NOT a single-partition ``Window.orderBy`` over the fact table. All
+    arithmetic is integer microseconds; the whole output is BIGINTs."""
+    from .operators.relational import global_running_max
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    )
+    arr = global_running_max(
+        ev,
+        [
+            F.col("hour_us"),
+            F.col("user_id"),
+            F.col("ts_us"),
+            F.col("event_id"),
+        ],
+        "ts_us",
+        out="prev_max",
+        strict=True,
+    )
+    late = F.col("prev_max") - F.col("ts_us")
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts_us")
+                        < F.col("prev_max") - F.lit(_WM_DELAY_US),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(
+                F.max(F.when(F.col("prev_max") > F.col("ts_us"), late)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH recall audit: quality of the ANN scale path, as a query
+# ---------------------------------------------------------------------------
+
+#: Every vec_id ≡ 0 (mod this) becomes a recall-probe query point
+#: (~n/37 queries — enough for a stable mean, bounded at any SF).
+_RECALL_Q_MOD = 37
+_RECALL_K = 10
+
+
+def _lsh_recall_oracle() -> str:
+    from .operators.dedup import hyperplane_coefficients
+    from .queries_llm import (
+        EMB_DIM,
+        SRP_BITS,
+        SRP_SWITCH_16,
+        SRP_SWITCH_32,
+    )
+
+    planes = hyperplane_coefficients(SRP_BITS, EMB_DIM, seed=42)
+    bit_sql = ",\n        ".join(
+        "CASE WHEN list_dot_product(v, [%s]) > 0 THEN '1' ELSE '0' END"
+        % ", ".join(repr(x) for x in plane)
+        for plane in planes
+    )
+    cos = (
+        "ROUND(list_dot_product(q.v, o.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(o.v, o.v))), 6)"
+    )
+    max_bands = SRP_BITS // 8
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    geom AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM e) <= {SRP_SWITCH_16}
+                    THEN 8
+                    WHEN (SELECT COUNT(*) FROM e) <= {SRP_SWITCH_32}
+                    THEN 16
+                    ELSE 32 END AS rows
+    ),
+    sig AS (
+        SELECT vec_id, concat(
+        {bit_sql}
+        ) AS sig FROM e
+    ),
+    bands AS (
+        SELECT s.vec_id, j AS band_idx,
+               substr(s.sig, j * g.rows + 1, g.rows) AS band_key
+        FROM sig s CROSS JOIN geom g CROSS JOIN (
+            SELECT unnest([{", ".join(str(j) for j in range(max_bands))}])
+                   AS j)
+        WHERE j < {SRP_BITS} / g.rows
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, o.vec_id AS cid
+        FROM bands q JOIN bands o
+          ON q.band_idx = o.band_idx AND q.band_key = o.band_key
+         AND o.vec_id <> q.vec_id
+        WHERE q.vec_id % {_RECALL_Q_MOD} = 0
+    ),
+    qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {_RECALL_Q_MOD} = 0),
+    topk AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, o.vec_id AS cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                        ORDER BY {cos} DESC, o.vec_id ASC) AS rnk
+            FROM qv q JOIN e o ON o.vec_id <> q.qid
+        ) WHERE rnk <= {_RECALL_K}
+    ),
+    hits AS (
+        SELECT t.qid, COUNT(c.cid) AS n_hits
+        FROM topk t LEFT JOIN cand c ON c.qid = t.qid AND c.cid = t.cid
+        GROUP BY t.qid
+    ),
+    ncand AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid)
+    SELECT h.qid AS query_id,
+           CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           ROUND(h.n_hits / {_RECALL_K}.0, 4) AS recall_at_k
+    FROM hits h LEFT JOIN ncand n ON n.qid = h.qid
+    ORDER BY query_id
+    """
+
+
+@register("embedding_lsh_recall", _lsh_recall_oracle())
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SRP-LSH candidate generator against exact
+    brute-force top-10, per probe query — the ANN quality measurement
+    (tools/ann_compare.py) promoted to a REGISTERED, oracle-checked
+    query, so the scale path's recall is certified by the driver gate,
+    not just reported by a tool.
+
+    Every ~37th vector is a probe: its exact top-10 cosine neighbors
+    (tie-broken by vec_id on 6-dp-rounded cosine — identical doubles
+    both engines) are intersected with its LSH candidate set (any
+    shared band bucket, n-scaled geometry — the same bands the
+    registered dedup query joins on). Low recall at this corpus's
+    cosine range (max pair ≈ 0.5 → per-8-bit-band collision ≈ 0.04) is
+    the HONEST reading; the planted-dup tests certify the near-1 regime
+    where LSH is actually used.
+
+    Scale: the probe set is a fixed ~1/37 sample — the exact arm is
+    (n/37)×n with the probe side broadcast, linear in the corpus like
+    every scoring pass, NOT all-pairs; the candidate arm reuses the
+    banded bucket join. Counts are BIGINT; recall is one final division
+    per row."""
+    from .functions.vectors import dot, l2_norm
+    from .operators.dedup import (
+        hyperplane_signatures,
+        srp_rows_per_band,
+    )
+    from .queries_llm import EMB_DIM, SRP_BITS
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    rows = srp_rows_per_band(emb.count(), SRP_BITS)
+    bands_n = SRP_BITS // rows
+    sigs = hyperplane_signatures(
+        emb, "vec_id", "v", EMB_DIM, SRP_BITS
+    ).localCheckpoint(eager=True)
+    banded = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("sig"), j * rows + 1, rows)
+                    for j in range(bands_n)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    qb = banded.filter(F.col("vec_id") % _RECALL_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("band_idx").alias("qidx"),
+        F.col("band_key").alias("qkey"),
+    )
+    cand = (
+        qb.join(
+            banded,
+            (F.col("qidx") == F.col("band_idx"))
+            & (F.col("qkey") == F.col("band_key"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds hit join AND the count
+    )
+    qv = emb.filter(F.col("vec_id") % _RECALL_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        l2_norm(F.col("v")).alias("qn"),
+    )
+    scored = (
+        emb.withColumn("on", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("on")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("qid", "cid")
+    )
+    hits = (
+        topk.join(
+            cand.withColumn("hit", F.lit(1)), ["qid", "cid"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+    )
+    ncand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        hits.join(ncand, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            "n_hits",
+            F.round(F.col("n_hits") / float(_RECALL_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -534,3 +534,36 @@ def test_tfidf_rescore_lsh_contained_in_exact_arm(spark):
     assert missing == set(), f"rescore invented pairs: {missing}"
     for pair, (cos, n) in rescored.items():
         assert exact[pair] == (cos, n), (pair, exact[pair], (cos, n))
+
+
+def test_kcore_peel_planted_graph(spark):
+    """A pendant chain peels away entirely; a triangle and a 4-clique
+    survive with their full degrees; a chain longer than max_rounds
+    does NOT fully peel (the documented bounded-round semantics)."""
+    from mknssh_11_bigdata_spark.operators.dedup import kcore_peel
+
+    # triangle 1-2-3, 4-clique 10-13, chain 20-24 hanging off node 1
+    tri = [(1, 2), (2, 3), (1, 3)]
+    clique = [
+        (a, b) for a in range(10, 14) for b in range(a + 1, 14)
+    ]
+    chain = [(1, 20), (20, 21), (21, 22), (22, 23), (23, 24)]
+    edges = spark.createDataFrame(
+        tri + clique + chain, ["id_a", "id_b"]
+    )
+    core = kcore_peel(edges, k=2, max_rounds=8)
+    got = {tuple(r) for r in core.collect()}
+    assert got == set(tri) | set(clique)
+
+    # 3-core: the triangle dies too, only the 4-clique survives
+    core3 = {tuple(r) for r in kcore_peel(edges, k=3, max_rounds=8).collect()}
+    assert core3 == set(clique)
+
+    # bounded rounds: a 12-edge path needs 6 peel rounds end-in;
+    # max_rounds=2 must leave the middle intact (capped, not fixpoint)
+    path = [(i, i + 1) for i in range(100, 112)]
+    pdf = spark.createDataFrame(path, ["id_a", "id_b"])
+    partial = kcore_peel(pdf, k=2, max_rounds=2)
+    assert partial.count() > 0
+    full = kcore_peel(pdf, k=2, max_rounds=8)
+    assert full.count() == 0

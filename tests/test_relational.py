@@ -406,3 +406,64 @@ def test_zorder_key_exact_interleave(spark):
 
     for (a, b), z in out.items():
         assert z == morton(a, b), (a, b, z)
+
+
+def test_global_running_max_matches_window(spark):
+    """global_running_max must reproduce the single-partition
+    strictly-preceding (and inclusive) running MAX exactly — including
+    n smaller than the partition count, NULL values, and the
+    all-preceding-NULL prefix."""
+    from pyspark.sql import Window, functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import (
+        global_running_max,
+    )
+
+    for n in (50, 3):
+        df = spark.range(n).select(
+            F.col("id"),
+            # nondecreasing-free zigzag with NULL holes
+            F.when(
+                F.col("id") % 7 != 3, (F.col("id") * 37 % 23)
+            ).alias("v"),
+        )
+        order = [F.col("id").asc()]
+        for strict in (True, False):
+            lo, hi = Window.unboundedPreceding, (-1 if strict else 0)
+            w = Window.orderBy(*order).rowsBetween(lo, hi)
+            expected = {
+                (r["id"], r["m"])
+                for r in df.select(
+                    "id", F.max("v").over(w).alias("m")
+                ).collect()
+            }
+            got = {
+                (r["id"], r["m"])
+                for r in global_running_max(
+                    df, order, "v", out="m", strict=strict
+                )
+                .select("id", "m")
+                .collect()
+            }
+            assert got == expected, (n, strict)
+
+
+def test_global_running_max_no_unpartitioned_window(spark):
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import (
+        global_running_max,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 13 % 31).alias("v")
+    )
+    out = global_running_max(df, [F.col("id").asc()], "v", out="m")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[(.*?)\])?", plan):
+        part = m.group(2)
+        assert "ASC" not in part and "DESC" not in part, (
+            "unpartitioned window found: " + m.group(0)[:120]
+        )
