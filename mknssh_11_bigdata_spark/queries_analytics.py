@@ -1670,3 +1670,367 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: measuring the pruning dividend of interleaved
+# sort keys, as data
+# ---------------------------------------------------------------------------
+
+_ZORD_TILES = 64
+_ZORD_BITS = 21  # 2M ids / 5700 years of days — z fits in 42 bits
+_ZPROBE_CUSTKEY = 97
+_ZPROBE_DATE_LO = "1997-06-01"
+_ZPROBE_DATE_HI = "1997-08-31"
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    return " + ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) + "
+        f"((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_ZORD_BITS)
+    )
+
+
+def _zorder_oracle() -> str:
+    zexpr = _z_interleave_sql("ck", "day")
+    lo = f"(DATE '{_ZPROBE_DATE_LO}' - DATE '1970-01-01')"
+    hi = f"(DATE '{_ZPROBE_DATE_HI}' - DATE '1970-01-01')"
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS ck,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS day
+        FROM orders
+    ),
+    z AS (SELECT *, ({zexpr}) AS zval FROM base),
+    lt AS (SELECT ck, day,
+                  NTILE({_ZORD_TILES}) OVER (ORDER BY ck, o_orderkey)
+                      AS tile
+           FROM z),
+    zt AS (SELECT ck, day,
+                  NTILE({_ZORD_TILES}) OVER (ORDER BY zval, o_orderkey)
+                      AS tile
+           FROM z),
+    spans AS (
+        SELECT 'linear' AS layout, tile,
+               MIN(ck) AS mnc, MAX(ck) AS mxc,
+               MIN(day) AS mnd, MAX(day) AS mxd
+        FROM lt GROUP BY tile
+        UNION ALL
+        SELECT 'zorder' AS layout, tile,
+               MIN(ck), MAX(ck), MIN(day), MAX(day)
+        FROM zt GROUP BY tile
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(mxc - mnc) AS BIGINT) AS sum_ck_span,
+           CAST(SUM(mxd - mnd) AS BIGINT) AS sum_day_span,
+           CAST(SUM(CASE WHEN mnc <= {_ZPROBE_CUSTKEY}
+                          AND {_ZPROBE_CUSTKEY} <= mxc
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS tiles_hit_ck_probe,
+           CAST(SUM(CASE WHEN mnd <= {hi} AND mxd >= {lo}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS tiles_hit_date_probe
+    FROM spans GROUP BY layout ORDER BY layout
+    """
+
+
+@register("zorder_scan_range_audit", _zorder_oracle())
+def zorder_scan_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-layout decision, measured as data: split orders into
+    64 equal write-order "row groups" under (a) a linear
+    ``o_custkey`` sort and (b) a Z-ORDER interleave of
+    (o_custkey, o_orderdate), then report each layout's per-group
+    min/max spans and how many groups a point-custkey probe and a
+    3-month date-range probe would have to READ (the min/max zone-map
+    test every parquet reader applies).
+
+    Expected shape — and what the numbers certify: the linear layout
+    prunes the custkey probe to ~1 group but its date spans cover the
+    whole calendar (every group hit); Z-order sacrifices a little
+    custkey locality for BOTH probes pruning to O(√groups). This is
+    the audit a table-layout service runs before choosing sort keys
+    for ``compact_parquet``/``write_bucketed_table``.
+
+    Parity: the interleave is pure integer bit arithmetic (generated
+    term-for-term in both engines), tiling is exact NTILE over a total
+    order (distributed ``global_ntile`` on the Spark side, one window
+    per layout in the oracle), spans/hits are BIGINTs.
+
+    Scale: two ``global_ntile`` passes (range-repartition each, no
+    single-partition window), one sliver agg per layout. At a real
+    100 TB table the tiles are actual files and the spans come from
+    footer stats — same math, zero data movement."""
+    from .operators.relational import global_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("long")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    zterms = []
+    for i in range(_ZORD_BITS):
+        zterms.append(
+            F.shiftleft(F.shiftright(F.col("ck"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        zterms.append(
+            F.shiftleft(
+                F.shiftright(F.col("day"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    zval = zterms[0]
+    for t in zterms[1:]:
+        zval = zval + t
+    base = o.select(
+        "o_orderkey", ck.alias("ck"), day.alias("day")
+    ).withColumn("zval", zval)
+
+    lo = F.datediff(
+        F.lit(_ZPROBE_DATE_LO).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    hi = F.datediff(
+        F.lit(_ZPROBE_DATE_HI).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+
+    def audit(order_cols, tag):
+        tiled = global_ntile(base, _ZORD_TILES, order_cols)
+        spans = tiled.groupBy("tile").agg(
+            F.min("ck").alias("mnc"),
+            F.max("ck").alias("mxc"),
+            F.min("day").alias("mnd"),
+            F.max("day").alias("mxd"),
+        )
+        return spans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_tiles"),
+            F.sum(F.col("mxc") - F.col("mnc"))
+            .cast("long")
+            .alias("sum_ck_span"),
+            F.sum(F.col("mxd") - F.col("mnd"))
+            .cast("long")
+            .alias("sum_day_span"),
+            F.sum(
+                F.when(
+                    (F.col("mnc") <= _ZPROBE_CUSTKEY)
+                    & (F.lit(_ZPROBE_CUSTKEY) <= F.col("mxc")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tiles_hit_ck_probe"),
+            F.sum(
+                F.when((F.col("mnd") <= hi) & (F.col("mxd") >= lo), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tiles_hit_date_probe"),
+        ).select(F.lit(tag).alias("layout"), "*")
+
+    linear = audit([F.col("ck").asc(), F.col("o_orderkey").asc()], "linear")
+    zorder = audit([F.col("zval").asc(), F.col("o_orderkey").asc()], "zorder")
+    return linear.unionByName(zorder).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection over the event value stream (CUSUM-style,
+# exact integer ledger)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_changepoint",
+    """
+    WITH seq AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    OVER w AS BIGINT) AS prefix,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dev AS (
+        SELECT event_type, ts, n,
+               ABS(n * prefix - i * total) AS deviation
+        FROM seq
+    ),
+    ranked AS (
+        SELECT event_type, ts, n, deviation,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY deviation DESC, ts ASC) AS rnk
+        FROM dev
+    )
+    SELECT event_type,
+           ts AS changepoint_ts,
+           CAST(deviation AS BIGINT) AS max_deviation,
+           n AS n_events
+    FROM ranked WHERE rnk = 1 ORDER BY event_type
+    """,
+)
+def event_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style change-point per event type: the timestamp where
+    the detrended cumulative value deviates most from the straight
+    line to the total — the classic "when did the mean shift?" scan a
+    metrics pipeline runs over revenue/latency streams.
+
+    Exactness: deviation = |n·prefix − i·total| is pure BIGINT
+    arithmetic on integer cents (the scaled-ledger trick: comparing
+    prefix − i·total/n through a multiply by n avoids ever forming a
+    double), so the argmax — tie-broken by earliest ts — is
+    deterministic cross-engine. Magnitudes stay under 2^63 up to
+    ~10⁷ events × 10⁹ total cents per type.
+
+    Scale: every window partitions by event_type (parallel across
+    types; within a type Spark's window sorts one shuffle partition —
+    at true 100 TB per-type volumes, swap in the
+    ``global_rank_cumsum`` two-phase form per type)."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("event_type")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("i"),
+        F.sum(cents).over(w).cast("long").alias("prefix"),
+        F.count(F.lit(1)).over(full).cast("long").alias("n"),
+        F.sum(cents).over(full).cast("long").alias("total"),
+    )
+    dev = seq.select(
+        "event_type",
+        "ts",
+        "n",
+        F.abs(F.col("n") * F.col("prefix") - F.col("i") * F.col("total"))
+        .alias("deviation"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("deviation").desc(), F.col("ts").asc()
+    )
+    return (
+        dev.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("changepoint_ts"),
+            F.col("deviation").cast("long").alias("max_deviation"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit: signature estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_error_oracle() -> str:
+    from .operators.dedup import MINHASH_P, minhash_coefficients
+    from .queries_llm import NUM_HASHES, SQL_SHINGLES3, SQL_TOKS
+    from .queries_llm import _minhash_oracle
+
+    coeffs = minhash_coefficients(NUM_HASHES)
+    sig_cols = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+    toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    exh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS x
+        FROM ex
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+           {sig_cols}
+        FROM exh GROUP BY doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({matches} AS BIGINT) AS sig_matches,
+           p.jaccard,
+           ROUND(({matches}) / {NUM_HASHES}.0 - p.jaccard, 6)
+               AS est_error
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    ORDER BY p.id_a, p.id_b
+    """
+
+
+@register("dedup_minhash_estimate_error", _minhash_error_oracle())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash chain: per VERIFIED
+    near-dup pair, the k=12-component signature estimate of Jaccard
+    (matching minima / k) against the exact shingle Jaccard the
+    verification stage computed — the bias/variance evidence behind
+    "12 hashes is enough for candidate generation but NOT for the
+    keep decision", which is exactly why the registered chain
+    re-scores candidates exactly instead of trusting signatures.
+
+    Scale: the pair sliver joins the signature table twice on doc_id
+    (sliver×dim); signatures come from the same one-explode
+    aggregation the chain uses. The estimate-vs-exact comparison is
+    integer matches and ONE rounded double subtraction per pair."""
+    from .operators.dedup import minhash_signatures
+    from .queries_llm import NUM_HASHES, minhash_pair_graph
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, shingle_n=3
+    ).localCheckpoint(eager=True)  # feeds both pair-side joins
+    pairs = minhash_pair_graph(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: (x == y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.alias("sig_matches"),
+            "jaccard",
+            F.round(
+                matches / float(NUM_HASHES) - F.col("jaccard"), 6
+            ).alias("est_error"),
+        )
+        .orderBy("id_a", "id_b")
+    )
