@@ -1472,9 +1472,13 @@ def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SRP-LSH recall audit: quality of the ANN scale path, as a query
 # ---------------------------------------------------------------------------
 
-#: Every vec_id ≡ 0 (mod this) becomes a recall-probe query point
-#: (~n/37 queries — enough for a stable mean, bounded at any SF).
+#: Every vec_id ≡ 0 (mod this) below the id cap becomes a recall-probe
+#: query point. The cap makes the probe BUDGET absolute (≤ 100 probes
+#: at ANY corpus size) — a fraction-of-n sample would make the exact
+#: arm (probes × n) quadratic again, which is the very thing the audit
+#: exists to avoid. At sf0.01 (ids < 500) the cap is not binding.
 _RECALL_Q_MOD = 37
+_RECALL_Q_ID_CAP = 3700
 _RECALL_K = 10
 
 
@@ -1528,9 +1532,11 @@ def _lsh_recall_oracle() -> str:
         FROM bands q JOIN bands o
           ON q.band_idx = o.band_idx AND q.band_key = o.band_key
          AND o.vec_id <> q.vec_id
-        WHERE q.vec_id % {_RECALL_Q_MOD} = 0
+        WHERE q.vec_id % {_RECALL_Q_MOD} = 0 AND q.vec_id < {_RECALL_Q_ID_CAP}
     ),
-    qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {_RECALL_Q_MOD} = 0),
+    qv AS (SELECT vec_id AS qid, v FROM e
+          WHERE vec_id % {_RECALL_Q_MOD} = 0
+            AND vec_id < {_RECALL_Q_ID_CAP}),
     topk AS (
         SELECT qid, cid FROM (
             SELECT q.qid, o.vec_id AS cid,
@@ -1571,9 +1577,10 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HONEST reading; the planted-dup tests certify the near-1 regime
     where LSH is actually used.
 
-    Scale: the probe set is a fixed ~1/37 sample — the exact arm is
-    (n/37)×n with the probe side broadcast, linear in the corpus like
-    every scoring pass, NOT all-pairs; the candidate arm reuses the
+    Scale: the probe set is an ABSOLUTE budget (≤ 100 probe ids under
+    the id cap — a fixed fraction would make the exact arm n²/37,
+    quadratic all over again), so the exact arm is ≤ 100×n with the
+    probe side broadcast, linear in the corpus; the candidate arm reuses the
     banded bucket join. Counts are BIGINT; recall is one final division
     per row."""
     from .functions.vectors import dot, l2_norm
@@ -1581,9 +1588,13 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperplane_signatures,
         srp_rows_per_band,
     )
+    from .plans.layout import spread
     from .queries_llm import EMB_DIM, SRP_BITS
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    # spread BEFORE the per-row heavy exprs: 32 hyperplane dots per
+    # vector and |probes|×n cosine folds would otherwise run in the
+    # single input-split a compact embeddings file scans into.
+    emb = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -1603,7 +1614,10 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_key"),
     )
-    qb = banded.filter(F.col("vec_id") % _RECALL_Q_MOD == 0).select(
+    qb = banded.filter(
+        (F.col("vec_id") % _RECALL_Q_MOD == 0)
+        & (F.col("vec_id") < _RECALL_Q_ID_CAP)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("band_idx").alias("qidx"),
         F.col("band_key").alias("qkey"),
@@ -1619,7 +1633,10 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # feeds hit join AND the count
     )
-    qv = emb.filter(F.col("vec_id") % _RECALL_Q_MOD == 0).select(
+    qv = emb.filter(
+        (F.col("vec_id") % _RECALL_Q_MOD == 0)
+        & (F.col("vec_id") < _RECALL_Q_ID_CAP)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         l2_norm(F.col("v")).alias("qn"),
