@@ -2051,3 +2051,287 @@ def dedup_minhash_estimate_error(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew audit: the pre-join diagnostic behind salting decisions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skew_audit",
+    """
+    WITH keys AS (
+        SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'o_custkey', o_custkey FROM orders
+    ),
+    per_key AS (
+        SELECT join_key, k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM keys GROUP BY join_key, k
+    ),
+    ranked AS (
+        SELECT join_key, k, c,
+               ROW_NUMBER() OVER (PARTITION BY join_key
+                                  ORDER BY c DESC, k ASC) AS rnk
+        FROM per_key
+    )
+    SELECT p.join_key,
+           CAST(SUM(p.c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(p.c) AS BIGINT) AS max_key_rows,
+           CAST(MIN(r.k) AS BIGINT) AS hottest_key,
+           FLOOR(MAX(p.c) * COUNT(*) / CAST(SUM(p.c) AS DOUBLE))
+               AS skew_x
+    FROM per_key p
+    LEFT JOIN ranked r ON r.join_key = p.join_key AND r.rnk = 1
+    GROUP BY p.join_key
+    ORDER BY p.join_key
+    """,
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew diagnostic over the fleet's four hottest join
+    columns: row count, key cardinality, the hottest key and its row
+    count, and ``skew_x`` = hottest-key rows ÷ average rows per key —
+    the number that decides whether a join needs salting (rule of
+    thumb: salt factor ≈ skew_x once it exceeds the per-task headroom)
+    or can lean on AQE's skew-join splitting.
+
+    This is the audit ``plans.layout.salted_agg`` assumes someone ran:
+    at 100 TB you run it ONCE per fact table from footer-stats-level
+    sampling and cache the answer next to the table.
+
+    Scale: one union of key projections (column-pruned scans), one
+    count per (key-col, key), one small agg per key-col; the hottest
+    key resolves via a per-group rank-1 row, not a collect. Integer
+    counts; skew_x is FLOOR over one double division, mirrored
+    exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    keys = (
+        li.select(
+            F.lit("l_orderkey").alias("join_key"),
+            F.col("l_orderkey").alias("k"),
+        )
+        .unionAll(
+            li.select(F.lit("l_partkey"), F.col("l_partkey"))
+        )
+        .unionAll(
+            li.select(F.lit("l_suppkey"), F.col("l_suppkey"))
+        )
+        .unionAll(o.select(F.lit("o_custkey"), F.col("o_custkey")))
+    )
+    per_key = keys.groupBy("join_key", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # feeds the summary agg AND rank-1
+    w = Window.partitionBy("join_key").orderBy(
+        F.col("c").desc(), F.col("k").asc()
+    )
+    hottest = (
+        per_key.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("join_key", F.col("k").alias("hottest_key"))
+    )
+    summary = per_key.groupBy("join_key").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    )
+    return (
+        summary.join(hottest, "join_key", "left")
+        .select(
+            "join_key",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.col("hottest_key").cast("long").alias("hottest_key"),
+            F.floor(
+                F.col("max_key_rows")
+                * F.col("n_keys")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_x"),
+        )
+        .orderBy("join_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix over orders (warehouse-classic shape, cents-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ltv_cohort",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               (EXTRACT(YEAR FROM o_orderdate) * 12
+                + EXTRACT(MONTH FROM o_orderdate) - 1) AS ym
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort_ym AS BIGINT) AS cohort_ym,
+           CAST(o.ym - f.cohort_ym AS BIGINT) AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, each cohort's order count / active customers / revenue
+    tracked by months-since-acquisition — the ``event_cohort_retention``
+    counterpart on the MONEY side of the star schema, and the standard
+    input to retention-curve and payback dashboards.
+
+    Parity: months are linearized integers (year×12+month−1 — no date
+    truncation or locale anywhere), money is integer cents before any
+    sum.
+
+    Scale: one groupBy for first-order months (customer-sized sliver),
+    joined back broadcast-or-shuffle by AQE's choice, one final
+    aggregation keyed (cohort, offset) — bounded output (months²)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("ym"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_ym").cast("long").alias("cohort_ym"),
+            (F.col("ym") - F.col("cohort_ym"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("cohort_ym", "months_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit over the token frequency distribution (integer OLS ledger)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_zipf_fit",
+    f"""
+    WITH ex AS (
+        SELECT unnest({_SQL_TOKS.format(col='text')}) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+             FROM ex GROUP BY token),
+    ranked AS (
+        SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token ASC)
+                       AS BIGINT) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS x,
+               CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+    FROM sums
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(frequency) against ln(rank) — the one-number language-health
+    check (natural text ≈ −1; the synthetic corpus's flat vocabulary
+    reads shallower) a curation pipeline tracks per source/snapshot.
+
+    Parity discipline: each ln is ONE double op rounded to integer
+    micro-units, every OLS sum (Σx, Σy, Σxy, Σx²) is then exact BIGINT
+    arithmetic — magnitudes stay under 2^63 up to ~10⁸ distinct terms
+    — and the slope/intercept are formed by final double divisions
+    mirrored token-for-token.
+
+    Scale: one explode→count for frequencies; ranking uses the
+    distributed ``global_rank_cumsum`` (range-partitioned, no
+    single-partition window even at web-scale vocabularies); the sums
+    are one scalar aggregation."""
+    from .operators.relational import global_rank_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = global_rank_cumsum(
+        freq,
+        [F.col("f").desc(), F.col("token").asc()],
+        "f",
+        rank_out="r",
+        cum_out="__cum",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    slope_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope_num / slope_den, 6).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - slope_num / slope_den * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+            / 1000000.0,
+            6,
+        ).alias("intercept_ln"),
+    )
