@@ -2085,8 +2085,8 @@ def dedup_minhash_estimate_error(
            CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(MAX(p.c) AS BIGINT) AS max_key_rows,
            CAST(MIN(r.k) AS BIGINT) AS hottest_key,
-           FLOOR(MAX(p.c) * COUNT(*) / CAST(SUM(p.c) AS DOUBLE))
-               AS skew_x
+           CAST(FLOOR(MAX(p.c) * COUNT(*) / CAST(SUM(p.c) AS DOUBLE))
+                AS BIGINT) AS skew_x
     FROM per_key p
     LEFT JOIN ranked r ON r.join_key = p.join_key AND r.rnk = 1
     GROUP BY p.join_key
