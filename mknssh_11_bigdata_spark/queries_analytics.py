@@ -2335,3 +2335,130 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_ln"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the supplier-part supply graph (iterative, exact
+# integer ledger, unrolled-oracle pattern shared with dedup_kcore)
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ROUNDS = 8
+_PAGERANK_SCALE = 1_000_000  # ranks live in micro-units
+#: damping 0.85 in micro-units: next = 0.15·SCALE + (85·Σshare) DIV 100
+_PAGERANK_BASE = 150_000
+#: part node ids are offset into their own id space (suppkey and
+#: partkey overlap); far above any partkey at every SF incl. replicas
+_PAGERANK_PART_OFFSET = 50_000_000
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        "links AS MATERIALIZED ("
+        "SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, "
+        f"CAST(l_partkey + {_PAGERANK_PART_OFFSET} AS BIGINT) AS p "
+        "FROM lineitem)",
+        "edges AS MATERIALIZED ("
+        "SELECT s AS src, p AS dst FROM links "
+        "UNION ALL SELECT p AS src, s AS dst FROM links)",
+        "deg AS MATERIALIZED ("
+        "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({_PAGERANK_SCALE} AS BIGINT) AS pr "
+        "FROM deg)",
+    ]
+    for i in range(1, _PAGERANK_ROUNDS + 1):
+        parts.append(
+            f"s{i} AS (SELECT r.node, r.pr // d.deg AS share "
+            f"FROM r{i-1} r JOIN deg d USING (node))"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"{_PAGERANK_BASE} + (85 * SUM(s.share)) // 100 AS pr "
+            f"FROM edges e JOIN s{i} s ON s.node = e.src "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CASE WHEN node >= {_PAGERANK_PART_OFFSET}
+                THEN 'part' ELSE 'supplier' END AS node_type,
+           node, CAST(pr AS BIGINT) AS rank_micro
+    FROM r{_PAGERANK_ROUNDS} ORDER BY node
+    """
+    )
+
+
+@register("supply_chain_pagerank", _pagerank_oracle())
+def supply_chain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (8 rounds, damping 0.85) over the bipartite
+    supplier↔part supply graph (distinct lineitem links): structural
+    centrality — which parts sit in the most supply relationships
+    weighted by how concentrated their suppliers are. The same
+    iterative-propagation machinery a dedup pipeline uses to pick
+    canonical documents, certified here on a graph with real degree
+    variance (the near-dup graph's components are regular, where
+    PageRank's fixed point is uniform by symmetry).
+
+    Exactness: ranks live in integer micro-units; each round is
+    share = pr DIV deg (floor division, both engines), then
+    next = 0.15·SCALE + (85·Σshare) DIV 100 — BIGINT arithmetic only,
+    so 8 rounds of accumulated floor-rounding are IDENTICAL
+    cross-engine; the unrolled MATERIALIZED-CTE oracle replays every
+    round (lazy CTEs would re-inline the chain ~2^R times).
+
+    Scale: per round, one edge⋈rank join keyed on the node id and one
+    dst-keyed aggregation — shuffles proportional to the edge list,
+    exactly GraphX/Pregel's per-superstep cost; localCheckpoint per
+    round keeps lineage flat (same discipline as ``kcore_peel``).
+    Every node has degree ≥ 1 by construction (no dangling-mass
+    term)."""
+    li = _t(spark, sf_dir, "lineitem")
+    links = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey") + _PAGERANK_PART_OFFSET)
+            .cast("long")
+            .alias("p"),
+        )
+        .distinct()
+    )
+    edges = (
+        links.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionAll(
+            links.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # feeds deg + every round
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        "node", F.lit(_PAGERANK_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(_PAGERANK_ROUNDS):
+        shares = ranks.join(deg, "node").select(
+            "node", F.expr("pr DIV deg").alias("share")
+        )
+        ranks = (
+            edges.join(shares, edges.src == shares.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(_PAGERANK_BASE)
+                    + F.expr("(85 * sum(share)) DIV 100")
+                )
+                .cast("long")
+                .alias("pr")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.when(F.col("node") >= _PAGERANK_PART_OFFSET, "part")
+        .otherwise("supplier")
+        .alias("node_type"),
+        "node",
+        F.col("pr").alias("rank_micro"),
+    ).orderBy("node")
