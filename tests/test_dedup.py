@@ -567,3 +567,86 @@ def test_kcore_peel_planted_graph(spark):
     assert partial.count() > 0
     full = kcore_peel(pdf, k=2, max_rounds=8)
     assert full.count() == 0
+
+
+def test_minhash_pair_graph_artifact_semantics(spark, tmp_path):
+    """The persisted pair graph must (a) be bit-identical to the
+    inline chain, (b) serve the SECOND call from the artifact without
+    rebuilding it, and (c) rebuild when the source data changes (the
+    fingerprint key), rather than serving a stale graph."""
+    import pathlib
+    import shutil
+
+    from mknssh_11_bigdata_spark.queries_llm import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+        minhash_dedup_pairs,
+        minhash_pair_graph,
+    )
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    warehouse_dir = (
+        pathlib.Path(minhash_pair_graph.__code__.co_filename)
+        .resolve()
+        .parent.parent
+        / "spark-warehouse"
+    )
+    pre_existing = set(warehouse_dir.glob("minhash_pairs_*"))
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        src / "documents.parquet",
+    )
+    sf_dir = str(src)
+
+    got = {tuple(r) for r in minhash_pair_graph(spark, sf_dir).collect()}
+    inline = {
+        tuple(r)
+        for r in minhash_dedup_pairs(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            num_hashes=NUM_HASHES,
+            bands=BANDS,
+            shingle_n=3,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket_size=LSH_MAX_BUCKET,
+        ).collect()
+    }
+    assert got == inline and got  # (a) bit-identical, non-empty
+
+    arts = sorted(
+        p for p in warehouse_dir.glob("minhash_pairs_*") if p.is_dir()
+    )
+    mtimes = {p: (p / "_SUCCESS").stat().st_mtime_ns for p in arts}
+    again = {tuple(r) for r in minhash_pair_graph(spark, sf_dir).collect()}
+    assert again == got
+    for p, m in mtimes.items():  # (b) no rebuild on the second call
+        assert (p / "_SUCCESS").stat().st_mtime_ns == m
+
+    # (c) regenerate the source: halve the corpus IN PLACE — the
+    # fingerprint (file stats) changes, so a NEW artifact is built and
+    # the served graph reflects the new data, not the old cache
+    half = (
+        spark.read.parquet(str(src / "documents.parquet"))
+        .filter("doc_id % 2 = 0")
+        .collect()
+    )
+    shutil.rmtree(src / "documents.parquet", ignore_errors=True)
+    (src / "documents.parquet").unlink(missing_ok=True)
+    spark.createDataFrame(half).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "documents.parquet"))
+    refreshed = {
+        tuple(r) for r in minhash_pair_graph(spark, sf_dir).collect()
+    }
+    ids = {r[0] for r in refreshed} | {r[1] for r in refreshed}
+    assert all(i % 2 == 0 for i in ids)  # no stale odd-doc pairs
+
+    # tidy: drop the artifacts this test's throwaway corpora created
+    for p in set(warehouse_dir.glob("minhash_pairs_*")) - pre_existing:
+        shutil.rmtree(p, ignore_errors=True)
