@@ -15,3 +15,5 @@ from .windows import (  # noqa: F401
     stream_from_parquet_events,
     tumbling_agg,
 )
+
+from .incremental import IncrementalDedupCorpusSink  # noqa: F401

@@ -1,0 +1,125 @@
+"""Streaming corpus ingest with incremental dedup: the foreachBatch
+loop must route every streamed document exactly as the (oracle-
+certified) batch operator does when replayed sequentially over the
+same increments, and the accumulated corpus must contain exactly the
+seed plus the 'new'-status survivors."""
+
+from __future__ import annotations
+
+import pathlib
+
+from mknssh_11_bigdata_spark.operators.dedup import (
+    incremental_dedup_status,
+)
+from mknssh_11_bigdata_spark.sources.readers import load_table
+from mknssh_11_bigdata_spark.streaming.incremental import (
+    IncrementalDedupCorpusSink,
+)
+
+from conftest import SF_SMOKE
+
+#: batch boundaries over doc_id: seed [0,20), then increments
+#: [20,40) [40,70) [70,100) — small enough to stream in seconds,
+#: large enough that every status arm fires at sf0.001.
+_SEED_HI = 20
+_CUTS = [(20, 40), (40, 70), (70, 100)]
+
+
+#: planted exact clone of a seed doc (fresh id) so the exact_dup arm
+#: fires at sf0.001 (its organic duplicates are all near-dups)
+_PLANT_ID = 1_000_000
+
+
+def _slices(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter(f"doc_id < {_SEED_HI}")
+    incs = [
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        for lo, hi in _CUTS
+    ]
+    from pyspark.sql import functions as F
+
+    clone = seed.filter("doc_id = 0").select(
+        F.lit(_PLANT_ID).alias("doc_id"), "text"
+    )
+    incs[1] = incs[1].unionByName(clone)
+    return seed, incs
+
+
+def test_streaming_incremental_dedup_matches_batch_replay(
+    spark, tmp_path
+):
+    seed, incs = _slices(spark)
+
+    # --- feed: one file per increment, named in processing order ---
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    for i, inc in enumerate(incs):
+        inc.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+        schema = inc.schema
+
+    sink = IncrementalDedupCorpusSink(str(tmp_path / "out"))
+    sink.seed(seed)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert sink.committed_batches() == {0, 1, 2}
+
+    # --- batch replay: the same operator applied sequentially ---
+    corpus = seed
+    expected = {}
+    for inc in incs:
+        st = incremental_dedup_status(corpus, inc, "doc_id", "text")
+        for r in st.collect():
+            expected[r["doc_id"]] = (r["status"], r["dup_of"])
+        corpus = corpus.unionByName(
+            inc.join(
+                st.filter("status = 'new'").select("doc_id"), "doc_id"
+            )
+        )
+
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert got == expected
+    assert len(got) == sum(hi - lo for lo, hi in _CUTS) + 1
+    # every routing arm certified: the planted clone is exact_dup of
+    # doc 0, organic near-dups exist in these ranges, most docs are new
+    assert {s for s, _ in got.values()} == {"exact_dup", "near_dup", "new"}
+    assert got[_PLANT_ID] == ("exact_dup", 0)
+
+    # corpus = seed + 'new' survivors, nothing else
+    got_ids = {r["doc_id"] for r in sink.corpus(spark).collect()}
+    want_ids = {r["doc_id"] for r in corpus.collect()}
+    assert got_ids == want_ids
+
+    # --- exactly-once: replaying a committed batch id is a no-op ---
+    before = got_ids
+    fake = incs[0]
+    sink(fake, 0)  # committed marker present -> dropped
+    assert {
+        r["doc_id"] for r in sink.corpus(spark).collect()
+    } == before
