@@ -85,3 +85,48 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+#: DuckDB result type -> acceptable Spark simpleString families. The
+#: local canonical compare is value-based (3 == 3.0 passes), but the
+#: driver's gate hashes TYPED values — an int-vs-double drift between
+#: an oracle and its Spark twin is a latent red row this test catches
+#: at authoring time (it found join_skew_audit's FLOOR returning
+#: DOUBLE in DuckDB vs BIGINT in Spark).
+_DTYPE_OK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+    "BOOLEAN": {"boolean"},
+}
+
+
+def test_fleet_dtype_parity(spark, duck):
+    """ONE pass over every oracle query comparing the Spark schema
+    against the DuckDB result types (schema-only on the DuckDB side:
+    LIMIT 0 execution, no data computed)."""
+    bad = []
+    for name in ORACLE_QUERIES:
+        spec = QUERIES[name]
+        stypes = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in spec.spark(spark, SF_ORACLE).schema.fields
+        }
+        rel = duck.execute(
+            f"SELECT * FROM ({spec.oracle}) __t LIMIT 0"
+        )
+        for col, dt in ((d[0].lower(), str(d[1])) for d in rel.description):
+            st = stypes.get(col)
+            ok = _DTYPE_OK.get(dt.split("(")[0])
+            if st is None:
+                bad.append((name, col, f"missing in spark ({dt})"))
+            elif ok is not None and st not in ok and not (
+                dt.startswith("DECIMAL") and st.startswith("decimal")
+            ):
+                bad.append((name, col, f"duck={dt} spark={st}"))
+    assert bad == [], bad
