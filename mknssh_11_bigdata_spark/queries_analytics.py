@@ -2469,3 +2469,120 @@ def supply_chain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.col("pr").alias("rank_micro"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard-threshold sweep: the dedup-policy tuning curve, as a query
+# ---------------------------------------------------------------------------
+
+_SWEEP_FLOOR = 0.8
+_SWEEP_STEPS = (0.8, 0.9, 0.95, 0.975, 0.99)
+
+
+def _threshold_sweep_oracle() -> str:
+    from .queries_llm import _minhash_oracle
+
+    steps = ", ".join(str(t) for t in _SWEEP_STEPS)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        {_minhash_oracle(threshold=_SWEEP_FLOOR)}
+    ),
+    th AS (SELECT CAST(unnest([{steps}]) AS DOUBLE) AS threshold),
+    hits AS (
+        SELECT t.threshold, p.id_a, p.id_b
+        FROM th t JOIN pairs p ON p.jaccard >= t.threshold
+    ),
+    agg AS (
+        SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM hits GROUP BY threshold
+    ),
+    docs AS (
+        SELECT threshold, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+        FROM (SELECT threshold, id_a AS id FROM hits
+              UNION ALL SELECT threshold, id_b FROM hits)
+        GROUP BY threshold
+    )
+    SELECT t.threshold,
+           CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs
+    FROM th t
+    LEFT JOIN agg a USING (threshold)
+    LEFT JOIN docs d USING (threshold)
+    ORDER BY t.threshold
+    """
+
+
+@register("dedup_threshold_sweep", _threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-threshold tuning curve: how many LSH-candidate pairs
+    (and how many affected documents) survive exact-Jaccard
+    verification at each keep threshold from 0.8 to 0.99 — ONE chain
+    run, five policy readings. Steps bracket where this corpus's
+    candidate mass actually lives (measured: every proposed pair sits
+    in [0.8, 1.0], median ≈ 0.98 — token-perturbed replicas). This is
+    the table you read before committing a production threshold: the
+    pair count's knee locates where boilerplate families end and
+    borderline matches begin.
+
+    Honest scope: the curve is over pairs the 4×3 BAND GEOMETRY
+    proposes — candidate recall below ~0.7 Jaccard is <1 by design
+    (that is what makes LSH linear), so the sweep reads "what this
+    chain would keep at each verify floor", not an all-pairs census
+    (this corpus has no mid-Jaccard mass anyway: random 30-token-vocab
+    docs share shingles at ~0.05).
+
+    Parity: each threshold literal and the rounded Jaccard parse to
+    identical doubles in both engines, so >= comparisons agree
+    bit-for-bit; counts are BIGINTs; zero-pair thresholds survive via
+    the left join (the 0.9 band is populated only where near-verbatim
+    families exist).
+
+    Scale: the chain is the one expensive job (same cost envelope as
+    ``dedup_minhash_lsh``); the sweep itself is a broadcast join of a
+    5-row threshold table against the verified pair sliver."""
+    from .queries_llm import (
+        BANDS,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=_SWEEP_FLOOR,
+        max_bucket_size=LSH_MAX_BUCKET,
+    ).localCheckpoint(eager=True)  # feeds both sweep aggregations
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_STEPS], "threshold double"
+    )
+    hits = th.join(
+        pairs, F.col("jaccard") >= F.col("threshold")
+    ).localCheckpoint(eager=True)  # pair-sliver × 5; two consumers
+    agg = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs = (
+        hits.select("threshold", F.col("id_a").alias("id"))
+        .unionAll(hits.select("threshold", F.col("id_b").alias("id")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs"))
+    )
+    return (
+        th.join(agg, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )

@@ -82,7 +82,10 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(table: str = "documents") -> str:
+def _minhash_oracle(
+    table: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
     from .operators.dedup import MINHASH_P, minhash_coefficients
 
     coeffs = minhash_coefficients(NUM_HASHES)
@@ -141,7 +144,7 @@ def _minhash_oracle(table: str = "documents") -> str:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {JACCARD_THRESHOLD}
+    WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
     """
 
 
@@ -804,6 +807,46 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=None,
         max_bucket_size=LSH_MAX_BUCKET,
     )
+
+
+def srp_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified embedding near-dup pair graph (id_a, id_b, cosine)
+    as a PERSISTED artifact — the embedding-side twin of
+    :func:`minhash_pair_graph`, same prepared-artifact discipline:
+    keyed on the source fingerprint plus the chain parameters (the
+    n-scaled band geometry is a deterministic function of the corpus,
+    which the fingerprint already pins), ``_SUCCESS``-gated, stored
+    under the gitignored ``spark-warehouse/``. Policy consumers
+    (components today) read it; ``dedup_embedding_cosine_lsh`` keeps
+    computing the chain inline as the bench anchor. Values are
+    bit-identical to the inline chain, so consumer oracles are
+    unaffected."""
+    import pathlib
+
+    from .operators.dedup import embedding_near_dup_pairs
+    from .sources.readers import source_fingerprint
+
+    tag = source_fingerprint(sf_dir, "embeddings")
+    params = (
+        f"b{SRP_BITS}auto"
+        f"t{str(COSINE_DUP_THRESHOLD).replace('.', 'p')}c{LSH_MAX_BUCKET}"
+    )
+    warehouse = pathlib.Path(__file__).resolve().parent.parent / (
+        "spark-warehouse"
+    )
+    path = warehouse / f"srp_pairs_{params}_{tag}"
+    if not (path / "_SUCCESS").exists():
+        embedding_near_dup_pairs(
+            _t(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            dim=EMB_DIM,
+            threshold=COSINE_DUP_THRESHOLD,
+            n_bits=SRP_BITS,
+            bands=None,
+            max_bucket_size=LSH_MAX_BUCKET,
+        ).write.mode("overwrite").parquet(str(path))
+    return spark.read.parquet(str(path))
 
 
 # --- Fine-band SRP geometry over planted near-duplicates -------------------
@@ -1923,23 +1966,10 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end-to-end (seed-fixed hyperplanes → exact int-free
     verification → min-label components), so the recursive-CTE oracle
     reproduces it exactly."""
-    from .operators.dedup import (
-        duplicate_components,
-        embedding_near_dup_pairs,
-    )
+    from .operators.dedup import duplicate_components
 
-    pairs = embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        dim=EMB_DIM,
-        threshold=COSINE_DUP_THRESHOLD,
-        n_bits=SRP_BITS,
-        bands=None,  # n-scaled geometry, mirrored by the oracle's CASE
-        max_bucket_size=LSH_MAX_BUCKET,
-    )
     return (
-        duplicate_components(pairs)
+        duplicate_components(srp_pair_graph(spark, sf_dir))
         .select(F.col("doc_id").alias("vec_id"), "component")
         .orderBy("vec_id")
     )
