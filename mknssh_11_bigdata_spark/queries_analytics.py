@@ -2586,3 +2586,100 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor-quality delta: does the keep-min-id dedup policy discard
+# better copies than it keeps?
+# ---------------------------------------------------------------------------
+
+
+def _survivor_quality_oracle() -> str:
+    from .queries_llm import _STOPS_SQL, _components_oracle
+
+    comp = _components_oracle()
+    toks = _SQL_TOKS.format(col="text")
+    lower_toks = _SQL_TOKS.format(col="lower(text)")
+    return f"""
+    WITH comp AS MATERIALIZED ({comp}),
+    q AS (
+        SELECT doc_id, n_chars, {toks} AS t, {lower_toks} AS lt
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_chars,
+            (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(t) > 0
+                       AND list_sum(list_transform(t,
+                               x -> CAST(length(x) AS DOUBLE))) / len(t)
+                           >= 2.0
+                       AND list_sum(list_transform(t,
+                               x -> CAST(length(x) AS DOUBLE))) / len(t)
+                           <= 12.0
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(lt) > 0
+                       AND len(list_filter(lt, x -> x IN ({_STOPS_SQL})))
+                           / len(lt) >= 0.01
+                  THEN 1.0 ELSE 0.0 END
+           + CASE WHEN len(t) >= 10 THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+        FROM q
+    )
+    SELECT CASE WHEN c.doc_id = c.component THEN 'kept'
+                ELSE 'dropped' END AS role,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(s.q), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN s.q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_quality,
+           ROUND(AVG(s.n_chars), 6) AS avg_chars
+    FROM comp c JOIN scored s ON s.doc_id = c.doc_id
+    GROUP BY 1 ORDER BY role
+    """
+
+
+@register("dedup_survivor_quality_delta", _survivor_quality_oracle())
+def dedup_survivor_quality_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality audit of the keep-min-id dedup policy: inside near-dup
+    components, compare the KEPT docs (component representatives)
+    against the DROPPED ones on composite quality and length. If
+    'dropped' reads better than 'kept', the policy is discarding the
+    superior copies and ``dedup_keep_best`` (quality-ranked keeper)
+    should replace min-id — this query is the measured trigger for
+    that swap.
+
+    Parity: the quality score is quarter-point exact (sums of 0.25
+    multiples are exactly representable, so AVG is one deterministic
+    division); counts are BIGINTs.
+
+    Scale: reads the persisted pair graph, one log-rounds components
+    pass over the pair sliver, one broadcast-able join against
+    doc-level quality projections, and a 2-row aggregation."""
+    from .functions.text import quality_score
+    from .operators.dedup import duplicate_components
+    from .queries_llm import minhash_pair_graph
+
+    comp = duplicate_components(minhash_pair_graph(spark, sf_dir))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        quality_score(F.col("text")).alias("q"),
+    )
+    return (
+        comp.join(d, "doc_id")
+        .groupBy(
+            F.when(F.col("doc_id") == F.col("component"), "kept")
+            .otherwise("dropped")
+            .alias("role")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.sum(F.when(F.col("q") >= 0.75, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_quality"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("role")
+    )
