@@ -354,7 +354,11 @@ def global_rank_cumsum(
     ``order_by`` must be a total order (add a unique tiebreaker), and
     ``value_col`` must be an integral column if exact cross-engine
     parity of the prefix sums is required (bigint addition is
-    associative; double addition is not)."""
+    associative; double addition is not). NULLs in ``value_col`` follow
+    ``SUM() OVER`` exactly: skipped by the running sum, and the output
+    is NULL only while the global prefix has seen no non-null value
+    (the naive ``v_off + local_sum`` fold instead returned NULL for any
+    row whose within-partition prefix was all-NULL — ADVICE r3)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = (
         df.repartitionByRange(parts, *order_by)
@@ -363,19 +367,22 @@ def global_rank_cumsum(
         .localCheckpoint(eager=True)  # pin pids across the two jobs
     )
     stats = {
-        r["__pid"]: (r["cnt"], r["vsum"] or 0)
+        r["__pid"]: (r["cnt"], r["vsum"] or 0, r["nn"])
         for r in ordered.groupBy("__pid")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(value_col).alias("vsum"),
+            F.count(value_col).alias("nn"),  # non-null count
         )
         .collect()
     }
-    n_off, v_off, nacc, vacc = {}, {}, 0, 0
+    n_off, v_off, nn_off = {}, {}, {}
+    nacc, vacc, nnacc = 0, 0, 0
     for pid in sorted(stats):
-        n_off[pid], v_off[pid] = nacc, vacc
+        n_off[pid], v_off[pid], nn_off[pid] = nacc, vacc, nnacc
         nacc += stats[pid][0]
         vacc += stats[pid][1]
+        nnacc += stats[pid][2]
     top = max(stats, default=0) + 1
     n_expr = F.element_at(
         F.array(*[F.lit(n_off.get(p, 0)) for p in range(top)]),
@@ -385,12 +392,23 @@ def global_rank_cumsum(
         F.array(*[F.lit(v_off.get(p, 0)) for p in range(top)]),
         F.col("__pid") + 1,
     )
+    nn_expr = F.element_at(
+        F.array(*[F.lit(nn_off.get(p, 0)) for p in range(top)]),
+        F.col("__pid") + 1,
+    )
     local_w = Window.partitionBy("__pid").orderBy(*order_by)
+    local_sum = F.sum(value_col).over(local_w)
+    # SUM() OVER semantics: NULL only while NO non-null value has
+    # appeared in the whole global prefix; otherwise nulls are skipped
+    # and the offset of earlier partitions still carries through.
+    cum_expr = F.when(
+        local_sum.isNull() & (nn_expr == 0), F.lit(None)
+    ).otherwise(v_expr + F.coalesce(local_sum, F.lit(0)))
     return (
         ordered.withColumn(
             rank_out, (n_expr + F.row_number().over(local_w)).cast("long")
         )
-        .withColumn(cum_out, v_expr + F.sum(value_col).over(local_w))
+        .withColumn(cum_out, cum_expr)
         .drop("__pid")
     )
 

@@ -1185,6 +1185,7 @@ _RECERTIFY = {
     "event_props_map_explode": 3,  # TRY_CAST oracle (r3, ADVICE)
     "embedding_topk_ivf_kmeans": 3,  # map-only centroid assignment (r3)
     "embedding_topk_ivf_int8": 3,  # map-only centroid assignment (r3)
+    "dsir_importance_weights": 4,  # BIGINT micro-unit ledger (r4, VERDICT #1)
 }
 
 

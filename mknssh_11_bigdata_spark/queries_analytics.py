@@ -2347,8 +2347,12 @@ _PAGERANK_SCALE = 1_000_000  # ranks live in micro-units
 #: damping 0.85 in micro-units: next = 0.15·SCALE + (85·Σshare) DIV 100
 _PAGERANK_BASE = 150_000
 #: part node ids are offset into their own id space (suppkey and
-#: partkey overlap); far above any partkey at every SF incl. replicas
-_PAGERANK_PART_OFFSET = 50_000_000
+#: partkey overlap). The repo's disjoint-id convention (RECRAWL_OFFSET
+#: class): 10^12 sits above any key the scale-replica generator can
+#: produce — the previous 50M offset ALIASED with replica suppkeys
+#: (make_scale_data offsets l_suppkey by k·10M per replica, so 6+
+#: replicas silently merged supplier and part nodes; ADVICE r3).
+_PAGERANK_PART_OFFSET = 1_000_000_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -2537,26 +2541,20 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left join (the 0.9 band is populated only where near-verbatim
     families exist).
 
-    Scale: the chain is the one expensive job (same cost envelope as
-    ``dedup_minhash_lsh``); the sweep itself is a broadcast join of a
-    5-row threshold table against the verified pair sliver."""
-    from .queries_llm import (
-        BANDS,
-        LSH_MAX_BUCKET,
-        NUM_HASHES,
-        minhash_dedup_pairs,
-    )
+    Scale: reads the PERSISTED pair graph (``minhash_pair_graph`` —
+    ``_SWEEP_FLOOR == JACCARD_THRESHOLD`` and identical chain params,
+    so the artifact's floor IS the sweep's floor and values are
+    bit-identical to an inline chain by the artifact's own test); the
+    sweep itself is a broadcast join of a 5-row threshold table against
+    the verified pair sliver. Re-deriving the chain here (the pre-r4
+    shape) re-ran the dominant job the artifact exists to amortize —
+    at 100 TB that is the difference between a table read and a second
+    corpus-scale MinHash pass. ``dedup_minhash_lsh`` stays the declared
+    inline-cost anchor."""
+    from .queries_llm import JACCARD_THRESHOLD, minhash_pair_graph
 
-    pairs = minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        num_hashes=NUM_HASHES,
-        bands=BANDS,
-        shingle_n=3,
-        threshold=_SWEEP_FLOOR,
-        max_bucket_size=LSH_MAX_BUCKET,
-    ).localCheckpoint(eager=True)  # feeds both sweep aggregations
+    assert _SWEEP_FLOOR == JACCARD_THRESHOLD  # artifact floor covers the sweep
+    pairs = minhash_pair_graph(spark, sf_dir)
     th = spark.createDataFrame(
         [(t,) for t in _SWEEP_STEPS], "threshold double"
     )

@@ -1524,8 +1524,9 @@ def _dsir_oracle() -> str:
     ),
     lr AS (
         SELECT e.doc_id,
-               ROUND(ln((COALESCE(t.ct, 0) + 1) / (s.nt + s.v))
-                     - ln((c.ca + 1) / (s.na + s.v)), 6) AS lr
+               CAST(ROUND((ln((COALESCE(t.ct, 0) + 1) / (s.nt + s.v))
+                           - ln((c.ca + 1) / (s.na + s.v)))
+                          * 1000000.0, 0) AS BIGINT) AS lr_micro
         FROM ex e
         JOIN call c USING (token)
         LEFT JOIN ctgt t USING (token)
@@ -1533,8 +1534,9 @@ def _dsir_oracle() -> str:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(SUM(lr) / COUNT(*), 4) AS avg_logratio,
-           ROUND(SUM(lr) / COUNT(*), 4) > 0 AS target_like
+           ROUND(CAST(SUM(lr_micro) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 4) AS avg_logratio,
+           CAST(SUM(lr_micro) AS BIGINT) > 0 AS target_like
     FROM lr GROUP BY doc_id ORDER BY doc_id
     """
 
@@ -1553,8 +1555,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same shape as ``doc_unigram_logprob`` with TWO count
     tables fit in one explode pass (the target table is a filtered
     re-aggregation, both vocab-sized); smoothing constants travel as
-    one broadcast scalar row; per-token ratios are rounded before the
-    per-doc mean so both engines sum identical doubles."""
+    one broadcast scalar row; per-token ratios are quantized to exact
+    BIGINT micro-units so the per-doc sum is order-independent integer
+    addition and the mean is ONE final double division — identical
+    doubles summed in different partition orders are NOT enough (that
+    was CORRECTNESS_r03's one hash mismatch)."""
     d = _t(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id",
@@ -1582,24 +1587,36 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    lr = F.round(
-        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("v")))
-        - F.log((F.col("ca") + 1) / (F.col("na") + F.col("v"))),
-        6,
-    )
+    lr_micro = F.round(
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("v"))
+            )
+            - F.log((F.col("ca") + 1) / (F.col("na") + F.col("v")))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
     scored = (
         ex.join(call, "token")
         .join(ctgt, "token", "left")
         .crossJoin(scal)
-        .select("doc_id", lr.alias("lr"))
+        .select("doc_id", lr_micro.alias("lr_micro"))
     )
-    avg = F.round(F.sum("lr") / F.count(F.lit(1)), 4)
+    # exact BIGINT ledger: the sum is order-independent, so the final
+    # single double division is bit-identical across engines/partition
+    # orders (the 6-dp-double-sum version drifted on the driver's
+    # local[32] partitioning — CORRECTNESS_r03's one red row)
+    s_micro = F.sum("lr_micro").cast("long")
+    avg = F.round(
+        s_micro.cast("double") / (F.count(F.lit(1)) * 1000000.0), 4
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             avg.alias("avg_logratio"),
-            (avg > 0).alias("target_like"),
+            (s_micro > 0).alias("target_like"),
         )
         .orderBy("doc_id")
     )

@@ -2398,12 +2398,36 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: At the synthetic corpus's cosine range (max pair ≈ 0.51) this keeps
 #: the prune set non-empty without being trivially everything.
 SEMDEDUP_TAU = 0.4
-#: The Lloyd fit runs on a deterministic 1-in-4 id slice (the
-#: ``sample_mod`` practice the operator documents for 100 TB: centroid
-#: QUALITY needs a sample, assignment covers the full corpus). The
-#: oracle reproduces the same slice, so certification covers the
-#: sampled-fit path — the one a production corpus would actually run.
+#: The Lloyd fit runs on a deterministic id slice (the ``sample_mod``
+#: practice the operator documents for 100 TB: centroid QUALITY needs
+#: a sample, assignment covers the full corpus). The oracle reproduces
+#: the same slice, so certification covers the sampled-fit path — the
+#: one a production corpus would actually run. FIT_MOD is the FLOOR of
+#: the stride; the effective mod grows with the corpus so the sample
+#: stays under an ABSOLUTE cap (a fixed 1-in-4 fraction of a 100 TB
+#: embedding table collected for the numpy fit is a driver OOM — the
+#: same defect class the LSH-recall probe budget fixed, VERDICT r3 #2).
 SEMDEDUP_FIT_MOD = 4
+#: Absolute ceiling on the fit-sample size (rows reaching the driver
+#: in the Arrow arm / the fit partition in the JVM arm).
+SEMDEDUP_FIT_CAP = 100_000
+
+
+def _semdedup_fit_mod(n: int) -> int:
+    """Stride such that the ``vec_id % mod == 0`` slice of a dense-id
+    corpus of ``n`` rows has ≤ :data:`SEMDEDUP_FIT_CAP` rows, never
+    finer than 1-in-:data:`SEMDEDUP_FIT_MOD`. Integer ceil-division on
+    both engines (Python ``-(-n // cap)`` ≡ DuckDB
+    ``(n + cap - 1) // cap``) keeps the mirrored choice exact."""
+    return max(SEMDEDUP_FIT_MOD, -(-n // SEMDEDUP_FIT_CAP))
+
+
+def _semdedup_fit_mod_sql() -> str:
+    return (
+        f"SELECT GREATEST({SEMDEDUP_FIT_MOD}, "
+        f"(COUNT(*) + {SEMDEDUP_FIT_CAP - 1}) // {SEMDEDUP_FIT_CAP})"
+        " AS fm FROM e"
+    )
 
 #: n-scaled cluster count (same discipline as the SRP band geometry,
 #: VERDICT r2 #3): SemDeDup's quadratic stage is Σ nᵢ² ≈ n²/k, so a
@@ -2483,8 +2507,10 @@ def _semdedup_oracle() -> str:
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    fmc AS ({_semdedup_fit_mod_sql()}),
     fit AS (
-        SELECT vec_id, v FROM e WHERE vec_id % {SEMDEDUP_FIT_MOD} = 0
+        SELECT vec_id, v FROM e
+        WHERE vec_id % (SELECT fm FROM fmc) = 0
     ),
     kc AS ({_semdedup_k_sql()}),
     c0 AS (
@@ -2550,10 +2576,11 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # k scales with the corpus (step ladder, oracle-mirrored CASE) so
     # the within-cluster quadratic stage stays bounded: n/k ≤ ~1024.
-    k = _semdedup_k(emb.count())
+    n = emb.count()
+    k = _semdedup_k(n)
     cents = kmeans_centroids(
         emb, "vec_id", "embedding", n_centroids=k, iters=KM_ITERS,
-        sample_mod=SEMDEDUP_FIT_MOD,
+        sample_mod=_semdedup_fit_mod(n),
     )
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("av")
@@ -2766,9 +2793,13 @@ def dedup_semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_fit_numpy, round_half_away
 
     emb = _t(spark, sf_dir, "embeddings")
-    k = _semdedup_k(emb.count())
+    n = emb.count()
+    k = _semdedup_k(n)
+    # ABSOLUTE-capped fit slice (≤ SEMDEDUP_FIT_CAP rows) — the only
+    # corpus-derived collect in the repo allowed to grow with n was
+    # this one; the derived stride bounds it no matter the corpus size.
     sample = (
-        emb.filter(F.col("vec_id") % SEMDEDUP_FIT_MOD == 0)
+        emb.filter(F.col("vec_id") % _semdedup_fit_mod(n) == 0)
         .select("vec_id", "embedding")
         .collect()
     )

@@ -330,6 +330,51 @@ def test_global_rank_cumsum_matches_window(spark):
         assert got == expected, n
 
 
+def test_global_rank_cumsum_null_values_match_window(spark):
+    """NULLs in value_col must follow SUM() OVER exactly: skipped by
+    the running sum, NULL output only while the global prefix has seen
+    no non-null value. Regression for the ADVICE r3 latent defect where
+    an all-NULL within-partition prefix dropped earlier partitions'
+    running sum (v_off + NULL = NULL). Layouts force both edge shapes:
+    a leading all-NULL run (global-prefix NULL rows) and NULL runs at
+    partition heads with non-null mass behind them."""
+    from pyspark.sql import Window, functions as F
+
+    from mknssh_11_bigdata_spark.operators.relational import (
+        global_rank_cumsum,
+    )
+
+    for null_mod, n in ((3, 48), (2, 10)):
+        # value NULL unless id % null_mod == 0, and the sort order puts
+        # big ids first, so the global prefix starts with a NULL-only
+        # run (n-1, n-2, … down to the first multiple of null_mod)
+        df = spark.range(n).select(
+            F.col("id"),
+            F.when(
+                F.col("id") % null_mod == 0,
+                F.col("id") * 13 % 101,
+            ).alias("amt"),
+        )
+        order = [F.col("id").desc()]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        expected = {
+            (r["id"], r["c"])
+            for r in df.select(
+                "id", F.sum("amt").over(w).alias("c")
+            ).collect()
+        }
+        got = {
+            (r["id"], r["cum"])
+            for r in global_rank_cumsum(df, order, "amt")
+            .select("id", "cum")
+            .collect()
+        }
+        assert got == expected, (null_mod, n)
+        assert any(c is None for _, c in got)  # the NULL head exists
+
+
 def test_global_rank_cumsum_no_unpartitioned_window(spark):
     """The distributed form must not contain a single-partition
     window: every windowspec partitions by the pid column."""
