@@ -48,9 +48,12 @@ __all__ = [
     "minhash_dedup_pairs",
     "melt_band_keys",
     "incremental_dedup_status",
+    "incremental_dedup_status_indexed",
+    "corpus_dedup_indexes",
     "duplicate_components",
     "near_dup_components",
     "kcore_peel",
+    "min_label_propagation",
     "embedding_cosine_pairs",
     "hyperplane_signatures",
     "embedding_near_dup_pairs",
@@ -137,6 +140,34 @@ def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int
         (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
         for _ in range(num_hashes)
     ]
+
+
+def hash_family_digest() -> str:
+    """Short digest of the CODE-LEVEL hash-family constants that a
+    persisted pair-graph artifact depends on but whose values never
+    appear in the chain-geometry parameters: the MinHash modulus and
+    seed-42 coefficient stream, the SRP hyperplane seed-42 Gaussian
+    stream, and the SRP auto-band target load (which fixes the ladder's
+    switch points). Folded into the artifact cache key
+    (``minhash_pair_graph`` / ``srp_pair_graph``) so that editing any of
+    these constants REBUILDS the artifact instead of serving stale
+    pairs generated by the old family — a source fingerprint plus
+    geometry params alone cannot detect a code change (ADVICE r3)."""
+    import hashlib
+
+    payload = "|".join(
+        [
+            str(MINHASH_P),
+            ",".join(f"{a}:{b}" for a, b in minhash_coefficients(32)),
+            ",".join(
+                f"{x:.17g}"
+                for plane in hyperplane_coefficients(4, 8)
+                for x in plane
+            ),
+            str(SRP_AUTO_TARGET_BUCKET_ROWS),
+        ]
+    )
+    return hashlib.md5(payload.encode()).hexdigest()[:8]
 
 
 def shingle_base_hash(shingle: Column) -> Column:
@@ -1239,3 +1270,193 @@ def kcore_peel(
             break
         n_edges = n_now
     return e
+
+
+def min_label_propagation(
+    labels: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 12,
+) -> tuple[DataFrame, int]:
+    """Frontier-style min-label propagation to FIXPOINT — the plain
+    Pregel superstep loop (vs :func:`duplicate_components`'s
+    large-star/small-star, which converges in log rounds but only
+    computes min-id components; propagation carries an ARBITRARY
+    order-embeddable label, e.g. a quality-priority rank).
+
+    ``labels`` is (node, lbl: bigint); ``edges`` is directed (src, dst),
+    ideally already hash-partitioned by dst and checkpointed (the Pregel
+    layout: every superstep's dst-keyed aggregation is then
+    exchange-free). Each superstep broadcasts only the FRONTIER — labels
+    that improved last round; min-propagation is monotone, so an
+    unchanged neighborhood cannot yield a new improvement — joins it
+    against the partition-local edges, takes per-dst min candidates,
+    and lowers labels where the candidate wins. Terminates when a
+    superstep changes nothing; raises after ``max_rounds`` (a graph
+    needing more has high-diameter chains — run the log-rounds
+    components operator and label per component instead).
+
+    Returns ``(labels, rounds)`` where ``rounds`` counts the supersteps
+    executed INCLUDING the final no-change one that proves fixpoint.
+    """
+    frontier = labels  # round 1 considers every label "new"
+    for rounds in range(1, max_rounds + 1):
+        cand = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("cand"))
+        )
+        updated = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("cand", "lbl")).alias(
+                    "lbl"
+                ),
+                (F.col("cand") < F.col("lbl")).alias("__improved"),
+            )
+            .localCheckpoint(eager=True)  # flat lineage per superstep
+        )
+        frontier = updated.filter("__improved").select("node", "lbl")
+        labels = updated.select("node", "lbl")
+        if frontier.isEmpty():  # fixpoint: the superstep changed nothing
+            return labels, rounds
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} "
+        "supersteps — this graph has high-diameter chains; use "
+        "duplicate_components (large-star/small-star, log rounds) "
+        "to build components instead of plain propagation."
+    )
+
+
+def corpus_dedup_indexes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The two probe tables incremental dedup maintains as PERSISTED
+    state instead of recomputing per batch: the exact-gate fingerprint
+    index ``(fp, id)`` and the LSH band index ``(id, band_idx,
+    band_key)``. Computed once per corpus slice (seed, then each
+    batch's survivors) and appended — the corpus itself is never
+    re-fingerprinted or re-signed after ingest."""
+    rows = num_hashes // bands
+    fp = df.select(
+        fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+    )
+    band = melt_band_keys(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        bands,
+        rows,
+    )
+    return fp, band
+
+
+def incremental_dedup_status_indexed(
+    corpus: DataFrame,
+    fp_index: DataFrame,
+    band_index: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`incremental_dedup_status` probing PERSISTED indexes —
+    identical output (same gates, same tie-breaks, same cap semantics),
+    but the per-batch cost no longer contains the corpus-side
+    fingerprint + signature recomputation: the exact gate joins the
+    maintained ``fp_index``, the near probe joins the maintained
+    ``band_index`` restricted to the increment's OWN band keys (an
+    equi-join on the index's key — at 100 TB, a partition-pruned read
+    of the key-partitioned index table), and Jaccard verification
+    shingles only the texts candidates actually touch, fetched from
+    the corpus by id. The corpus is read only for that candidate
+    sliver.
+
+    Cap equivalence: ``max_bucket_size`` drops buckets by their TOTAL
+    corpus load. Restricting the index to probed keys first does not
+    change any probed bucket's count (restriction is by the bucket key
+    itself), so capping after restriction is exactly the batch
+    operator's behavior at a fraction of the cost.
+    """
+    rows = num_hashes // bands
+    exact = (
+        increment.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .join(fp_index.withColumnRenamed(id_col, "__cid"), "fp")
+        .groupBy(id_col)
+        .agg(F.min("__cid").alias("__ex"))
+        .localCheckpoint(eager=True)
+    )
+    surv = increment.join(exact.select(id_col), id_col, "left_anti")
+    sig_i = minhash_signatures(
+        surv, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    melt_i = melt_band_keys(sig_i, id_col, bands, rows)
+    probe_keys = melt_i.select("band_idx", "band_key").distinct()
+    melt_c = band_index.join(probe_keys, ["band_idx", "band_key"])
+    if max_bucket_size is not None:
+        melt_c = cap_bucket_size(melt_c, max_bucket_size)
+    cands = (
+        melt_i.alias("i")
+        .join(
+            melt_c.alias("c"),
+            (F.col("i.band_idx") == F.col("c.band_idx"))
+            & (F.col("i.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"i.{id_col}").alias("inc_id"),
+            F.col(f"c.{id_col}").alias("corp_id"),
+        )
+        .distinct()
+        .withColumn("id_a", F.least("inc_id", "corp_id"))
+        .withColumn("id_b", F.greatest("inc_id", "corp_id"))
+        .localCheckpoint(eager=True)
+    )
+    touched_c = cands.select(
+        F.col("corp_id").alias(id_col)
+    ).distinct()
+    touched_i = cands.select(F.col("inc_id").alias(id_col)).distinct()
+    pairs = jaccard_pairs(
+        corpus.join(touched_c, id_col)
+        .select(F.col(id_col), F.col(text_col))
+        .unionByName(
+            surv.join(touched_i, id_col).select(
+                F.col(id_col), F.col(text_col)
+            )
+        ),
+        id_col,
+        text_col,
+        shingle_n,
+        threshold,
+        candidates=cands.select("id_a", "id_b"),
+    )
+    near = (
+        pairs.join(cands, ["id_a", "id_b"])
+        .groupBy("inc_id")
+        .agg(F.min("corp_id").alias("__nr"))
+    )
+    return (
+        increment.select(F.col(id_col))
+        .join(exact, id_col, "left")
+        .join(
+            near.withColumnRenamed("inc_id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ex").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__nr").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("__ex", "__nr").alias("dup_of"),
+        )
+        .orderBy(id_col)
+    )

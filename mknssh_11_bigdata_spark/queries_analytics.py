@@ -2681,3 +2681,150 @@ def dedup_survivor_quality_delta(
         )
         .orderBy("role")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document election by label propagation to FIXPOINT on the
+# Pregel layout (the second iterative consumer of the dst-partitioned
+# edge table supply_chain_pagerank built)
+# ---------------------------------------------------------------------------
+
+#: Supersteps after which an unconverged propagation ABORTS loudly
+#: instead of returning a partial labeling. Near-dup components are
+#: near-cliques (diameter ≤ 3 is typical; the organic sf0.01 graph
+#: converges in 2), so 12 is a generous envelope — a graph that
+#: genuinely needs more has high-diameter chains and should run the
+#: log-rounds ``duplicate_components`` machinery instead.
+_LP_MAX_ROUNDS = 12
+
+
+def _canonical_lp_oracle() -> str:
+    from .queries_llm import _doc_quality_sql, _minhash_oracle
+
+    parts = [
+        f"pairs AS MATERIALIZED ({_minhash_oracle()})",
+        "nodes AS (SELECT DISTINCT id FROM ("
+        "SELECT id_a AS id FROM pairs "
+        "UNION ALL SELECT id_b FROM pairs))",
+        f"q AS ({_doc_quality_sql()})",
+        # quality-priority label: ROW_NUMBER over the TOTAL order
+        # (q desc, n_chars desc, doc_id) — rank 1 is the best doc, so
+        # min-label propagation elects the best-quality member
+        "rk AS MATERIALIZED (SELECT n.id AS node, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY q.q DESC, d.n_chars DESC, "
+        "n.id ASC) AS BIGINT) AS lbl "
+        "FROM nodes n JOIN q ON q.doc_id = n.id "
+        "JOIN documents d ON d.doc_id = n.id)",
+        "edges AS MATERIALIZED ("
+        "SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)",
+        "l0 AS (SELECT node, lbl FROM rk)",
+    ]
+    for i in range(1, _LP_MAX_ROUNDS + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.node, "
+            f"LEAST(l.lbl, COALESCE(MIN(s.lbl), l.lbl)) AS lbl "
+            f"FROM l{i-1} l "
+            f"LEFT JOIN edges e ON e.dst = l.node "
+            f"LEFT JOIN l{i-1} s ON s.node = e.src "
+            f"GROUP BY l.node, l.lbl)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT l.node AS doc_id, r.node AS canonical_id,
+           l.node = r.node AS is_canonical
+    FROM l{_LP_MAX_ROUNDS} l JOIN rk r ON r.lbl = l.lbl
+    ORDER BY doc_id
+    """
+    )
+
+
+@register("dedup_canonical_label_propagation", _canonical_lp_oracle())
+def dedup_canonical_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canonical-document election as label propagation run to
+    FIXPOINT: every near-dup node starts labeled with its own
+    quality-priority rank (q desc, n_chars desc, doc_id — the
+    ``dedup_keep_best`` ordering), and each Pregel superstep lowers a
+    node's label to the minimum over itself and its neighbors, until a
+    superstep changes nothing. At fixpoint every component carries the
+    rank of its best-quality member, i.e. the keeper each duplicate
+    should collapse into — the same election ``dedup_keep_best`` makes
+    per-component, certified here through the iterative machinery a
+    graph whose components are NOT precomputed must run.
+
+    Exactness: labels are BIGINT ranks from a TOTAL order (doc_id
+    tiebreaker), propagation is pure MIN — no floats anywhere, so the
+    unrolled :data:`_LP_MAX_ROUNDS`-superstep SQL oracle (min-LP is
+    idempotent at fixpoint, so extra unrolled rounds are harmless)
+    reproduces the labeling bit-for-bit.
+
+    Scale (the Pregel layout, second consumer after
+    ``supply_chain_pagerank``): the pair graph's directed edge table is
+    hash-partitioned by dst ONCE and checkpointed; each superstep joins
+    a BROADCAST frontier sliver (only labels that CHANGED last round —
+    min-propagation is monotone, so an unchanged neighborhood cannot
+    produce a new improvement) against the partition-local edge table,
+    aggregates min-candidates dst-local with NO exchange, and updates
+    the label table. The frontier shrinks every round; the per-round
+    driver cost is one bounded count. Ranks come from
+    :func:`operators.relational.global_rank_cumsum` (distributed
+    two-phase row_number — no single-partition window), and the whole
+    propagation runs on the near-dup sliver (nodes with ≥ 1 edge), not
+    the corpus. Unconverged graphs abort at :data:`_LP_MAX_ROUNDS`
+    with instructions to use the log-rounds components operator."""
+    from .queries_llm import minhash_pair_graph
+
+    pairs = minhash_pair_graph(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    scored = nodes.join(
+        d.select(
+            "doc_id", "n_chars", TX.quality_score(F.col("text")).alias("q")
+        ),
+        "doc_id",
+    )
+    rk = (
+        global_rank_cumsum(
+            scored,
+            order_by=[
+                F.col("q").desc(),
+                F.col("n_chars").desc(),
+                F.col("doc_id").asc(),
+            ],
+            value_col="n_chars",  # rank only; the prefix sum is unused
+            rank_out="lbl",
+        )
+        .select(F.col("doc_id").alias("node"), F.col("lbl"))
+        .localCheckpoint(eager=True)  # feeds the loop AND the final join
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .repartition(parallelism, "dst")  # one shuffle, reused every round
+        .localCheckpoint(eager=True)
+    )
+    from .operators.dedup import min_label_propagation
+
+    labels, _rounds = min_label_propagation(
+        rk, edges, max_rounds=_LP_MAX_ROUNDS
+    )
+    return (
+        labels.join(rk.select(F.col("node").alias("canonical_id"), "lbl"), "lbl")
+        .select(
+            F.col("node").alias("doc_id"),
+            "canonical_id",
+            (F.col("node") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

@@ -191,12 +191,17 @@ def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.readers import source_fingerprint
 
+    from .operators.dedup import hash_family_digest
+
     tag = source_fingerprint(sf_dir, "documents")
-    # chain geometry folded into the key: a parameter change must
-    # rebuild, not silently serve pairs from the old geometry
+    # chain geometry AND the code-level hash-family constants folded
+    # into the key: a parameter change OR an edit to the hash family
+    # (seed, modulus, coefficient stream) must rebuild, not silently
+    # serve pairs from the old geometry/family (ADVICE r3)
     params = (
         f"k{NUM_HASHES}b{BANDS}s3"
         f"t{str(JACCARD_THRESHOLD).replace('.', 'p')}c{LSH_MAX_BUCKET}"
+        f"h{hash_family_digest()}"
     )
     warehouse = pathlib.Path(__file__).resolve().parent.parent / (
         "spark-warehouse"
@@ -823,13 +828,14 @@ def srp_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaffected."""
     import pathlib
 
-    from .operators.dedup import embedding_near_dup_pairs
+    from .operators.dedup import embedding_near_dup_pairs, hash_family_digest
     from .sources.readers import source_fingerprint
 
     tag = source_fingerprint(sf_dir, "embeddings")
     params = (
         f"b{SRP_BITS}auto"
         f"t{str(COSINE_DUP_THRESHOLD).replace('.', 'p')}c{LSH_MAX_BUCKET}"
+        f"h{hash_family_digest()}"
     )
     warehouse = pathlib.Path(__file__).resolve().parent.parent / (
         "spark-warehouse"

@@ -19,11 +19,13 @@ semantics — the increment probes the corpus, it does not self-join);
 run the batch MinHash chain over an increment first if crawl batches
 self-duplicate.
 
-At 100 TB the corpus-side fingerprint and band indexes would be
-persisted tables maintained alongside the corpus (the operator
-recomputes them per batch here, which is correct but re-reads the
-corpus — the artifact-maintenance step is sketched in the docstring of
-``incremental_dedup_status``)."""
+Two sinks, one contract: :class:`IncrementalDedupCorpusSink`
+recomputes the corpus-side fingerprint and band indexes per batch
+(simple, correct, re-reads the corpus);
+:class:`IndexedIncrementalDedupCorpusSink` MAINTAINS them as persisted
+tables appended per batch — the 100 TB shape, where the per-day cost
+is the increment plus index probes, never a corpus pass. Both route
+every document identically (e2e batch-equivalence tested)."""
 
 from __future__ import annotations
 
@@ -70,6 +72,13 @@ class IncrementalDedupCorpusSink(_CommitMarkerLedger):
             f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
         ]
         present = [p for p in slices if pathlib.Path(p).exists()]
+        if not present:
+            raise RuntimeError(
+                "IncrementalDedupCorpusSink has no corpus slices under "
+                f"{base}: call seed() with the pre-existing corpus "
+                "before starting the stream (Spark's empty-path error "
+                "inside foreachBatch is opaque otherwise)."
+            )
         return (
             spark.read.option("basePath", base).parquet(*present)
         ).drop("batch_id")
@@ -80,6 +89,12 @@ class IncrementalDedupCorpusSink(_CommitMarkerLedger):
         paths = [
             f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
         ]
+        if not paths:
+            raise RuntimeError(
+                "IncrementalDedupCorpusSink has no committed batches "
+                f"under {base} yet — statuses() is only meaningful "
+                "after at least one micro-batch commits."
+            )
         return spark.read.option("basePath", base).parquet(*paths)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -111,4 +126,104 @@ class IncrementalDedupCorpusSink(_CommitMarkerLedger):
         survivors.write.mode("overwrite").parquet(
             f"{self.root}/corpus/batch_id={batch_id}"
         )
+        self._mark_committed(batch_id)
+
+
+class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
+    """The sink above with PERSISTED probe-index maintenance — the
+    100 TB shape the base class's module docstring sketches: instead of
+    re-fingerprinting and re-signing the ACCUMULATED corpus on every
+    micro-batch (a per-day full-corpus pass), the corpus-side exact
+    fingerprint index and LSH band index are materialized once per
+    slice (seed, then each batch's survivors) and appended alongside
+    the corpus, versioned by the same ``batch_id=`` layout and gated by
+    the same commit markers — a half-written index slice from a crashed
+    batch is invisible until its marker lands, and a replayed batch
+    overwrites its own slices before re-marking.
+
+    Per batch the dedup probe becomes
+    :func:`operators.dedup.incremental_dedup_status_indexed`: exact
+    gate joins the fp index, near probe equi-joins the band index on
+    the increment's own band keys (at scale: a partition-pruned read
+    of the key-partitioned index table), and verification shingles
+    only candidate-touched texts. Routing decisions are IDENTICAL to
+    the recomputing base class (e2e-asserted in the tests), so the
+    certified ``dedup_incremental`` oracle covers this path's
+    semantics too.
+
+    Layout adds, under ``root``::
+
+        fp_index/batch_id=<n>     (fp, doc_id) of slice n
+        band_index/batch_id=<n>   (doc_id, band_idx, band_key) of slice n
+    """
+
+    def seed(self, corpus: DataFrame) -> None:
+        super().seed(corpus)
+        self._write_index_slices(corpus, -1)
+
+    def _write_index_slices(self, docs: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import corpus_dedup_indexes
+
+        fp, band = corpus_dedup_indexes(
+            docs.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            **{
+                k: v
+                for k, v in self.dedup_kwargs.items()
+                if k in ("num_hashes", "bands", "shingle_n")
+            },
+        )
+        fp.write.mode("overwrite").parquet(
+            f"{self.root}/fp_index/batch_id={batch_id}"
+        )
+        band.write.mode("overwrite").parquet(
+            f"{self.root}/band_index/batch_id={batch_id}"
+        )
+
+    def _index(self, spark: SparkSession, name: str) -> DataFrame:
+        base = f"{self.root}/{name}"
+        slices = [f"{base}/batch_id=-1"] + [
+            f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
+        ]
+        present = [p for p in slices if pathlib.Path(p).exists()]
+        if not present:
+            raise RuntimeError(
+                f"IndexedIncrementalDedupCorpusSink has no {name} slices "
+                f"under {base}: call seed() with the pre-existing corpus "
+                "before starting the stream."
+            )
+        return spark.read.option("basePath", base).parquet(*present).drop(
+            "batch_id"
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import incremental_dedup_status_indexed
+
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        inc = batch_df.select(self.id_col, self.text_col).localCheckpoint(
+            eager=True
+        )
+        status = incremental_dedup_status_indexed(
+            self.corpus(spark).select(self.id_col, self.text_col),
+            self._index(spark, "fp_index"),
+            self._index(spark, "band_index"),
+            inc,
+            self.id_col,
+            self.text_col,
+            **self.dedup_kwargs,
+        ).localCheckpoint(eager=True)
+        status.write.mode("overwrite").parquet(
+            f"{self.root}/status/batch_id={batch_id}"
+        )
+        survivors = inc.join(
+            status.filter("status = 'new'").select(self.id_col),
+            self.id_col,
+        ).localCheckpoint(eager=True)  # feeds corpus AND index writes
+        survivors.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/batch_id={batch_id}"
+        )
+        self._write_index_slices(survivors, batch_id)
         self._mark_committed(batch_id)

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class _CommitMarkerLedger:
@@ -183,4 +184,103 @@ class LatestSnapshotSink(_CommitMarkerLedger):
             shutil.rmtree(
                 f"{self.root}/v={old}", ignore_errors=True
             )
+            self._unmark(old)
+
+
+class SeasonalBaselineSink(_CommitMarkerLedger):
+    """Streaming twin of the batch ``events_seasonal_baseline`` query
+    (the last SURVEY round-4 theme): maintains the DAILY EVENT-COUNT
+    SPINE from an update-mode watermarked tumbling-day aggregation, and
+    derives the day-of-week baseline + residual view from the spine at
+    read time.
+
+    Division of labor mirrors the batch query's cost analysis: the only
+    corpus-sized work is the daily rollup, which streaming absorbs
+    incrementally (watermarked window state, update-mode emissions);
+    the seasonal layer — weekday key, 7-row mean, residual — is
+    sliver-sized (one row per day) and recomputed per read with the
+    SAME integer weekday key and rounding as the certified batch
+    oracle, so the streamed view converges to the batch answer exactly
+    once every event is absorbed (equivalence e2e-tested).
+
+    Each micro-batch of updated ``(d, n_events)`` rows REPLACES its
+    days in a new versioned snapshot ``v=<batchId>`` (update-mode
+    deltas carry the full recomputed aggregate per changed window, so
+    replace-by-key is the correct upsert), marker-gated with the
+    module's exactly-once contract, old versions pruned after commit.
+
+    Watermark honesty: the upstream watermark bounds window state at
+    the cost of DROPPING events later than the delay — the streamed
+    spine then undercounts those days vs batch (the certified
+    ``watermark_drop_audit`` query measures exactly this trade). Pick
+    the delay from the source's disorder bound; the equivalence test
+    uses one generous enough that nothing drops.
+    """
+
+    def __init__(self, root: str, keep_versions: int = 2):
+        super().__init__(root)
+        self.keep_versions = keep_versions
+
+    def spine(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED (d, n_events) spine (None pre-commit)."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def baseline(self, spark: SparkSession) -> DataFrame | None:
+        """The seasonal-baseline view over the maintained spine —
+        column-identical to ``events_seasonal_baseline`` (d, dow_idx,
+        n_events, baseline, residual)."""
+        spine = self.spine(spark)
+        if spine is None:
+            return None
+        keyed = spine.withColumn(
+            "dow_idx",
+            (
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+                % 7
+            ).cast("int"),
+        )
+        base = keyed.groupBy("dow_idx").agg(
+            F.round(F.avg("n_events"), 4).alias("baseline")
+        )
+        return (
+            keyed.join(F.broadcast(base), "dow_idx")
+            .select(
+                "d",
+                "dow_idx",
+                "n_events",
+                "baseline",
+                F.round(
+                    F.col("n_events") - F.col("baseline"), 4
+                ).alias("residual"),
+            )
+            .orderBy("d")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        updates = batch_df.select("d", "n_events")
+        prev = self.spine(batch_df.sparkSession)
+        merged = (
+            prev.join(updates.select("d"), "d", "left_anti").unionByName(
+                updates
+            )
+            if prev is not None
+            else updates
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{self.root}/v={batch_id}"
+        )
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
             self._unmark(old)

@@ -650,3 +650,75 @@ def test_minhash_pair_graph_artifact_semantics(spark, tmp_path):
     # tidy: drop the artifacts this test's throwaway corpora created
     for p in set(warehouse_dir.glob("minhash_pairs_*")) - pre_existing:
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_hash_family_digest_keys_the_artifact(monkeypatch):
+    """ADVICE r3: the pair-graph cache key must change when the
+    code-level hash-family constants change (seed stream, modulus,
+    SRP target load) — not just when the geometry params or the source
+    fingerprint do. The digest is the key's hash-family segment."""
+    from mknssh_11_bigdata_spark.operators import dedup as D
+
+    base = D.hash_family_digest()
+    assert len(base) == 8 and base == D.hash_family_digest()  # stable
+
+    # a modulus edit is the canonical "silent stale graph" hazard
+    monkeypatch.setattr(D, "MINHASH_P", D.MINHASH_P - 4)
+    assert D.hash_family_digest() != base
+    monkeypatch.undo()
+
+    # the SRP band-ladder target load is also family-defining
+    monkeypatch.setattr(
+        D, "SRP_AUTO_TARGET_BUCKET_ROWS", D.SRP_AUTO_TARGET_BUCKET_ROWS * 2
+    )
+    assert D.hash_family_digest() != base
+    monkeypatch.undo()
+    assert D.hash_family_digest() == base
+
+
+def test_min_label_propagation_fixpoint_and_rounds(spark):
+    """The Pregel superstep loop must (a) elect each component's
+    minimum label at fixpoint, (b) prove fixpoint within a round count
+    bounded by the component eccentricity + 1 (the no-change round),
+    and (c) abort loudly past max_rounds on a high-diameter chain
+    instead of returning a partial labeling."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    # two components: a triangle {1,2,3} and an edge {10,11}; labels
+    # encode priority (lower = better) — 3 is the triangle's best
+    edges_ud = [(1, 2), (2, 3), (1, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        edges_ud + [(b, a) for a, b in edges_ud], ["src", "dst"]
+    )
+    labels = spark.createDataFrame(
+        [(1, 30), (2, 20), (3, 10), (10, 50), (11, 40)],
+        ["node", "lbl"],
+    ).withColumn("lbl", F.col("lbl").cast("long"))
+    out, rounds = min_label_propagation(labels, edges, max_rounds=12)
+    got = {r["node"]: r["lbl"] for r in out.collect()}
+    assert got == {1: 10, 2: 10, 3: 10, 10: 40, 11: 40}
+    # triangle eccentricity from node 3 is 1, edge's is 1 → one
+    # improving round + the proving round
+    assert rounds == 2
+
+    # a 20-node path whose best label sits at one end needs 19
+    # improving rounds — must abort at max_rounds=12, loudly
+    path = [(i, i + 1) for i in range(100, 119)]
+    pedges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], ["src", "dst"]
+    )
+    plabels = spark.createDataFrame(
+        [(n, n) for n in range(100, 120)], ["node", "lbl"]
+    ).withColumn("lbl", F.col("lbl").cast("long"))
+    with pytest.raises(RuntimeError, match="duplicate_components"):
+        min_label_propagation(plabels, pedges, max_rounds=12)
+
+    # ...and converge (in exactly diameter+1 rounds) when allowed to
+    out2, rounds2 = min_label_propagation(plabels, pedges, max_rounds=25)
+    assert {r["lbl"] for r in out2.collect()} == {100}
+    assert rounds2 == 20

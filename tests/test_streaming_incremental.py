@@ -123,3 +123,103 @@ def test_streaming_incremental_dedup_matches_batch_replay(
     assert {
         r["doc_id"] for r in sink.corpus(spark).collect()
     } == before
+
+
+def test_unseeded_sink_raises_clear_error(spark, tmp_path):
+    """ADVICE r3: corpus()/statuses() before seed()/any commit used to
+    hand Spark an empty path list — an opaque internal error raised from
+    inside foreachBatch. Both must fail with a message that names the
+    fix (call seed() first / wait for a commit)."""
+    import pytest
+
+    sink = IncrementalDedupCorpusSink(str(tmp_path / "unseeded"))
+    with pytest.raises(RuntimeError, match="seed\\(\\)"):
+        sink.corpus(spark)
+    with pytest.raises(RuntimeError, match="no committed batches"):
+        sink.statuses(spark)
+
+
+def test_indexed_sink_matches_recomputing_sink(spark, tmp_path):
+    """VERDICT r3 #7: the persisted-index sink must route every
+    streamed document EXACTLY as the recomputing sink does (statuses
+    and final corpus identical), while maintaining fp/band index
+    slices per committed batch — and the maintained index must equal
+    what recomputing over the accumulated corpus would build."""
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        corpus_dedup_indexes,
+    )
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    seed, incs = _slices(spark)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    for i, inc in enumerate(incs):
+        inc.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+        schema = inc.schema
+
+    sink = IndexedIncrementalDedupCorpusSink(str(tmp_path / "out"))
+    sink.seed(seed)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    # --- equivalence vs the recomputing operator replayed in batch ---
+    corpus = seed
+    expected = {}
+    for inc in incs:
+        st = incremental_dedup_status(corpus, inc, "doc_id", "text")
+        for r in st.collect():
+            expected[r["doc_id"]] = (r["status"], r["dup_of"])
+        corpus = corpus.unionByName(
+            inc.join(
+                st.filter("status = 'new'").select("doc_id"), "doc_id"
+            )
+        )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert got == expected
+    assert {s for s, _ in got.values()} == {"exact_dup", "near_dup", "new"}
+    got_ids = {r["doc_id"] for r in sink.corpus(spark).collect()}
+    assert got_ids == {r["doc_id"] for r in corpus.collect()}
+
+    # --- the maintained index equals a from-scratch rebuild over the
+    # accumulated corpus (slice-append introduces no drift) ---
+    fp_want, band_want = corpus_dedup_indexes(
+        sink.corpus(spark), "doc_id", "text"
+    )
+    assert {tuple(r) for r in sink._index(spark, "fp_index").collect()} == {
+        tuple(r) for r in fp_want.collect()
+    }
+    assert {
+        tuple(r) for r in sink._index(spark, "band_index").collect()
+    } == {tuple(r) for r in band_want.collect()}
+
+    # index slices are versioned per commit, marker-gated
+    for b in (-1, 0, 1, 2):
+        assert pathlib.Path(
+            f"{sink.root}/fp_index/batch_id={b}"
+        ).exists()
+        assert pathlib.Path(
+            f"{sink.root}/band_index/batch_id={b}"
+        ).exists()

@@ -121,3 +121,57 @@ def test_latest_snapshot_sink_replay_and_versioning(spark, tmp_path):
     assert snap == {(1, 20, "c"), (2, 30, "e"), (3, 12, "d")}
     # old versions pruned beyond keep_versions=2
     assert sink.committed_batches() == {1, 2}
+
+
+def test_seasonal_baseline_sink_matches_batch_query(spark, tmp_path):
+    """VERDICT r3 #8: the streamed daily-spine rollup (watermarked
+    tumbling-day agg, update mode) must converge to the batch
+    ``events_seasonal_baseline`` answer exactly — same columns, same
+    weekday key, same rounding — once every event is absorbed. The
+    watermark here is generous enough that nothing drops; the
+    completeness trade of a tight delay is ``watermark_drop_audit``'s
+    subject, not this test's."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        SeasonalBaselineSink,
+    )
+    from mknssh_11_bigdata_spark.streaming.windows import tumbling_agg
+
+    sink = SeasonalBaselineSink(str(tmp_path / "spine"))
+    assert sink.baseline(spark) is None  # pre-commit: explicit None
+    stream = stream_from_parquet_events(spark, SF_SMOKE)
+    daily = tumbling_agg(
+        stream,
+        "ts",
+        "1 day",
+        keys=[],
+        aggs=[F.count(F.lit(1)).cast("long").alias("n_events")],
+        watermark="3650 days",
+    ).select(F.to_date("window_start").alias("d"), "n_events")
+    q = (
+        daily.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sink.baseline(spark)
+    want = QUERIES["events_seasonal_baseline"].spark(spark, SF_SMOKE)
+    assert got.columns == want.columns
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    # replaying a committed batch id must not change the spine
+    before = {tuple(r) for r in sink.spine(spark).collect()}
+    import pyspark.sql.functions as SF
+
+    fake = spark.createDataFrame(
+        [("1990-01-01", 999)], ["d", "n_events"]
+    ).select(SF.to_date("d").alias("d"), SF.col("n_events").cast("long"))
+    sink(fake, max(sink.committed_batches()))
+    assert {tuple(r) for r in sink.spine(spark).collect()} == before
