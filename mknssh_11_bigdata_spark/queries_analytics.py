@@ -2828,3 +2828,183 @@ def dedup_canonical_label_propagation(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source Zipf drift: the corpus_zipf_fit health check, per crawl
+# source, with drift against the corpus-wide fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_zipf_source_drift",
+    f"""
+    WITH ex AS (
+        SELECT source, unnest({_SQL_TOKS.format(col='text')}) AS token
+        FROM documents
+    ),
+    freq AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+             FROM ex GROUP BY source, token),
+    ranked AS (
+        SELECT source, f,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY f DESC, token ASC)
+                    AS BIGINT) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT source,
+               CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS x,
+               CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    ),
+    fits AS (
+        SELECT source, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        FROM sums
+    ),
+    -- corpus-wide fit: the SAME ledger over source-blind frequencies
+    gfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+              FROM ex GROUP BY token),
+    granked AS (
+        SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token ASC)
+                       AS BIGINT) AS r
+        FROM gfreq
+    ),
+    gpts AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS x,
+               CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS y
+        FROM granked
+    ),
+    gsums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM gpts
+    ),
+    gfit AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS gslope
+        FROM gsums
+    )
+    SELECT f.source, f.n AS n_terms,
+           ROUND(f.slope, 6) AS zipf_slope,
+           ROUND(f.slope - g.gslope, 6) AS slope_drift
+    FROM fits f CROSS JOIN gfit g
+    ORDER BY f.source
+    """,
+)
+def corpus_zipf_source_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source Zipf drift — ``corpus_zipf_fit``'s one-number
+    language-health check computed PER CRAWL SOURCE, each source's
+    slope reported against the corpus-wide fit. This is the monitor
+    that catches a source whose token distribution degenerates between
+    crawls (boilerplate floods flatten the slope; spam n-gram mills
+    steepen it) while the corpus aggregate still looks healthy —
+    ``doc_source_quality_drift``'s distributional sibling.
+
+    Parity: the exact integer OLS ledger of ``corpus_zipf_fit`` (one
+    ln per point rounded to BIGINT micro-units, exact integer sums,
+    one double division), applied per source and once corpus-wide;
+    ``slope_drift`` subtracts the two RAW slope doubles before the
+    single final rounding, mirrored expression-for-expression in the
+    oracle.
+
+    Scale: token frequencies aggregate once per (source, token) — the
+    corpus-wide frequencies REUSE that sliver (second-stage rollup of
+    the per-source counts, not a second corpus pass). Per-source
+    ranking is a window partitioned by source (vocabulary-sized
+    partitions, ~10⁷ rows at web scale — bounded, unlike a global
+    unpartitioned window); the corpus-wide rank runs the distributed
+    ``global_rank_cumsum``. Everything after the first explode is
+    vocabulary-sized."""
+    from .operators.relational import global_rank_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    sfreq = (
+        d.select(
+            "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .localCheckpoint(eager=True)  # feeds per-source AND corpus fits
+    )
+
+    def _pts(ranked_df):
+        return ranked_df.select(
+            "*",
+            F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("f").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("y"),
+        )
+
+    _sums = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ]
+
+    def _slope():
+        return (
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).cast("double") / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast(
+            "double"
+        )
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("f").desc(), F.col("token").asc()
+    )
+    fits = (
+        _pts(sfreq.withColumn("r", F.row_number().over(w).cast("long")))
+        .groupBy("source")
+        .agg(*_sums)
+        .select("source", "n", _slope().alias("slope"))
+    )
+    gfreq = sfreq.groupBy("token").agg(F.sum("f").cast("long").alias("f"))
+    granked = global_rank_cumsum(
+        gfreq,
+        [F.col("f").desc(), F.col("token").asc()],
+        "f",
+        rank_out="r",
+        cum_out="__cum",
+    )
+    gfit = (
+        _pts(granked).agg(*_sums).select(_slope().alias("gslope"))
+    )
+    return (
+        fits.crossJoin(F.broadcast(gfit))
+        .select(
+            "source",
+            F.col("n").alias("n_terms"),
+            F.round(F.col("slope"), 6).alias("zipf_slope"),
+            F.round(F.col("slope") - F.col("gslope"), 6).alias(
+                "slope_drift"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -363,6 +363,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_incremental_indexed", _incremental_oracle())
+def dedup_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_incremental`` routed through the PERSISTED-INDEX probe
+    path (:func:`operators.dedup.incremental_dedup_status_indexed`,
+    the per-batch shape :class:`streaming.incremental.
+    IndexedIncrementalDedupCorpusSink` maintains): the corpus-side
+    fingerprint and LSH band indexes are built once and PROBED, the
+    corpus is read only for candidate-touched texts, and the hot-bucket
+    cap applies to the index restricted to the increment's own band
+    keys (count-identical per bucket — see the operator's cap-
+    equivalence note). Shares ``dedup_incremental``'s oracle verbatim:
+    the routing semantics are identical by construction, so one SQL
+    twin certifies both arms and any drift between them is a red hash
+    row on exactly one of the two."""
+    from .operators.dedup import (
+        corpus_dedup_indexes,
+        incremental_dedup_status_indexed,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    inc = d.filter(F.col("doc_id") % 4 == 0).unionByName(
+        d.filter(F.col("doc_id") % 8 == 1).select(
+            (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    fp_index, band_index = corpus_dedup_indexes(
+        corpus, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS,
+        shingle_n=3,
+    )
+    return incremental_dedup_status_indexed(
+        corpus,
+        fp_index,
+        band_index,
+        inc,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+
+
 #: Planted-excerpt id offset (above RECRAWL_OFFSET's range too).
 EXCERPT_OFFSET = 2_000_000_000_000
 EXCERPT_TOKENS = 10
