@@ -30,6 +30,7 @@ from ..plans.layout import spread
 __all__ = [
     "brute_force_topk",
     "ivf_topk",
+    "ivf_topk_arrow",
     "kmeans_centroids",
     "quantized_topk",
     "ivf_int8_topk",
@@ -528,3 +529,143 @@ def kmeans_fit_numpy(ids, vecs, n_centroids: int, iters: int):
             if len(members):
                 cents[i] = round_half_away(members.mean(axis=0), 9)
     return cents
+
+
+def ivf_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """:func:`ivf_topk`, the Arrow/numpy production arm — IDENTICAL
+    stage semantics (min-id centroid model, rounded-6 cosine argmax
+    assignment with smaller-id ties, n_probe probing with the same
+    ordering, candidate-sliver scoring, per-query ranking) but every
+    dense-vector stage is a batch matmul over Arrow batches instead of
+    Catalyst's interpreted higher-order-function folds — the identical
+    swap :func:`queries_llm.dedup_semdedup_prune_fast` makes for
+    SemDeDup, and the compute lever that complements int8's bandwidth
+    lever: at 16 centroids × 64 dims the HOF assignment costs ~1000
+    interpreted closure calls per ROW, the matmul ~1 BLAS call per
+    ARROW BATCH.
+
+    Float contract (the SemDeDup-arm acceptance class): cosines are
+    rounded half-away to 6 digits (:func:`round_half_away`) before
+    every compare/rank; BLAS vs left-to-right summation differs below
+    the rounding scale. Zero-norm vectors score -inf everywhere, so
+    assignment falls back to the smallest centroid id (the JVM/oracle
+    NULLS-LAST behavior) and their candidate cosines surface as NULL
+    (never NaN — Spark sorts NaN ABOVE every number, which would rank
+    a zero vector first instead of last).
+
+    Plan shape: two map-only Arrow stages (corpus assignment, query
+    probe) + the centroid-id equi-join + one Arrow scoring stage + the
+    per-query ranking window. The corpus moves through exactly one
+    shuffle (the join), same as the JVM arm.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+    order = np.argsort(cent_ids, kind="stable")
+    cent_ids = cent_ids[order]
+    cmat = np.array(
+        [list(cent_rows[i][vec_col]) for i in order], dtype=np.float64
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((cent_ids, cmat))
+
+    def _sims(v: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        nv = np.linalg.norm(v, axis=1, keepdims=True)
+        nc = np.linalg.norm(c, axis=1, keepdims=True)
+        denom = nv @ nc.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (v @ c.T) / denom, -np.inf)
+        return round_half_away(sims, 6)
+
+    def assign(batches):
+        ids, c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # first max ⇒ smallest position ⇒ smallest centroid id
+            pos = _sims(v, c).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "centroid_id": ids[pos],
+                    "__cv": list(v),
+                }
+            )
+
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, "neighbor_id long, centroid_id long, __cv array<double>"
+    )
+
+    def probe(batches):
+        ids, c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _sims(v, c)
+            # stable argsort of -sims over the id-ASC-sorted matrix =
+            # (sim DESC, centroid_id ASC) — the JVM probe_w ordering;
+            # -inf (zero-norm query) ranks last = NULLS LAST
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            nq = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "centroid_id": ids[top].reshape(nq * n_probe),
+                    "__qv": [
+                        list(row) for row in np.repeat(v, n_probe, axis=0)
+                    ],
+                }
+            )
+
+    probed = queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        probe, "query_id long, centroid_id long, __qv array<double>"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            denom = na * nb
+            dot = np.einsum("ij,ij->i", a, b)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = round_half_away(dot / denom, 6)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+            # zero-norm pair → NULL (the JVM denom guard), NOT NaN:
+            # Spark sorts NaN above every double, which would rank a
+            # zero vector FIRST in the top-k window instead of last
+            out.loc[denom <= 0, "cosine"] = None
+            yield out
+
+    scored = assigned.join(probed, "centroid_id").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ranked(scored, k)

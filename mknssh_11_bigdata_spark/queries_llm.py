@@ -1492,6 +1492,30 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_topk_ivf_fast", _ivf_oracle())
+def embedding_topk_ivf_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_topk_ivf``'s Arrow/numpy production arm
+    (:func:`operators.similarity.ivf_topk_arrow`): identical stage
+    semantics and the SAME oracle, with assignment/probe/score as batch
+    matmuls over Arrow batches instead of interpreted HOF folds — the
+    compute lever beside ``embedding_topk_ivf_int8``'s bandwidth lever,
+    and the SemDeDup-fast pattern applied to ANN. Registering both arms
+    against one oracle means any drift between the JVM and numpy float
+    paths shows up as a red hash row on exactly one of them."""
+    from .operators.similarity import ivf_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_arrow(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOPK,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+    )
+
+
 KM_CENTROIDS = 8
 KM_ITERS = 2
 

@@ -181,21 +181,110 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             f"{self.root}/band_index/batch_id={batch_id}"
         )
 
-    def _index(self, spark: SparkSession, name: str) -> DataFrame:
-        base = f"{self.root}/{name}"
-        slices = [f"{base}/batch_id=-1"] + [
-            f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
+    def _compact_epoch(self) -> int | None:
+        """Highest committed compaction epoch, or None."""
+        d = pathlib.Path(self.root) / "_compacted"
+        if not d.is_dir():
+            return None
+        epochs = [
+            int(p.name)
+            for p in d.iterdir()
+            if p.name.lstrip("-").isdigit()
         ]
-        present = [p for p in slices if pathlib.Path(p).exists()]
+        return max(epochs, default=None)
+
+    def _slice_paths(self, name: str) -> list[str]:
+        """Committed data paths for ``name`` (corpus / fp_index /
+        band_index): the newest compacted consolidation, if any, plus
+        every committed batch slice AFTER its epoch; otherwise the
+        seed slice plus every committed batch slice."""
+        base = f"{self.root}/{name}"
+        epoch = self._compact_epoch()
+        if epoch is None:
+            cands = [f"{base}/batch_id=-1"] + [
+                f"{base}/batch_id={b}"
+                for b in sorted(self.committed_batches())
+            ]
+        else:
+            cands = [f"{base}/compacted_v={epoch}"] + [
+                f"{base}/batch_id={b}"
+                for b in sorted(self.committed_batches())
+                if b > epoch
+            ]
+        return [p for p in cands if pathlib.Path(p).exists()]
+
+    def corpus(self, spark: SparkSession) -> DataFrame:
+        """The accumulated deduped corpus, compaction-aware."""
+        present = self._slice_paths("corpus")
+        if not present:
+            raise RuntimeError(
+                "IndexedIncrementalDedupCorpusSink has no corpus slices "
+                f"under {self.root}/corpus: call seed() with the "
+                "pre-existing corpus before starting the stream."
+            )
+        # leaf dirs read WITHOUT basePath: no partition-column
+        # inference, so batch_id= and compacted_v= dirs mix freely
+        return spark.read.parquet(*present)
+
+    def _index(self, spark: SparkSession, name: str) -> DataFrame:
+        present = self._slice_paths(name)
         if not present:
             raise RuntimeError(
                 f"IndexedIncrementalDedupCorpusSink has no {name} slices "
-                f"under {base}: call seed() with the pre-existing corpus "
-                "before starting the stream."
+                f"under {self.root}/{name}: call seed() with the "
+                "pre-existing corpus before starting the stream."
             )
-        return spark.read.option("basePath", base).parquet(*present).drop(
-            "batch_id"
-        )
+        return spark.read.parquet(*present)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold the seed + every committed slice of the corpus and both
+        probe indexes into ONE consolidated slice per table, then drop
+        the folded slice directories — bounding the per-batch read
+        fan-in. One slice per table lands per crawl day; at 100 TB the
+        probe join's file-listing/footer cost grows with that count,
+        and periodic compaction is how every log-structured store
+        bounds it (the read path is exactly an LSM level-0 merge).
+        Returns the compaction epoch (the max committed batch id).
+
+        Crash-safe by the module's marker discipline: consolidated
+        data is written FIRST, the epoch marker second, folded slices
+        are deleted LAST — a crash before the marker leaves readers on
+        the old slices (the half-written consolidation is invisible);
+        a crash after the marker leaves stale slice dirs readers
+        already ignore (``_slice_paths`` reads only slices ABOVE the
+        epoch) and the next ``compact()`` removes. Batch COMMIT
+        markers are kept, so the exactly-once replay drop still
+        recognizes folded batch ids."""
+        import shutil
+
+        committed = self.committed_batches()
+        if not committed:
+            raise RuntimeError("nothing to compact: no committed batches yet")
+        epoch = max(committed)
+        prev_epoch = self._compact_epoch()
+        for name in ("corpus", "fp_index", "band_index"):
+            df = spark.read.parquet(*self._slice_paths(name))
+            # pin the read BEFORE overwriting anything under the table
+            df = df.localCheckpoint(eager=True)
+            df.write.mode("overwrite").parquet(
+                f"{self.root}/{name}/compacted_v={epoch}"
+            )
+        marker = pathlib.Path(self.root) / "_compacted"
+        marker.mkdir(parents=True, exist_ok=True)
+        (marker / str(epoch)).touch()
+        for name in ("corpus", "fp_index", "band_index"):
+            base = pathlib.Path(self.root) / name
+            for b in [-1] + sorted(b for b in committed if b <= epoch):
+                shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
+            if prev_epoch is not None and prev_epoch != epoch:
+                shutil.rmtree(
+                    base / f"compacted_v={prev_epoch}", ignore_errors=True
+                )
+                try:
+                    (marker / str(prev_epoch)).unlink()
+                except OSError:
+                    pass
+        return epoch
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import incremental_dedup_status_indexed

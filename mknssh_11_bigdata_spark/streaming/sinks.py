@@ -284,3 +284,118 @@ class SeasonalBaselineSink(_CommitMarkerLedger):
         for old in committed[: -self.keep_versions]:
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
             self._unmark(old)
+
+
+class SourceQualityDriftSink(_CommitMarkerLedger):
+    """Streaming twin of ``doc_source_quality_drift`` — the per-source
+    crawl-quality monitor maintained INCREMENTALLY over a document
+    stream, closing the drift-monitor theme the seasonal sink opened.
+
+    The batch query is two scan-speed aggregations over the corpus;
+    re-running it per crawl day costs a corpus pass per day. The
+    streamed form maintains the sufficient statistics instead: per
+    (source, shard) partial sums ``(n, sq)`` merged additively per
+    micro-batch into a versioned snapshot (state is source×shard-sized
+    — a few rows per source — regardless of corpus size). The
+    composite quality score is a mean of quarter-point gates, i.e.
+    every ``q`` is an exact multiple of 0.25, so double sums are EXACT
+    in any order and grouping — the streamed accumulation converges to
+    the batch query's answer bit-for-bit (e2e-tested), not merely
+    approximately. The drift view (shard means, spans, per-source avg,
+    rounded exactly as the batch query) derives from the snapshot at
+    read time.
+
+    Same exactly-once discipline as the module's other sinks:
+    replace-by-merge into ``v=<batchId>``, marker after data, replayed
+    batch ids dropped, old versions pruned.
+    """
+
+    def __init__(self, root: str, keep_versions: int = 2):
+        super().__init__(root)
+        self.keep_versions = keep_versions
+
+    def stats(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED (source, shard, n, sq) partials."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def drift(self, spark: SparkSession) -> DataFrame | None:
+        """The drift view — column-identical to
+        ``doc_source_quality_drift`` (source, n_docs, avg_quality,
+        min_shard_quality, max_shard_quality, drift_range)."""
+        stats = self.stats(spark)
+        if stats is None:
+            return None
+        per_shard = stats.select(
+            "source",
+            "shard",
+            F.round(F.col("sq") / F.col("n"), 6).alias("shard_q"),
+        )
+        spans = per_shard.groupBy("source").agg(
+            F.min("shard_q").alias("min_q"),
+            F.max("shard_q").alias("max_q"),
+        )
+        per_source = stats.groupBy("source").agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.round(F.sum("sq") / F.sum("n"), 6).alias("avg_quality"),
+        )
+        return (
+            per_source.join(F.broadcast(spans), "source")
+            .select(
+                "source",
+                "n_docs",
+                "avg_quality",
+                F.col("min_q").alias("min_shard_quality"),
+                F.col("max_q").alias("max_shard_quality"),
+                F.round(F.col("max_q") - F.col("min_q"), 6).alias(
+                    "drift_range"
+                ),
+            )
+            .orderBy("source")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.text import quality_score
+
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        # the batch query's constant, imported so the twins can't drift
+        from ..queries_analytics import _DRIFT_SHARDS as shards
+
+        part = (
+            batch_df.select(
+                "source",
+                (F.col("doc_id") % shards).alias("shard"),
+                quality_score(F.col("text")).alias("q"),
+            )
+            .groupBy("source", "shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("q").alias("sq"),  # quarter-points: exact sum
+            )
+        )
+        prev = self.stats(batch_df.sparkSession)
+        if prev is not None:
+            merged = (
+                prev.unionByName(part)
+                .groupBy("source", "shard")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sq").alias("sq"),
+                )
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(f"{self.root}/v={batch_id}")
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+            self._unmark(old)

@@ -222,6 +222,7 @@ _PYTHON_STAGE_OK = {
     "stateful_sessionization",
     "tier_crossing_alerts",
     "dedup_semdedup_prune_fast",  # declared Arrow/numpy dense-math arm
+    "embedding_topk_ivf_fast",  # declared Arrow/numpy dense-math arm
 }
 
 

@@ -330,3 +330,47 @@ def test_semdedup_arms_agree(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_ivf_arrow_arm_matches_jvm_arm(spark):
+    """The Arrow/numpy IVF arm must reproduce the JVM arm EXACTLY —
+    same assignment ties (duplicate vectors), same probe order, same
+    ranked output — including the zero-norm edge: NULL cosines (never
+    NaN, which Spark would rank FIRST), so a zero vector never enters
+    a top-k."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_arrow,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(300)
+    ]
+    rows[250] = (250, list(rows[7][1]))  # exact duplicate → cosine tie
+    rows.append((300, [0.0] * dim))  # zero-norm corpus vector
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    queries = corpus.filter(F.col("vec_id") < 8).unionByName(
+        corpus.filter(F.col("vec_id") == 300)  # zero-norm QUERY too
+    )
+    jvm = {
+        tuple(r)
+        for r in ivf_topk(
+            corpus, queries, "vec_id", "v", k=5
+        ).collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in ivf_topk_arrow(
+            corpus, queries, "vec_id", "v", k=5
+        ).collect()
+    }
+    assert arrow == jvm and arrow
+    # the zero-norm corpus vector must appear in NO result row
+    assert all(r[2] != 300 for r in arrow)

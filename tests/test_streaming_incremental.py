@@ -223,3 +223,73 @@ def test_indexed_sink_matches_recomputing_sink(spark, tmp_path):
         assert pathlib.Path(
             f"{sink.root}/band_index/batch_id={b}"
         ).exists()
+
+
+def test_indexed_sink_compaction(spark, tmp_path):
+    """compact() must fold seed + committed slices into one
+    consolidated slice per table without changing ANY read result,
+    keep routing batches correctly afterwards, keep the exactly-once
+    replay drop for folded batch ids, and supersede prior
+    consolidations on re-compaction."""
+    import pytest
+
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    seed, incs = _slices(spark)
+    sink = IndexedIncrementalDedupCorpusSink(str(tmp_path / "out"))
+    with pytest.raises(RuntimeError, match="nothing to compact"):
+        sink.compact(spark)
+    sink.seed(seed)
+    sink(incs[0], 0)
+    sink(incs[1], 1)
+
+    def snap():
+        return (
+            {tuple(r) for r in sink.corpus(spark).collect()},
+            {tuple(r) for r in sink._index(spark, "fp_index").collect()},
+            {tuple(r) for r in sink._index(spark, "band_index").collect()},
+        )
+
+    before = snap()
+    assert sink.compact(spark) == 1
+    assert snap() == before  # consolidation is a pure re-layout
+    for name in ("corpus", "fp_index", "band_index"):
+        base = pathlib.Path(sink.root) / name
+        assert (base / "compacted_v=1").exists()
+        for b in (-1, 0, 1):  # folded slice dirs are gone
+            assert not (base / f"batch_id={b}").exists()
+
+    # a batch AFTER compaction routes exactly as the batch operator
+    # replayed over the accumulated corpus
+    corpus_before = sink.corpus(spark)
+    sink(incs[2], 2)
+    want = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup_status(
+            corpus_before, incs[2], "doc_id", "text"
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(
+            f"{sink.root}/status/batch_id=2"
+        ).collect()
+    }
+    assert got == want
+
+    # folded batch ids still replay as no-ops (markers were kept)
+    before_ids = {r["doc_id"] for r in sink.corpus(spark).collect()}
+    sink(incs[0], 0)
+    assert {r["doc_id"] for r in sink.corpus(spark).collect()} == before_ids
+
+    # re-compaction supersedes the old consolidation
+    before2 = snap()
+    assert sink.compact(spark) == 2
+    assert snap() == before2
+    for name in ("corpus", "fp_index", "band_index"):
+        base = pathlib.Path(sink.root) / name
+        assert (base / "compacted_v=2").exists()
+        assert not (base / "compacted_v=1").exists()
+        assert not (base / "batch_id=2").exists()

@@ -175,3 +175,72 @@ def test_seasonal_baseline_sink_matches_batch_query(spark, tmp_path):
     ).select(SF.to_date("d").alias("d"), SF.col("n_events").cast("long"))
     sink(fake, max(sink.committed_batches()))
     assert {tuple(r) for r in sink.spine(spark).collect()} == before
+
+
+def test_source_quality_drift_sink_matches_batch_query(spark, tmp_path):
+    """The incrementally-maintained (source, shard) sufficient
+    statistics must converge to the batch drift monitor bit-for-bit —
+    the quality score is quarter-points, so streamed double sums are
+    EXACT in any batch split — and replayed batch ids must not
+    double-count."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        SourceQualityDriftSink,
+    )
+
+    sink = SourceQualityDriftSink(str(tmp_path / "drift"))
+    assert sink.drift(spark) is None  # pre-commit: explicit None
+    stream = stream_from_parquet_events(
+        spark, SF_SMOKE, table="documents"
+    ).select("doc_id", "source", "text")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sink.drift(spark)
+    want = QUERIES["doc_source_quality_drift"].spark(spark, SF_SMOKE)
+    assert got.columns == want.columns
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    # replay of a committed id: stats unchanged (no double counting)
+    before = {tuple(r) for r in sink.stats(spark).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sink(docs, max(sink.committed_batches()))
+    assert {tuple(r) for r in sink.stats(spark).collect()} == before
+
+    # additive MERGE path: a genuinely new batch of extra docs must
+    # fold into the statistics exactly as a batch recompute over the
+    # doubled corpus (ids shifted to land in every shard)
+    extra = docs.select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"), "source", "text"
+    )
+    sink(extra, max(sink.committed_batches()) + 1)
+    got2 = {tuple(r) for r in sink.stats(spark).collect()}
+    from mknssh_11_bigdata_spark.functions.text import quality_score
+
+    want2 = {
+        tuple(r)
+        for r in docs.unionByName(extra)
+        .select(
+            "source",
+            (F.col("doc_id") % 5).alias("shard"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").alias("sq"),
+        )
+        .collect()
+    }
+    assert got2 == want2

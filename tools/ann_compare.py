@@ -32,6 +32,7 @@ def main() -> int:
         brute_force_topk,
         ivf_int8_topk,
         ivf_topk,
+        ivf_topk_arrow,
         kmeans_centroids,
         quantized_topk,
     )
@@ -68,6 +69,9 @@ def main() -> int:
             centroids=kmeans_centroids(
                 emb, "vec_id", "embedding", sample_mod=7
             ),
+        ),
+        "ivf_arrow": lambda: ivf_topk_arrow(
+            emb, queries, "vec_id", "embedding", k=k
         ),
         "int8_quantized": lambda: quantized_topk(
             emb, queries, "vec_id", "embedding", k=k
