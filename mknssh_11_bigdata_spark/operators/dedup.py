@@ -49,6 +49,8 @@ __all__ = [
     "melt_band_keys",
     "incremental_dedup_status",
     "incremental_dedup_status_indexed",
+    "incremental_embedding_dedup_status",
+    "embedding_band_index",
     "corpus_dedup_indexes",
     "duplicate_components",
     "near_dup_components",
@@ -1459,4 +1461,175 @@ def incremental_dedup_status_indexed(
             F.coalesce("__ex", "__nr").alias("dup_of"),
         )
         .orderBy(id_col)
+    )
+
+
+def incremental_embedding_dedup_status(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 32,
+    bands: int | None = None,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    corpus_band_index: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-side incremental dedup — the SRP twin of
+    :func:`incremental_dedup_status`: score a NEW batch of vectors
+    against an EXISTING corpus without ever self-joining the corpus.
+    New embeddings' band keys PROBE the corpus SRP band index (at
+    100 TB a persisted, key-partitioned table — the embedding half of
+    what :class:`streaming.incremental.IndexedIncrementalDedupCorpusSink`
+    maintains for text), exact cosine verifies the candidate sliver
+    only, and every increment vector exits as ``near_dup`` (with
+    ``dup_of`` = smallest matching corpus id) or ``new``.
+
+    No separate exact gate: identical vectors have cosine 1.0 and
+    identical sign signatures, so the near probe subsumes them —
+    embedding space has no cheaper equality than the probe itself
+    (a float-serialization fingerprint is brittle across encoders).
+
+    Geometry: ``bands=None`` n-scales band width from the CORPUS count
+    (:func:`srp_rows_per_band` — the corpus is the indexed side whose
+    bucket load matters); the probe restricts the corpus index to the
+    increment's own band keys BEFORE the hot-bucket cap, which leaves
+    per-bucket counts unchanged (restriction is by the bucket key), so
+    cap semantics match the batch operator exactly. Requires disjoint
+    id spaces, as the text twin does. Fully deterministic, seed-fixed.
+
+    ``corpus_band_index`` supplies a MAINTAINED ``(id, band_idx,
+    band_key)`` index (see :func:`embedding_band_index` /
+    :class:`streaming.incremental.IncrementalEmbeddingDedupSink`)
+    instead of signing the corpus inline — the per-batch shape at
+    scale; pass the explicit ``bands`` the index was built with (a
+    persisted index pins its geometry; re-index when the n-scaling
+    ladder steps).
+    """
+    if bands is None:
+        if corpus_band_index is not None:
+            raise ValueError(
+                "corpus_band_index pins the band geometry — pass the "
+                "explicit `bands` it was built with, or n-scaled "
+                "increment bands will silently probe the wrong keys."
+            )
+        rows = srp_rows_per_band(corpus.count(), n_bits)
+        bands = max(1, n_bits // rows)
+    rows = n_bits // bands
+    sig_i = hyperplane_signatures(
+        increment, id_col, vec_col, dim, n_bits, seed
+    ).localCheckpoint(eager=True)
+
+    def _banded(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring(F.col("sig"), j * rows + 1, rows)
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_key"),
+        )
+
+    bi = _banded(sig_i)
+    if corpus_band_index is not None:
+        bc_full = corpus_band_index
+    else:
+        bc_full = _banded(
+            hyperplane_signatures(
+                corpus, id_col, vec_col, dim, n_bits, seed
+            ).localCheckpoint(eager=True)
+        )
+    bc = bc_full.join(
+        bi.select("band_idx", "band_key").distinct(),
+        ["band_idx", "band_key"],
+    )
+    if max_bucket_size is not None:
+        bc = cap_bucket_size(bc, max_bucket_size)
+    cands = (
+        bi.alias("i")
+        .join(
+            bc.alias("c"),
+            (F.col("i.band_idx") == F.col("c.band_idx"))
+            & (F.col("i.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"i.{id_col}").alias("inc_id"),
+            F.col(f"c.{id_col}").alias("corp_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from ..functions.vectors import cosine_similarity
+
+    verified = (
+        cands.join(
+            corpus.select(
+                F.col(id_col).alias("corp_id"),
+                F.col(vec_col).alias("__cv"),
+            ),
+            "corp_id",
+        )
+        .join(
+            increment.select(
+                F.col(id_col).alias("inc_id"),
+                F.col(vec_col).alias("__iv"),
+            ),
+            "inc_id",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(F.col("__iv"), F.col("__cv")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    near = verified.groupBy("inc_id").agg(
+        F.min("corp_id").alias("__nr")
+    )
+    return (
+        increment.select(F.col(id_col))
+        .join(near.withColumnRenamed("inc_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__nr").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.col("__nr").alias("dup_of"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def embedding_band_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted SRP probe table for incremental embedding dedup:
+    ``(id, band_idx, band_key)`` rows for one corpus slice — the
+    embedding twin of the :func:`corpus_dedup_indexes` band index.
+    Geometry is pinned by the caller (a persisted index cannot
+    n-scale per read; re-index when the ladder steps)."""
+    rows = n_bits // bands
+    sig = hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("sig"), j * rows + 1, rows)
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
     )

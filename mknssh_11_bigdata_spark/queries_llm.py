@@ -3179,3 +3179,127 @@ def dedup_tfidf_rescore_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= TFIDF_COSINE_THRESHOLD)
         .select("id_a", "id_b", "n_shared", cos.alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental EMBEDDING dedup: the SRP twin of dedup_incremental
+# ---------------------------------------------------------------------------
+
+
+def _embedding_incremental_oracle() -> str:
+    from .operators.dedup import hyperplane_coefficients
+
+    planes = hyperplane_coefficients(SRP_BITS, EMB_DIM, seed=42)
+    bit_sql = ",\n        ".join(
+        "CASE WHEN list_dot_product(v, [%s]) > 0 THEN '1' ELSE '0' END"
+        % ", ".join(repr(x) for x in plane)
+        for plane in planes
+    )
+    cos = (
+        "ROUND(list_dot_product(ei.v, ec.v) / "
+        "(sqrt(list_dot_product(ei.v, ei.v)) * "
+        "sqrt(list_dot_product(ec.v, ec.v))), 6)"
+    )
+    max_bands = SRP_BITS // 8
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+    inc AS (
+        SELECT vec_id, v FROM e WHERE vec_id % 4 = 0
+        UNION ALL
+        SELECT vec_id + {RECRAWL_OFFSET} AS vec_id, v
+        FROM e WHERE vec_id % 8 = 1
+    ),
+    geom AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM corpus) <= {SRP_SWITCH_16}
+                    THEN 8
+                    WHEN (SELECT COUNT(*) FROM corpus) <= {SRP_SWITCH_32}
+                    THEN 16
+                    ELSE 32 END AS rows
+    ),
+    sigc AS (SELECT vec_id, concat(
+        {bit_sql}
+        ) AS sig FROM corpus),
+    sigi AS (SELECT vec_id, concat(
+        {bit_sql}
+        ) AS sig FROM inc),
+    bc AS (
+        SELECT s.vec_id, j AS band_idx,
+               substr(s.sig, j * g.rows + 1, g.rows) AS band_key
+        FROM sigc s CROSS JOIN geom g CROSS JOIN (
+            SELECT unnest([{", ".join(str(j) for j in range(max_bands))}])
+                   AS j)
+        WHERE j < {SRP_BITS} / g.rows
+    ),
+    bi AS (
+        SELECT s.vec_id, j AS band_idx,
+               substr(s.sig, j * g.rows + 1, g.rows) AS band_key
+        FROM sigi s CROSS JOIN geom g CROSS JOIN (
+            SELECT unnest([{", ".join(str(j) for j in range(max_bands))}])
+                   AS j)
+        WHERE j < {SRP_BITS} / g.rows
+    ),
+    cand AS (
+        SELECT DISTINCT i.vec_id AS inc_id, c.vec_id AS corp_id
+        FROM bi i JOIN bc c
+          ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+    ),
+    near AS (
+        SELECT n.inc_id, MIN(n.corp_id) AS nr
+        FROM cand n
+        JOIN inc ei ON ei.vec_id = n.inc_id
+        JOIN corpus ec ON ec.vec_id = n.corp_id
+        WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+        GROUP BY n.inc_id
+    )
+    SELECT i.vec_id,
+           CASE WHEN n.nr IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           n.nr AS dup_of
+    FROM inc i
+    LEFT JOIN near n ON n.inc_id = i.vec_id
+    ORDER BY i.vec_id
+    """
+
+
+@register("dedup_embedding_incremental", _embedding_incremental_oracle())
+def dedup_embedding_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-side incremental dedup — the SRP twin of
+    ``dedup_incremental``: a new batch of vectors (the ``vec_id%4==0``
+    slice plus planted verbatim "re-embeddings" of corpus vectors
+    under :data:`RECRAWL_OFFSET` ids, so the near-dup arm carries both
+    cosine-1.0 and organic ≥-threshold mass) PROBES the corpus SRP
+    band index instead of self-joining the corpus; exact cosine
+    verifies candidates only (see
+    :func:`operators.dedup.incremental_embedding_dedup_status` for the
+    100 TB cost model and the cap-restriction equivalence). Geometry
+    n-scales from the CORPUS count via the same deterministic ladder
+    as ``dedup_embedding_cosine_lsh``, mirrored in the oracle's CASE.
+    The bucket cap never fires at test SFs (same convention as the
+    text twin's oracle, which omits it too); the guard path is
+    exercised by planted tests."""
+    from .operators.dedup import incremental_embedding_dedup_status
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 4 != 0)
+    inc = e.filter(F.col("vec_id") % 4 == 0).unionByName(
+        e.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + RECRAWL_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return incremental_embedding_dedup_status(
+        corpus,
+        inc,
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_bits=SRP_BITS,
+        bands=None,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )

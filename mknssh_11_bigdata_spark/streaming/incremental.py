@@ -316,3 +316,134 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
         )
         self._write_index_slices(survivors, batch_id)
         self._mark_committed(batch_id)
+
+
+class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
+    """The EMBEDDING ingest loop — daily re-embedded crawl batches
+    deduped against the accumulated vector corpus, the SRP twin of
+    :class:`IndexedIncrementalDedupCorpusSink`: each micro-batch of
+    ``(id, vector)`` rows probes the MAINTAINED corpus band index
+    (:func:`operators.dedup.embedding_band_index` slices appended per
+    committed batch), exact cosine verifies candidates only, 'new'
+    survivors append to the corpus and the index, and a status ledger
+    records every decision — commit-marker exactly-once throughout.
+
+    Geometry is pinned at construction (``n_bits``/``bands``): a
+    persisted index cannot n-scale per read. Production re-indexes
+    when the corpus count crosses an ``srp_rows_per_band`` ladder step
+    — one rebuild per ~256× corpus growth at the default target load.
+
+    Layout under ``root``::
+
+        corpus/batch_id=<n>      surviving vectors (seed = batch_id=-1)
+        band_index/batch_id=<n>  (id, band_idx, band_key) of slice n
+        status/batch_id=<n>      (id, status, dup_of) per increment row
+        _committed/<n>           commit marker (data first, marker after)
+    """
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        threshold: float = 0.9,
+        n_bits: int = 32,
+        bands: int = 4,
+        max_bucket_size: int | None = None,
+    ):
+        super().__init__(root)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.threshold = threshold
+        self.n_bits = n_bits
+        self.bands = bands
+        self.max_bucket_size = max_bucket_size
+
+    def _write_index_slice(self, docs: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import embedding_band_index
+
+        embedding_band_index(
+            docs.select(self.id_col, self.vec_col),
+            self.id_col,
+            self.vec_col,
+            dim=self.dim,
+            n_bits=self.n_bits,
+            bands=self.bands,
+        ).write.mode("overwrite").parquet(
+            f"{self.root}/band_index/batch_id={batch_id}"
+        )
+
+    def seed(self, corpus: DataFrame) -> None:
+        """Write the pre-existing vector corpus + its band index as the
+        ``batch_id=-1`` slices (idempotent: overwrite)."""
+        corpus.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/batch_id=-1"
+        )
+        self._write_index_slice(corpus, -1)
+
+    def _slices(self, name: str) -> list[str]:
+        base = f"{self.root}/{name}"
+        cands = [f"{base}/batch_id=-1"] + [
+            f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
+        ]
+        present = [p for p in cands if pathlib.Path(p).exists()]
+        if not present:
+            raise RuntimeError(
+                f"IncrementalEmbeddingDedupSink has no {name} slices "
+                f"under {base}: call seed() with the pre-existing corpus "
+                "before starting the stream."
+            )
+        return present
+
+    def corpus(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(*self._slices("corpus"))
+
+    def statuses(self, spark: SparkSession) -> DataFrame:
+        base = f"{self.root}/status"
+        paths = [
+            f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
+        ]
+        if not paths:
+            raise RuntimeError(
+                "IncrementalEmbeddingDedupSink has no committed batches "
+                f"under {base} yet."
+            )
+        return spark.read.parquet(*paths)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import incremental_embedding_dedup_status
+
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        inc = batch_df.select(self.id_col, self.vec_col).localCheckpoint(
+            eager=True
+        )
+        status = incremental_embedding_dedup_status(
+            self.corpus(spark).select(self.id_col, self.vec_col),
+            inc,
+            self.id_col,
+            self.vec_col,
+            dim=self.dim,
+            threshold=self.threshold,
+            n_bits=self.n_bits,
+            bands=self.bands,
+            max_bucket_size=self.max_bucket_size,
+            corpus_band_index=spark.read.parquet(
+                *self._slices("band_index")
+            ),
+        ).localCheckpoint(eager=True)
+        status.write.mode("overwrite").parquet(
+            f"{self.root}/status/batch_id={batch_id}"
+        )
+        survivors = inc.join(
+            status.filter("status = 'new'").select(self.id_col),
+            self.id_col,
+        ).localCheckpoint(eager=True)  # feeds corpus AND index writes
+        survivors.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/batch_id={batch_id}"
+        )
+        self._write_index_slice(survivors, batch_id)
+        self._mark_committed(batch_id)

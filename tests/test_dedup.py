@@ -722,3 +722,82 @@ def test_min_label_propagation_fixpoint_and_rounds(spark):
     out2, rounds2 = min_label_propagation(plabels, pedges, max_rounds=25)
     assert {r["lbl"] for r in out2.collect()} == {100}
     assert rounds2 == 20
+
+
+def test_incremental_embedding_dedup_status_arms_and_cap(spark):
+    """Planted certification of every routing arm of the SRP
+    incremental probe — verbatim copy (cosine 1.0), perturbed near-dup
+    above threshold, orthogonal new vector — plus the hot-bucket
+    guard: a boilerplate cluster larger than max_bucket_size must be
+    capped out of candidacy (its prober exits 'new'), exactly like the
+    batch chain's guard."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        incremental_embedding_dedup_status,
+    )
+
+    dim = 8
+    base = [1.0, 2.0, 3.0, 4.0, -1.0, -2.0, -3.0, -4.0]
+    near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]
+    ortho = [4.0, -3.0, 2.0, -1.0, 4.0, -3.0, 2.0, -1.0]
+    hot = [5.0] * dim
+    corpus_rows = [(0, base), (1, [2 * x for x in base])] + [
+        (10 + i, hot) for i in range(6)  # boilerplate cluster, size 6
+    ]
+    inc_rows = [
+        (100, list(base)),  # verbatim -> near_dup of 0
+        (101, near),  # perturbed -> near_dup (cos ~ 0.9999)
+        (102, ortho),  # orthogonal to base -> new
+        (103, list(hot)),  # probes ONLY the capped cluster
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, v array<double>"
+    )
+    inc = spark.createDataFrame(inc_rows, "vec_id long, v array<double>")
+
+    got = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in incremental_embedding_dedup_status(
+            corpus, inc, "vec_id", "v", dim=dim, threshold=0.95,
+            n_bits=32, bands=4,
+        ).collect()
+    }
+    assert got[100] == ("near_dup", 0)
+    assert got[101][0] == "near_dup"
+    assert got[102] == ("new", None)
+    assert got[103][0] == "near_dup"  # uncapped: the cluster matches
+
+    # arm the cap below the cluster size: the hot bucket is dropped
+    # from candidacy and its prober must exit 'new'
+    capped = {
+        r["vec_id"]: r["status"]
+        for r in incremental_embedding_dedup_status(
+            corpus, inc, "vec_id", "v", dim=dim, threshold=0.95,
+            n_bits=32, bands=4, max_bucket_size=5,
+        ).collect()
+    }
+    assert capped[103] == "new"
+    assert capped[100] == "near_dup"  # small buckets unaffected
+
+
+def test_embedding_index_probe_requires_pinned_geometry(spark):
+    """A maintained band index pins its geometry; bands=None with an
+    index would n-scale the INCREMENT's band widths independently and
+    silently probe the wrong keys — must refuse loudly instead."""
+    import pytest
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        incremental_embedding_dedup_status,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], "vec_id long, v array<double>"
+    )
+    idx = spark.createDataFrame(
+        [(0, 0, "01")], "vec_id long, band_idx int, band_key string"
+    )
+    with pytest.raises(ValueError, match="pins the band geometry"):
+        incremental_embedding_dedup_status(
+            df, df, "vec_id", "v", dim=2, corpus_band_index=idx
+        )

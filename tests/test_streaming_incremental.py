@@ -293,3 +293,98 @@ def test_indexed_sink_compaction(spark, tmp_path):
         assert (base / "compacted_v=2").exists()
         assert not (base / "compacted_v=1").exists()
         assert not (base / "batch_id=2").exists()
+
+
+def test_embedding_ingest_loop_matches_batch_replay(spark, tmp_path):
+    """The embedding ingest loop (maintained SRP band index) must
+    route every streamed vector exactly as the batch operator replayed
+    sequentially with INLINE corpus signing — certifying both the sink
+    plumbing and the corpus_band_index probe path against the inline
+    path in one pass — and the corpus must accumulate exactly the
+    'new' survivors."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        incremental_embedding_dedup_status,
+    )
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        IncrementalEmbeddingDedupSink,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.filter("vec_id < 200")
+    cuts = [(200, 300), (300, 400), (400, 500)]
+    incs = [
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}") for lo, hi in cuts
+    ]
+    # planted verbatim re-embedding of a seed vector (cosine 1.0) so
+    # the near_dup arm fires even if organic pairs are scarce
+    clone = seed.filter("vec_id = 0").select(
+        F.lit(1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    incs[1] = incs[1].unionByName(clone)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    for i, inc in enumerate(incs):
+        inc.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+        schema = inc.schema
+
+    kw = dict(dim=64, threshold=0.4, n_bits=32, bands=4)
+    sink = IncrementalEmbeddingDedupSink(
+        str(tmp_path / "out"), "vec_id", "embedding", **kw
+    )
+    sink.seed(seed)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    corpus = seed
+    expected = {}
+    for inc in incs:
+        st = incremental_embedding_dedup_status(
+            corpus, inc, "vec_id", "embedding", **kw
+        )
+        for r in st.collect():
+            expected[r["vec_id"]] = (r["status"], r["dup_of"])
+        corpus = corpus.unionByName(
+            inc.join(
+                st.filter("status = 'new'").select("vec_id"), "vec_id"
+            )
+        )
+    got = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert got == expected
+    assert len(got) == sum(hi - lo for lo, hi in cuts) + 1
+    # both arms fired: the planted clone is a near-dup of vec 0
+    assert got[1_000_000] == ("near_dup", 0)
+    assert {s for s, _ in got.values()} == {"near_dup", "new"}
+
+    got_ids = {r["vec_id"] for r in sink.corpus(spark).collect()}
+    assert got_ids == {r["vec_id"] for r in corpus.collect()}
+
+    # exactly-once: replaying a committed batch id is a no-op
+    sink(incs[0], 0)
+    assert {
+        r["vec_id"] for r in sink.corpus(spark).collect()
+    } == got_ids
