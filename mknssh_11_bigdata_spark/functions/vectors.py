@@ -88,3 +88,4 @@ def int_dot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+

@@ -634,6 +634,11 @@ def hyperplane_signatures(
     literal arrays in the plan (no broadcast join, no data pass).
     """
     planes = hyperplane_coefficients(n_bits, dim, seed)
+    # Measured (BASELINE.md round 4): the HOF fold's per-row cost is a
+    # non-issue (160k rows × 32×64 in ~2 s executor-side) — wall time
+    # at bench SFs is dominated by PLANNING the 32-expression tree,
+    # and an unrolled-arithmetic rewrite (bit-identical, codegen-able)
+    # made planning 6× WORSE (4k-node tree). Keep the fold.
     bit_chars = [
         F.when(
             dot(
@@ -1518,9 +1523,6 @@ def incremental_embedding_dedup_status(
         rows = srp_rows_per_band(corpus.count(), n_bits)
         bands = max(1, n_bits // rows)
     rows = n_bits // bands
-    sig_i = hyperplane_signatures(
-        increment, id_col, vec_col, dim, n_bits, seed
-    ).localCheckpoint(eager=True)
 
     def _banded(sig_df: DataFrame) -> DataFrame:
         return sig_df.select(
@@ -1535,15 +1537,32 @@ def incremental_embedding_dedup_status(
             ).alias("band_idx", "band_key"),
         )
 
-    bi = _banded(sig_i)
     if corpus_band_index is not None:
+        sig_i = hyperplane_signatures(
+            increment, id_col, vec_col, dim, n_bits, seed
+        ).localCheckpoint(eager=True)
         bc_full = corpus_band_index
     else:
-        bc_full = _banded(
+        # ONE action materializes BOTH signature sets: the 32-plane
+        # expression tree dominates query PLANNING (not execution —
+        # BASELINE.md round 4 measured 160k rows in ~2 s executor-side
+        # vs multi-second per-plan compile), so fusing the two sides
+        # into one checkpointed union halves the dominant cost
+        both = (
             hyperplane_signatures(
                 corpus, id_col, vec_col, dim, n_bits, seed
-            ).localCheckpoint(eager=True)
+            )
+            .withColumn("__side", F.lit(0))
+            .unionByName(
+                hyperplane_signatures(
+                    increment, id_col, vec_col, dim, n_bits, seed
+                ).withColumn("__side", F.lit(1))
+            )
+            .localCheckpoint(eager=True)
         )
+        sig_i = both.filter("__side = 1").drop("__side")
+        bc_full = _banded(both.filter("__side = 0").drop("__side"))
+    bi = _banded(sig_i)
     bc = bc_full.join(
         bi.select("band_idx", "band_key").distinct(),
         ["band_idx", "band_key"],
