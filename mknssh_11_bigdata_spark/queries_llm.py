@@ -3303,3 +3303,89 @@ def dedup_embedding_incremental(
         bands=None,
         max_bucket_size=LSH_MAX_BUCKET,
     )
+
+
+def _embedding_label_audit_oracle() -> str:
+    return f"""
+    WITH comp AS ({_embedding_components_oracle()}),
+    lab AS (
+        SELECT c.vec_id, c.component, e.label
+        FROM comp c JOIN embeddings e USING (vec_id)
+    ),
+    per AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+        FROM lab GROUP BY component
+    ),
+    maj AS (
+        SELECT component, label AS majority_label FROM (
+            SELECT component, label,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY COUNT(*) DESC, label)
+                       AS rk
+            FROM lab GROUP BY component, label
+        ) WHERE rk = 1
+    )
+    SELECT p.component, p.n_members, p.n_labels, m.majority_label,
+           p.n_labels > 1 AS is_mixed
+    FROM per p JOIN maj m USING (component)
+    ORDER BY p.component
+    """
+
+
+@register("dedup_embedding_label_audit", _embedding_label_audit_oracle())
+def dedup_embedding_label_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-purity audit over SEMANTIC duplicate groups: per
+    embedding near-dup component, member count, distinct-label count,
+    majority label (ties to the smaller label id), and a mixed flag —
+    the curation signal that semantically-identical vectors carrying
+    DIFFERENT labels are annotation noise (or leakage across supposed
+    class boundaries), surfaced before training instead of as a
+    confusion-matrix mystery after. The embedding-side sibling of
+    ``dedup_component_label_consensus``.
+
+    Scale: second policy consumer of the persisted
+    :func:`srp_pair_graph` artifact — components over the pair sliver
+    (log-rounds star algorithm), one broadcast-able join against the
+    label projection, component-sized aggregations. The corpus is
+    never rescanned for the policy pass."""
+    from .operators.dedup import duplicate_components
+
+    comp = duplicate_components(srp_pair_graph(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    lab = comp.join(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    per = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    maj = (
+        lab.groupBy("component", "label")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("__n").desc(), F.col("label").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("label").alias("majority_label"))
+    )
+    return (
+        per.join(maj, "component")
+        .select(
+            "component",
+            "n_members",
+            "n_labels",
+            "majority_label",
+            (F.col("n_labels") > 1).alias("is_mixed"),
+        )
+        .orderBy("component")
+    )
