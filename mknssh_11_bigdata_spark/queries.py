@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import nz
 from .operators.relational import (
     bucketize,
     conditional_counts,
@@ -815,10 +816,11 @@ def salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT order_year, revenue,
-           ROUND(revenue - LAG(revenue) OVER (ORDER BY order_year), 2)
-               AS yoy_delta,
-           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY order_year))
-                 / LAG(revenue) OVER (ORDER BY order_year), 4) AS yoy_pct
+           (ROUND(revenue - LAG(revenue) OVER (ORDER BY order_year), 2)
+            + 0.0) AS yoy_delta,
+           (ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY order_year))
+                  / LAG(revenue) OVER (ORDER BY order_year), 4) + 0.0)
+               AS yoy_pct
     FROM yearly
     """,
 )
@@ -837,8 +839,10 @@ def yearly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.select(
         "order_year",
         "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+        nz(F.round(F.col("revenue") - prev, 2)).alias("yoy_delta"),
+        nz(F.round(100.0 * (F.col("revenue") - prev) / prev, 4)).alias(
+            "yoy_pct"
+        ),
     )
 
 
@@ -1185,7 +1189,12 @@ _RECERTIFY = {
     "event_props_map_explode": 3,  # TRY_CAST oracle (r3, ADVICE)
     "embedding_topk_ivf_kmeans": 3,  # map-only centroid assignment (r3)
     "embedding_topk_ivf_int8": 3,  # map-only centroid assignment (r3)
-    "dsir_importance_weights": 4,  # BIGINT micro-unit ledger (r4, VERDICT #1)
+    # signed-zero normalization at the output boundary (r5, VERDICT r4
+    # #1): the r4 row was red on Spark +0.0 vs DuckDB -0.0 for one
+    # rounded tiny-negative avg; `nz()` normalizes both engines now.
+    # Spark-side outputs of every OTHER nz'd query are bit-unchanged
+    # (F.round never emits -0.0), so their earlier green rows stand.
+    "dsir_importance_weights": 5,
 }
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as TX
+from .functions.numeric import nz
 from .operators.relational import global_rank_cumsum
 from .registry import register
 from .sources.readers import load_table
@@ -63,7 +64,7 @@ def _dow_idx(col: str = "d") -> F.Column:
         FROM keyed GROUP BY dow_idx
     )
     SELECT k.d, k.dow_idx, k.n_events, b.baseline,
-           ROUND(k.n_events - b.baseline, 4) AS residual
+           (ROUND(k.n_events - b.baseline, 4) + 0.0) AS residual
     FROM keyed k JOIN base b USING (dow_idx)
     ORDER BY k.d
     """,
@@ -98,7 +99,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow_idx",
             "n_events",
             "baseline",
-            F.round(F.col("n_events") - F.col("baseline"), 4).alias(
+            nz(F.round(F.col("n_events") - F.col("baseline"), 4)).alias(
                 "residual"
             ),
         )
@@ -130,14 +131,15 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seas AS (
         SELECT dow_idx,
-               ROUND(SUM(det420) / (420.0 * COUNT(*) * 100.0), 2)
+               (ROUND(SUM(det420) / (420.0 * COUNT(*) * 100.0), 2) + 0.0)
                    AS seasonal
         FROM det GROUP BY dow_idx
     )
     SELECT t.d, t.dow_idx,
            ROUND(t.cents / 100.0, 2) AS revenue,
            t.trend, s.seasonal,
-           ROUND(t.cents / 100.0 - t.trend - s.seasonal, 2) AS remainder
+           (ROUND(t.cents / 100.0 - t.trend - s.seasonal, 2) + 0.0)
+               AS remainder
     FROM det t JOIN seas s USING (dow_idx)
     ORDER BY t.d
     """,
@@ -186,8 +188,10 @@ def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # spine-sized; feeds seasonal + join
     )
     seas = det.groupBy("dow_idx").agg(
-        F.round(
-            F.sum("det420") / (420.0 * F.count(F.lit(1)) * 100.0), 2
+        nz(
+            F.round(
+                F.sum("det420") / (420.0 * F.count(F.lit(1)) * 100.0), 2
+            )
         ).alias("seasonal")
     )
     return (
@@ -198,9 +202,13 @@ def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
             "trend",
             "seasonal",
-            F.round(
-                F.col("cents") / 100.0 - F.col("trend") - F.col("seasonal"),
-                2,
+            nz(
+                F.round(
+                    F.col("cents") / 100.0
+                    - F.col("trend")
+                    - F.col("seasonal"),
+                    2,
+                )
             ).alias("remainder"),
         )
         .orderBy("d")
@@ -1989,7 +1997,7 @@ def _minhash_error_oracle() -> str:
     SELECT p.id_a, p.id_b,
            CAST({matches} AS BIGINT) AS sig_matches,
            p.jaccard,
-           ROUND(({matches}) / {NUM_HASHES}.0 - p.jaccard, 6)
+           (ROUND(({matches}) / {NUM_HASHES}.0 - p.jaccard, 6) + 0.0)
                AS est_error
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
@@ -2045,8 +2053,8 @@ def dedup_minhash_estimate_error(
             "id_b",
             matches.alias("sig_matches"),
             "jaccard",
-            F.round(
-                matches / float(NUM_HASHES) - F.col("jaccard"), 6
+            nz(
+                F.round(matches / float(NUM_HASHES) - F.col("jaccard"), 6)
             ).alias("est_error"),
         )
         .orderBy("id_a", "id_b")
@@ -2260,13 +2268,15 @@ def orders_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT n AS n_terms,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+           (ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0)
+               AS zipf_slope,
+           (ROUND((CAST(sy AS DOUBLE)
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0)
+               AS intercept_ln
     FROM sums
     """,
 )
@@ -2324,15 +2334,17 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         F.col("n").alias("n_terms"),
-        F.round(slope_num / slope_den, 6).alias("zipf_slope"),
-        F.round(
-            (
-                F.col("sy").cast("double")
-                - slope_num / slope_den * F.col("sx").cast("double")
+        nz(F.round(slope_num / slope_den, 6)).alias("zipf_slope"),
+        nz(
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope_num / slope_den * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+                / 1000000.0,
+                6,
             )
-            / F.col("n").cast("double")
-            / 1000000.0,
-            6,
         ).alias("intercept_ln"),
     )
 
@@ -2904,8 +2916,8 @@ def dedup_canonical_label_propagation(
         FROM gsums
     )
     SELECT f.source, f.n AS n_terms,
-           ROUND(f.slope, 6) AS zipf_slope,
-           ROUND(f.slope - g.gslope, 6) AS slope_drift
+           (ROUND(f.slope, 6) + 0.0) AS zipf_slope,
+           (ROUND(f.slope - g.gslope, 6) + 0.0) AS slope_drift
     FROM fits f CROSS JOIN gfit g
     ORDER BY f.source
     """,
@@ -3001,8 +3013,8 @@ def corpus_zipf_source_drift(
         .select(
             "source",
             F.col("n").alias("n_terms"),
-            F.round(F.col("slope"), 6).alias("zipf_slope"),
-            F.round(F.col("slope") - F.col("gslope"), 6).alias(
+            nz(F.round(F.col("slope"), 6)).alias("zipf_slope"),
+            nz(F.round(F.col("slope") - F.col("gslope"), 6)).alias(
                 "slope_drift"
             ),
         )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as TX
+from .functions.numeric import nz
 from .registry import register
 from .sources.readers import load_table
 
@@ -1534,8 +1535,8 @@ def _dsir_oracle() -> str:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(lr_micro) AS DOUBLE)
-                 / (COUNT(*) * 1000000.0), 4) AS avg_logratio,
+           (ROUND(CAST(SUM(lr_micro) AS DOUBLE)
+                  / (COUNT(*) * 1000000.0), 4) + 0.0) AS avg_logratio,
            CAST(SUM(lr_micro) AS BIGINT) > 0 AS target_like
     FROM lr GROUP BY doc_id ORDER BY doc_id
     """
@@ -1606,10 +1607,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact BIGINT ledger: the sum is order-independent, so the final
     # single double division is bit-identical across engines/partition
     # orders (the 6-dp-double-sum version drifted on the driver's
-    # local[32] partitioning — CORRECTNESS_r03's one red row)
+    # local[32] partitioning — CORRECTNESS_r03's one red row); nz()
+    # normalizes the -0.0 a tiny negative sum rounds to in DuckDB but
+    # not in Spark (CORRECTNESS_r04's one red row)
     s_micro = F.sum("lr_micro").cast("long")
-    avg = F.round(
-        s_micro.cast("double") / (F.count(F.lit(1)) * 1000000.0), 4
+    avg = nz(
+        F.round(s_micro.cast("double") / (F.count(F.lit(1)) * 1000000.0), 4)
     )
     return (
         scored.groupBy("doc_id")

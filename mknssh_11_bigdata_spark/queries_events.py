@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import nz
 from .registry import register
 from .sources.readers import load_table
 from .streaming.windows import hourly_tumbling_agg, session_counts
@@ -601,7 +602,7 @@ ANOMALY_Z = 3.0
     )
     SELECT event_type, hour_ts, n_events,
            ROUND(base_mean, 4) AS base_mean,
-           ROUND((n_events - base_mean) / base_std, 4) AS zscore,
+           (ROUND((n_events - base_mean) / base_std, 4) + 0.0) AS zscore,
            ABS((n_events - base_mean) / base_std) >= {ANOMALY_Z}
                AS is_anomaly
     FROM scored
@@ -648,7 +649,7 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_ts",
             "n_events",
             F.round(F.col("base_mean"), 4).alias("base_mean"),
-            F.round(z, 4).alias("zscore"),
+            nz(F.round(z, 4)).alias("zscore"),
             (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
         )
         .orderBy("event_type", "hour_ts")

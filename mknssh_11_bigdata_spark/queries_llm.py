@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import text as TX
+from .functions.numeric import nz
 from .operators.dedup import (
     embedding_cosine_pairs,
     embedding_near_dup_pairs,
@@ -1951,7 +1952,7 @@ UNIGRAM_OUTLIER_LOGPROB = -3.45005
     per AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(SUM(lp) / COUNT(*), 4) AS avg_token_logprob
+               (ROUND(SUM(lp) / COUNT(*), 4) + 0.0) AS avg_token_logprob
         FROM lp GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, avg_token_logprob,
@@ -2000,7 +2001,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias(
+            nz(F.round(F.sum("lp") / F.count(F.lit(1)), 4)).alias(
                 "avg_token_logprob"
             ),
         )
@@ -2191,7 +2192,7 @@ def _bigram_lm_oracle() -> str:
     ),
     per AS (
         SELECT doc_id, COUNT(*) AS n_bigrams,
-               ROUND(SUM(lp) / COUNT(*), 4) AS avg_bigram_logprob
+               (ROUND(SUM(lp) / COUNT(*), 4) + 0.0) AS avg_bigram_logprob
         FROM lp GROUP BY 1
     )
     SELECT doc_id, n_bigrams, avg_bigram_logprob,
@@ -2271,7 +2272,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias(
+            nz(F.round(F.sum("lp") / F.count(F.lit(1)), 4)).alias(
                 "avg_bigram_logprob"
             ),
         )
@@ -2341,10 +2342,10 @@ def dedup_component_size_histogram(
     )
     SELECT CAST(dim AS INTEGER) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n_values,
-           ROUND(AVG(v), 6) AS mean_v,
+           (ROUND(AVG(v), 6) + 0.0) AS mean_v,
            ROUND(STDDEV_SAMP(v), 6) AS std_v,
-           ROUND(MIN(v), 6) AS min_v,
-           ROUND(MAX(v), 6) AS max_v
+           (ROUND(MIN(v), 6) + 0.0) AS min_v,
+           (ROUND(MAX(v), 6) + 0.0) AS max_v
     FROM ex GROUP BY 1
     """,
 )
@@ -2367,10 +2368,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_values"),
-        F.round(F.avg("v"), 6).alias("mean_v"),
+        nz(F.round(F.avg("v"), 6)).alias("mean_v"),
         F.round(F.stddev("v"), 6).alias("std_v"),
-        F.round(F.min("v"), 6).alias("min_v"),
-        F.round(F.max("v"), 6).alias("max_v"),
+        nz(F.round(F.min("v"), 6)).alias("min_v"),
+        nz(F.round(F.max("v"), 6)).alias("max_v"),
     )
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import nz
 from .registry import register
 from .sources.readers import load_table
 
@@ -1293,7 +1294,7 @@ def monthly_reaggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_balance_percentiles",
     """
     SELECT c_mktsegment, c_custkey,
-           ROUND(c_acctbal, 2) AS acctbal,
+           (ROUND(c_acctbal, 2) + 0.0) AS acctbal,
            ROUND(PERCENT_RANK() OVER (
                PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
                AS pct_rank,
@@ -1328,7 +1329,7 @@ def segment_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "c_mktsegment",
         "c_custkey",
-        F.round("c_acctbal", 2).alias("acctbal"),
+        nz(F.round("c_acctbal", 2)).alias("acctbal"),
         F.round(F.percent_rank().over(rank_w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(rank_w), 6).alias("cume_dist"),
         F.nth_value("c_custkey", 3)
@@ -1497,9 +1498,9 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier GROUP BY 1
     )
     SELECT s.s_suppkey, s.s_nationkey,
-           ROUND(s.s_acctbal, 2) AS acctbal,
+           (ROUND(s.s_acctbal, 2) + 0.0) AS acctbal,
            CASE WHEN st.n > 1 AND st.sigma > 0
-                THEN ROUND((s.s_acctbal - st.mu) / st.sigma, 6)
+                THEN (ROUND((s.s_acctbal - st.mu) / st.sigma, 6) + 0.0)
            END AS balance_z
     FROM supplier s JOIN stats st ON st.s_nationkey = s.s_nationkey
     """,
@@ -1525,11 +1526,13 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "s_suppkey",
         "s_nationkey",
-        F.round("s_acctbal", 2).alias("acctbal"),
+        nz(F.round("s_acctbal", 2)).alias("acctbal"),
         F.when(
             (F.col("n") > 1) & (F.col("sigma") > 0),
-            F.round(
-                (F.col("s_acctbal") - F.col("mu")) / F.col("sigma"), 6
+            nz(
+                F.round(
+                    (F.col("s_acctbal") - F.col("mu")) / F.col("sigma"), 6
+                )
             ),
         ).alias("balance_z"),
     )

@@ -34,6 +34,8 @@ import pathlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import nz
+
 
 class _CommitMarkerLedger:
     """The ``<root>/_committed/<batchId>`` marker contract shared by
@@ -252,8 +254,8 @@ class SeasonalBaselineSink(_CommitMarkerLedger):
                 "dow_idx",
                 "n_events",
                 "baseline",
-                F.round(
-                    F.col("n_events") - F.col("baseline"), 4
+                nz(
+                    F.round(F.col("n_events") - F.col("baseline"), 4)
                 ).alias("residual"),
             )
             .orderBy("d")

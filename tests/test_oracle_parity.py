@@ -37,8 +37,13 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # guard against -0.0 and representation drift below round scale
-        return round(v, 9) + 0.0
+        # round(v, 9) guards representation drift below the round scale
+        # but MUST stay sign-sensitive: the driver's hash distinguishes
+        # -0.0 from +0.0, and the old `+ 0.0` here erased exactly that
+        # (it hid CORRECTNESS_r04's dsir red row from local parity).
+        # Signed-zero normalization now lives in the queries themselves
+        # (functions/numeric.nz, both engines), not in the comparator.
+        return round(v, 9)
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)
     return v

@@ -49,7 +49,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9) + 0.0
+        # sign-sensitive on purpose: `+ 0.0` here would erase -0.0 and
+        # hide driver-visible signed-zero divergence (VERDICT r4 #1)
+        return "NaN" if math.isnan(v) else round(v, 9)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
