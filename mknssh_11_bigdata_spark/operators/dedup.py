@@ -1279,11 +1279,30 @@ def kcore_peel(
     return e
 
 
+def _superstep_candidates(
+    edges: DataFrame, frontier: DataFrame, force_broadcast: bool
+) -> DataFrame:
+    """One propagation superstep's per-dst min candidates. The frontier
+    is force-broadcast ONLY when the caller has MEASURED it under the
+    broadcast threshold — an unconditional hint here is the 100×-scale
+    OOM VERDICT r4 flagged (round 1's frontier is the full label set;
+    at crawl scale the near-dup node set is billions of rows). Without
+    the hint the join still broadcasts when AQE's runtime size
+    statistics say it fits — we only refuse to FORCE it."""
+    fr = F.broadcast(frontier) if force_broadcast else frontier
+    return (
+        edges.join(fr, edges.src == frontier.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("lbl").alias("cand"))
+    )
+
+
 def min_label_propagation(
     labels: DataFrame,
     edges: DataFrame,
     max_rounds: int = 12,
-) -> tuple[DataFrame, int]:
+    broadcast_threshold: int = 1_000_000,
+) -> tuple[DataFrame, int, list[int]]:
     """Frontier-style min-label propagation to FIXPOINT — the plain
     Pregel superstep loop (vs :func:`duplicate_components`'s
     large-star/small-star, which converges in log rounds but only
@@ -1293,25 +1312,39 @@ def min_label_propagation(
     ``labels`` is (node, lbl: bigint); ``edges`` is directed (src, dst),
     ideally already hash-partitioned by dst and checkpointed (the Pregel
     layout: every superstep's dst-keyed aggregation is then
-    exchange-free). Each superstep broadcasts only the FRONTIER — labels
+    exchange-free). Each superstep joins only the FRONTIER — labels
     that improved last round; min-propagation is monotone, so an
-    unchanged neighborhood cannot yield a new improvement — joins it
-    against the partition-local edges, takes per-dst min candidates,
-    and lowers labels where the candidate wins. Terminates when a
-    superstep changes nothing; raises after ``max_rounds`` (a graph
-    needing more has high-diameter chains — run the log-rounds
-    components operator and label per component instead).
+    unchanged neighborhood cannot yield a new improvement — against the
+    partition-local edges, takes per-dst min candidates, and lowers
+    labels where the candidate wins. Terminates when a superstep
+    changes nothing; raises after ``max_rounds`` (a graph needing more
+    has high-diameter chains — run the log-rounds components operator
+    and label per component instead).
 
-    Returns ``(labels, rounds)`` where ``rounds`` counts the supersteps
-    executed INCLUDING the final no-change one that proves fixpoint.
+    Broadcast guard (VERDICT r4 #2): the frontier is force-broadcast
+    only once its MEASURED row count is ≤ ``broadcast_threshold``.
+    Round 1's frontier is the entire label set — at crawl scale the
+    near-dup node set is a large fraction of the corpus, so an
+    unconditional ``F.broadcast`` there is a fleet-wide OOM. The first
+    superstep (and any later one whose frontier is still large) runs a
+    plain join and lets AQE broadcast if runtime stats say it fits;
+    every frontier AFTER round 1 comes off a localCheckpoint, so the
+    count that arms the hint is a cheap cached-block scan.
+
+    Returns ``(labels, rounds, frontier_sizes)``: ``rounds`` counts the
+    supersteps executed INCLUDING the final no-change one that proves
+    fixpoint; ``frontier_sizes[i]`` is the row count of the frontier
+    that ENTERED superstep ``i+1`` (so ``frontier_sizes[0]`` is the
+    label-set size and the last entry is the changed-label count the
+    fixpoint superstep re-propagated — convergence telemetry, exposed
+    as data by ``graph_convergence_audit``).
     """
     frontier = labels  # round 1 considers every label "new"
+    n_frontier: int | None = None  # unknown until measured — never force
+    sizes: list[int] = []
     for rounds in range(1, max_rounds + 1):
-        cand = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("cand"))
-        )
+        force = n_frontier is not None and n_frontier <= broadcast_threshold
+        cand = _superstep_candidates(edges, frontier, force)
         updated = (
             labels.join(cand, "node", "left")
             .select(
@@ -1323,10 +1356,14 @@ def min_label_propagation(
             )
             .localCheckpoint(eager=True)  # flat lineage per superstep
         )
+        sizes.append(
+            n_frontier if n_frontier is not None else labels.count()
+        )
         frontier = updated.filter("__improved").select("node", "lbl")
         labels = updated.select("node", "lbl")
-        if frontier.isEmpty():  # fixpoint: the superstep changed nothing
-            return labels, rounds
+        n_frontier = frontier.count()  # checkpointed: cheap block scan
+        if n_frontier == 0:  # fixpoint: the superstep changed nothing
+            return labels, rounds, sizes
     raise RuntimeError(
         f"label propagation did not converge in {max_rounds} "
         "supersteps — this graph has high-diameter chains; use "

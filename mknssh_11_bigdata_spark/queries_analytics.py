@@ -2828,7 +2828,7 @@ def dedup_canonical_label_propagation(
     )
     from .operators.dedup import min_label_propagation
 
-    labels, _rounds = min_label_propagation(
+    labels, _rounds, _sizes = min_label_propagation(
         rk, edges, max_rounds=_LP_MAX_ROUNDS
     )
     return (

@@ -699,12 +699,15 @@ def test_min_label_propagation_fixpoint_and_rounds(spark):
         [(1, 30), (2, 20), (3, 10), (10, 50), (11, 40)],
         ["node", "lbl"],
     ).withColumn("lbl", F.col("lbl").cast("long"))
-    out, rounds = min_label_propagation(labels, edges, max_rounds=12)
+    out, rounds, sizes = min_label_propagation(labels, edges, max_rounds=12)
     got = {r["node"]: r["lbl"] for r in out.collect()}
     assert got == {1: 10, 2: 10, 3: 10, 10: 40, 11: 40}
     # triangle eccentricity from node 3 is 1, edge's is 1 → one
     # improving round + the proving round
     assert rounds == 2
+    # telemetry: round 1 saw all 5 labels; round 2 re-propagated the 3
+    # that improved (1, 2 took the triangle min; 10 took the edge min)
+    assert sizes == [5, 3]
 
     # a 20-node path whose best label sits at one end needs 19
     # improving rounds — must abort at max_rounds=12, loudly
@@ -719,9 +722,15 @@ def test_min_label_propagation_fixpoint_and_rounds(spark):
         min_label_propagation(plabels, pedges, max_rounds=12)
 
     # ...and converge (in exactly diameter+1 rounds) when allowed to
-    out2, rounds2 = min_label_propagation(plabels, pedges, max_rounds=25)
+    out2, rounds2, sizes2 = min_label_propagation(
+        plabels, pedges, max_rounds=25
+    )
     assert {r["lbl"] for r in out2.collect()} == {100}
     assert rounds2 == 20
+    # telemetry: round 1's frontier is the full label set, then the
+    # improving wave shrinks monotonically as the path saturates
+    assert sizes2[0] == 20 and len(sizes2) == 20
+    assert all(a >= b for a, b in zip(sizes2, sizes2[1:]))
 
 
 def test_incremental_embedding_dedup_status_arms_and_cap(spark):
