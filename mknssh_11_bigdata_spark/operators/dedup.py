@@ -144,7 +144,9 @@ def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int
     ]
 
 
-def hash_family_digest() -> str:
+def hash_family_digest(
+    num_hashes: int = 32, srp_bits: int = 32, dim: int = 64
+) -> str:
     """Short digest of the CODE-LEVEL hash-family constants that a
     persisted pair-graph artifact depends on but whose values never
     appear in the chain-geometry parameters: the MinHash modulus and
@@ -154,16 +156,24 @@ def hash_family_digest() -> str:
     (``minhash_pair_graph`` / ``srp_pair_graph``) so that editing any of
     these constants REBUILDS the artifact instead of serving stale
     pairs generated by the old family — a source fingerprint plus
-    geometry params alone cannot detect a code change (ADVICE r3)."""
+    geometry params alone cannot detect a code change (ADVICE r3).
+
+    Callers MUST pass their PRODUCTION geometry (``NUM_HASHES``,
+    ``SRP_BITS``, ``EMB_DIM``): probing a fixed small prefix would miss
+    a code change that alters only later stream draws (dim- or
+    index-dependent generation, or a raised hash count) — the exact
+    staleness hazard the digest exists to close (ADVICE r4)."""
     import hashlib
 
     payload = "|".join(
         [
             str(MINHASH_P),
-            ",".join(f"{a}:{b}" for a, b in minhash_coefficients(32)),
+            ",".join(
+                f"{a}:{b}" for a, b in minhash_coefficients(num_hashes)
+            ),
             ",".join(
                 f"{x:.17g}"
-                for plane in hyperplane_coefficients(4, 8)
+                for plane in hyperplane_coefficients(srp_bits, dim)
                 for x in plane
             ),
             str(SRP_AUTO_TARGET_BUCKET_ROWS),

@@ -614,6 +614,11 @@ def ivf_topk_arrow(
 
     def probe(batches):
         ids, c = bc.value
+        # a corpus smaller than n_probe has fewer centroids than the
+        # requested probe width — clamp, like the JVM arm's rank filter
+        # just emits fewer probe rows (ADVICE r4: unclamped repeat vs
+        # top's min(n_probe, n_centroids) columns crashed the reshape)
+        p = min(n_probe, len(ids))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -622,14 +627,14 @@ def ivf_topk_arrow(
             # stable argsort of -sims over the id-ASC-sorted matrix =
             # (sim DESC, centroid_id ASC) — the JVM probe_w ordering;
             # -inf (zero-norm query) ranks last = NULLS LAST
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
             nq = len(pdf)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
-                    "centroid_id": ids[top].reshape(nq * n_probe),
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), p),
+                    "centroid_id": ids[top].reshape(nq * p),
                     "__qv": [
-                        list(row) for row in np.repeat(v, n_probe, axis=0)
+                        list(row) for row in np.repeat(v, p, axis=0)
                     ],
                 }
             )

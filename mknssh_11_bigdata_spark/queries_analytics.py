@@ -2710,7 +2710,11 @@ def dedup_survivor_quality_delta(
 _LP_MAX_ROUNDS = 12
 
 
-def _canonical_lp_oracle() -> str:
+def _lp_oracle_parts() -> list[str]:
+    """The shared unrolled-propagation CTE chain: near-dup pair graph →
+    quality-priority ranks → ``_LP_MAX_ROUNDS`` min-propagation rounds
+    ``l0..lN`` — composed by both the canonical-election oracle and the
+    convergence-telemetry oracle."""
     from .queries_llm import _doc_quality_sql, _minhash_oracle
 
     parts = [
@@ -2741,6 +2745,11 @@ def _canonical_lp_oracle() -> str:
             f"LEFT JOIN l{i-1} s ON s.node = e.src "
             f"GROUP BY l.node, l.lbl)"
         )
+    return parts
+
+
+def _canonical_lp_oracle() -> str:
+    parts = _lp_oracle_parts()
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -2842,10 +2851,181 @@ def dedup_canonical_label_propagation(
     )
 
 
+def _lp_convergence_oracle() -> str:
+    parts = _lp_oracle_parts()
+    changed = ", ".join(
+        f"({i}, (SELECT COUNT(*) FROM l{i} a JOIN l{i-1} b USING (node) "
+        f"WHERE a.lbl <> b.lbl))"
+        for i in range(1, _LP_MAX_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    ch AS (SELECT * FROM (VALUES {changed}) AS t(rnd, cnt)),
+    f AS (
+        SELECT 1 AS rnd,
+               (SELECT COUNT(*) FROM l0) AS frontier_size
+        UNION ALL
+        SELECT rnd + 1, cnt FROM ch
+    ),
+    fix AS (SELECT MIN(rnd) AS last FROM ch WHERE cnt = 0)
+    SELECT CAST(f.rnd AS INTEGER) AS round,
+           CAST(f.frontier_size AS BIGINT) AS frontier_size
+    FROM f CROSS JOIN fix WHERE f.rnd <= fix.last
+    ORDER BY round
+    """
+    )
+
+
+@register(
+    "dedup_label_propagation_convergence", _lp_convergence_oracle()
+)
+def dedup_label_propagation_convergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Convergence telemetry of ``dedup_canonical_label_propagation``
+    AS DATA (VERDICT r4 #7): one row per executed superstep with the
+    frontier size that ENTERED it — row 1 is the near-dup node count,
+    the last row is the changed-label sliver the fixpoint-proving
+    round re-propagated. This is the operational signal the 100×
+    operator is tuned by: frontier decay tells you whether the graph
+    is clique-like (2-3 rounds) or chain-like (abort and use the
+    log-rounds components operator), and the round-2+ sizes are
+    exactly what the broadcast guard compares against its threshold.
+
+    The oracle replays the same unrolled propagation and counts
+    label changes between consecutive rounds — ``frontier entering
+    round i+1 = labels changed in round i`` — emitting rows up to and
+    including the first zero-change round, which is precisely the
+    operator's round count.
+
+    Scale: identical plan to the election query (same checkpointed
+    dst-partitioned edges, same guarded frontier joins); the telemetry
+    itself is ≤ ``_LP_MAX_ROUNDS`` driver-side ints — the one place a
+    ``collect``-shaped result is the honest design."""
+    from .operators.dedup import min_label_propagation
+    from .queries_llm import minhash_pair_graph
+
+    pairs = minhash_pair_graph(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    scored = nodes.join(
+        d.select(
+            "doc_id", "n_chars", TX.quality_score(F.col("text")).alias("q")
+        ),
+        "doc_id",
+    )
+    rk = (
+        global_rank_cumsum(
+            scored,
+            order_by=[
+                F.col("q").desc(),
+                F.col("n_chars").desc(),
+                F.col("doc_id").asc(),
+            ],
+            value_col="n_chars",
+            rank_out="lbl",
+        )
+        .select(F.col("doc_id").alias("node"), F.col("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .repartition(parallelism, "dst")
+        .localCheckpoint(eager=True)
+    )
+    _labels, _rounds, sizes = min_label_propagation(
+        rk, edges, max_rounds=_LP_MAX_ROUNDS
+    )
+    return spark.createDataFrame(
+        [(i + 1, int(n)) for i, n in enumerate(sizes)],
+        "round int, frontier_size long",
+    ).orderBy("round")
+
+
 # ---------------------------------------------------------------------------
 # Per-source Zipf drift: the corpus_zipf_fit health check, per crawl
 # source, with drift against the corpus-wide fit
 # ---------------------------------------------------------------------------
+
+
+def zipf_drift_from_source_counts(sfreq: DataFrame) -> DataFrame:
+    """The Zipf-drift computation downstream of the (source, token, f)
+    count table — per-source exact-integer OLS fits, corpus-wide fit
+    from a second-stage rollup of the SAME counts, drift as raw-slope
+    subtraction before one final rounding. Shared by the batch query
+    ``corpus_zipf_source_drift`` and the streaming
+    ``ZipfSourceDriftSink`` (which maintains ``sfreq`` incrementally),
+    so the two twins cannot drift expression-by-expression."""
+    from .operators.relational import global_rank_cumsum
+
+    def _pts(ranked_df):
+        return ranked_df.select(
+            "*",
+            F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("f").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("y"),
+        )
+
+    _sums = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ]
+
+    def _slope():
+        return (
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).cast("double") / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast(
+            "double"
+        )
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("f").desc(), F.col("token").asc()
+    )
+    fits = (
+        _pts(sfreq.withColumn("r", F.row_number().over(w).cast("long")))
+        .groupBy("source")
+        .agg(*_sums)
+        .select("source", "n", _slope().alias("slope"))
+    )
+    gfreq = sfreq.groupBy("token").agg(F.sum("f").cast("long").alias("f"))
+    granked = global_rank_cumsum(
+        gfreq,
+        [F.col("f").desc(), F.col("token").asc()],
+        "f",
+        rank_out="r",
+        cum_out="__cum",
+    )
+    gfit = _pts(granked).agg(*_sums).select(_slope().alias("gslope"))
+    return (
+        fits.crossJoin(F.broadcast(gfit))
+        .select(
+            "source",
+            F.col("n").alias("n_terms"),
+            nz(F.round(F.col("slope"), 6)).alias("zipf_slope"),
+            nz(F.round(F.col("slope") - F.col("gslope"), 6)).alias(
+                "slope_drift"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 @register(
@@ -2947,9 +3127,11 @@ def corpus_zipf_source_drift(
     partitions, ~10⁷ rows at web scale — bounded, unlike a global
     unpartitioned window); the corpus-wide rank runs the distributed
     ``global_rank_cumsum``. Everything after the first explode is
-    vocabulary-sized."""
-    from .operators.relational import global_rank_cumsum
+    vocabulary-sized.
 
+    The post-count computation lives in
+    :func:`zipf_drift_from_source_counts`, shared verbatim with the
+    streaming ``ZipfSourceDriftSink`` twin."""
     d = _t(spark, sf_dir, "documents")
     sfreq = (
         d.select(
@@ -2959,64 +3141,4 @@ def corpus_zipf_source_drift(
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
         .localCheckpoint(eager=True)  # feeds per-source AND corpus fits
     )
-
-    def _pts(ranked_df):
-        return ranked_df.select(
-            "*",
-            F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
-            .cast("long")
-            .alias("x"),
-            F.round(F.log(F.col("f").cast("double")) * 1000000, 0)
-            .cast("long")
-            .alias("y"),
-        )
-
-    _sums = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-    ]
-
-    def _slope():
-        return (
-            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-        ).cast("double") / (
-            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-        ).cast(
-            "double"
-        )
-
-    w = Window.partitionBy("source").orderBy(
-        F.col("f").desc(), F.col("token").asc()
-    )
-    fits = (
-        _pts(sfreq.withColumn("r", F.row_number().over(w).cast("long")))
-        .groupBy("source")
-        .agg(*_sums)
-        .select("source", "n", _slope().alias("slope"))
-    )
-    gfreq = sfreq.groupBy("token").agg(F.sum("f").cast("long").alias("f"))
-    granked = global_rank_cumsum(
-        gfreq,
-        [F.col("f").desc(), F.col("token").asc()],
-        "f",
-        rank_out="r",
-        cum_out="__cum",
-    )
-    gfit = (
-        _pts(granked).agg(*_sums).select(_slope().alias("gslope"))
-    )
-    return (
-        fits.crossJoin(F.broadcast(gfit))
-        .select(
-            "source",
-            F.col("n").alias("n_terms"),
-            nz(F.round(F.col("slope"), 6)).alias("zipf_slope"),
-            nz(F.round(F.col("slope") - F.col("gslope"), 6)).alias(
-                "slope_drift"
-            ),
-        )
-        .orderBy("source")
-    )
+    return zipf_drift_from_source_counts(sfreq)

@@ -202,7 +202,7 @@ def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = (
         f"k{NUM_HASHES}b{BANDS}s3"
         f"t{str(JACCARD_THRESHOLD).replace('.', 'p')}c{LSH_MAX_BUCKET}"
-        f"h{hash_family_digest()}"
+        f"h{hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM)}"
     )
     warehouse = pathlib.Path(__file__).resolve().parent.parent / (
         "spark-warehouse"
@@ -883,7 +883,7 @@ def srp_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = (
         f"b{SRP_BITS}auto"
         f"t{str(COSINE_DUP_THRESHOLD).replace('.', 'p')}c{LSH_MAX_BUCKET}"
-        f"h{hash_family_digest()}"
+        f"h{hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM)}"
     )
     warehouse = pathlib.Path(__file__).resolve().parent.parent / (
         "spark-warehouse"

@@ -155,7 +155,27 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
 
         fp_index/batch_id=<n>     (fp, doc_id) of slice n
         band_index/batch_id=<n>   (doc_id, band_idx, band_key) of slice n
+
+    ``compact_every=K`` arms the cadence policy: after each commit, if
+    K or more batch slices have accumulated past the newest compaction
+    epoch, :meth:`compact` folds them — so a long-running stream keeps
+    a BOUNDED per-table slice count (≤ K live slices + 1 consolidated)
+    instead of growing one slice per crawl day forever. ``None`` (the
+    default) leaves compaction to the operator.
     """
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        compact_every: int | None = None,
+        **dedup_kwargs,
+    ):
+        super().__init__(root, id_col, text_col, **dedup_kwargs)
+        if compact_every is not None and compact_every < 1:
+            raise ValueError("compact_every must be >= 1 (or None)")
+        self.compact_every = compact_every
 
     def seed(self, corpus: DataFrame) -> None:
         super().seed(corpus)
@@ -262,6 +282,16 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             raise RuntimeError("nothing to compact: no committed batches yet")
         epoch = max(committed)
         prev_epoch = self._compact_epoch()
+        if prev_epoch == epoch:
+            # No batch committed since the last compaction: the only
+            # slices are the consolidated compacted_v=<epoch> dirs
+            # themselves. Re-compacting would read the LIVE copy
+            # (pinned only in non-fault-tolerant localCheckpoint
+            # storage) and mode('overwrite') the same directory — a
+            # write failure in that window would destroy the corpus
+            # while the marker still points at it. Nothing to fold:
+            # no-op.
+            return epoch
         for name in ("corpus", "fp_index", "band_index"):
             df = spark.read.parquet(*self._slice_paths(name))
             # pin the read BEFORE overwriting anything under the table
@@ -316,6 +346,15 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
         )
         self._write_index_slices(survivors, batch_id)
         self._mark_committed(batch_id)
+        if self.compact_every is not None:
+            epoch = self._compact_epoch()
+            live = [
+                b
+                for b in self.committed_batches()
+                if epoch is None or b > epoch
+            ]
+            if len(live) >= self.compact_every:
+                self.compact(spark)
 
 
 class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):

@@ -675,6 +675,36 @@ def test_hash_family_digest_keys_the_artifact(monkeypatch):
     monkeypatch.undo()
     assert D.hash_family_digest() == base
 
+    # ADVICE r4: the digest must probe the PRODUCTION geometry, not a
+    # fixed prefix — a change visible only in later stream draws (e.g.
+    # a larger hash count, a different embedding dim) must re-key
+    from mknssh_11_bigdata_spark.queries_llm import (
+        EMB_DIM,
+        NUM_HASHES,
+        SRP_BITS,
+    )
+
+    prod = D.hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM)
+    assert prod == D.hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM)
+    assert prod != D.hash_family_digest(NUM_HASHES + 1, SRP_BITS, EMB_DIM)
+    assert prod != D.hash_family_digest(NUM_HASHES, SRP_BITS + 1, EMB_DIM)
+    assert prod != D.hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM * 2)
+
+    # an index-dependent edit BEYOND the old fixed 32/4×8 probe prefix:
+    # production-geometry probing sees it, the old prefix would not
+    orig = D.hyperplane_coefficients
+
+    def tweaked(n_bits, dim, seed=42):
+        planes = orig(n_bits, dim, seed)
+        if n_bits > 4 and dim > 8:  # past the old probe window
+            planes[-1][-1] += 1.0
+        return planes
+
+    monkeypatch.setattr(D, "hyperplane_coefficients", tweaked)
+    assert D.hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM) != prod
+    monkeypatch.undo()
+    assert D.hash_family_digest(NUM_HASHES, SRP_BITS, EMB_DIM) == prod
+
 
 def test_min_label_propagation_fixpoint_and_rounds(spark):
     """The Pregel superstep loop must (a) elect each component's

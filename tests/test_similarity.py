@@ -374,3 +374,37 @@ def test_ivf_arrow_arm_matches_jvm_arm(spark):
     assert arrow == jvm and arrow
     # the zero-norm corpus vector must appear in NO result row
     assert all(r[2] != 300 for r in arrow)
+
+
+def test_ivf_arrow_arm_corpus_smaller_than_n_probe(spark):
+    """ADVICE r4: when the corpus yields fewer centroids than n_probe,
+    the Arrow probe must clamp its width (the JVM arm just emits fewer
+    probe rows) instead of crashing on a repeat/reshape length
+    mismatch — and the two arms must still agree exactly."""
+    import random
+
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_arrow,
+    )
+
+    rng = random.Random(5)
+    dim = 8
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(3)  # 3 vectors < n_probe=4 (and < n_centroids)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    jvm = {
+        tuple(r)
+        for r in ivf_topk(
+            corpus, corpus, "vec_id", "v", k=2, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in ivf_topk_arrow(
+            corpus, corpus, "vec_id", "v", k=2, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert arrow == jvm and arrow

@@ -388,3 +388,89 @@ def test_embedding_ingest_loop_matches_batch_replay(spark, tmp_path):
     assert {
         r["vec_id"] for r in sink.corpus(spark).collect()
     } == got_ids
+
+
+def test_compact_equal_epoch_is_noop(spark, tmp_path):
+    """ADVICE r4 (medium): compact() with no batch committed since the
+    last compaction must NOT rewrite the live consolidation in place —
+    the old path read compacted_v=<epoch> (the only persisted copy),
+    pinned it only in non-fault-tolerant localCheckpoint storage, then
+    mode('overwrite') deleted and rewrote that same directory; a write
+    failure in the window destroyed the corpus. Equal epoch = no-op:
+    same return value, and the consolidated files untouched on disk."""
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    seed, incs = _slices(spark)
+    sink = IndexedIncrementalDedupCorpusSink(str(tmp_path / "out"))
+    sink.seed(seed)
+    sink(incs[0], 0)
+    assert sink.compact(spark) == 0
+
+    def listing():
+        out = {}
+        for name in ("corpus", "fp_index", "band_index"):
+            d = pathlib.Path(sink.root) / name / "compacted_v=0"
+            out[name] = sorted(
+                (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+                for p in d.iterdir()
+            )
+        return out
+
+    before = listing()
+    assert sink.compact(spark) == 0  # equal-epoch: must be a no-op
+    assert listing() == before  # nothing rewritten, byte-for-byte inert
+    # and the read path is still intact
+    assert sink.corpus(spark).count() > 0
+
+
+def test_compact_cadence_bounds_slice_count(spark, tmp_path):
+    """VERDICT r4 #6: with compact_every=K armed, a long replay keeps
+    a BOUNDED per-table slice count (≤ K live + 1 consolidated dirs)
+    after every commit, while reads stay identical to an unbounded
+    (never-compacting) twin of the same stream."""
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter("doc_id < 20")
+    batches = [
+        docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 10}")
+        for lo in range(20, 100, 10)
+    ]  # 8 batches >> K=2
+
+    k = 2
+    auto = IndexedIncrementalDedupCorpusSink(
+        str(tmp_path / "auto"), compact_every=k
+    )
+    plain = IndexedIncrementalDedupCorpusSink(str(tmp_path / "plain"))
+    auto.seed(seed)
+    plain.seed(seed)
+    for i, b in enumerate(batches):
+        auto(b, i)
+        plain(b, i)
+        for name in ("corpus", "fp_index", "band_index"):
+            dirs = [
+                p.name
+                for p in (pathlib.Path(auto.root) / name).iterdir()
+                if p.is_dir()
+            ]
+            assert len(dirs) <= k + 1, (
+                f"slice count unbounded after batch {i}: {name} has "
+                f"{sorted(dirs)}"
+            )
+    # cadence actually fired: an epoch exists and it is recent
+    assert auto._compact_epoch() is not None
+    assert auto._compact_epoch() >= len(batches) - k - 1
+    # reads are invariant vs the never-compacted twin
+    assert {tuple(r) for r in auto.corpus(spark).collect()} == {
+        tuple(r) for r in plain.corpus(spark).collect()
+    }
+    for name in ("fp_index", "band_index"):
+        assert {tuple(r) for r in auto._index(spark, name).collect()} == {
+            tuple(r) for r in plain._index(spark, name).collect()
+        }

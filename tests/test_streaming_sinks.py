@@ -244,3 +244,80 @@ def test_source_quality_drift_sink_matches_batch_query(spark, tmp_path):
         .collect()
     }
     assert got2 == want2
+
+
+def test_drift_sink_pruned_batch_replay_still_drops(spark, tmp_path):
+    """ADVICE r4: this sink's merge is ADDITIVE, so the exactly-once
+    drop must survive version pruning — the old _prune unlinked the
+    pruned versions' commit markers, letting a replayed pruned batch
+    id re-merge and double-count (n, sq). Markers must outlive their
+    v= directories."""
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        SourceQualityDriftSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    batches = [
+        docs.filter(f"doc_id % 4 = {i}") for i in range(4)
+    ]
+    sink = SourceQualityDriftSink(str(tmp_path / "drift"), keep_versions=1)
+    for i, b in enumerate(batches):
+        sink(b, i)
+    # pruning actually happened (only the newest version dir remains)…
+    import pathlib as _pl
+
+    vdirs = sorted(
+        p.name for p in _pl.Path(sink.root).iterdir() if p.name.startswith("v=")
+    )
+    assert vdirs == [f"v={len(batches) - 1}"]
+    # …but every batch id is STILL marked committed
+    assert sink.committed_batches() == set(range(len(batches)))
+
+    # replaying a PRUNED batch id must be a no-op, not a re-merge
+    before = {tuple(r) for r in sink.stats(spark).collect()}
+    sink(batches[0], 0)
+    assert {tuple(r) for r in sink.stats(spark).collect()} == before
+
+
+def test_zipf_source_drift_sink_matches_batch_query(spark, tmp_path):
+    """The incrementally-maintained (source, token) counts must derive
+    the batch Zipf-drift monitor bit-for-bit — counts are exact
+    integers, so the streamed additive merge equals the one-pass batch
+    counts under any split, and the fit view is the SAME shared plan —
+    with replayed ids dropped and pruned-id replays still dropped
+    (additive merge, markers survive pruning)."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import ZipfSourceDriftSink
+
+    sink = ZipfSourceDriftSink(str(tmp_path / "zipf"), keep_versions=1)
+    assert sink.drift(spark) is None  # pre-commit: explicit None
+    stream = stream_from_parquet_events(
+        spark, SF_SMOKE, table="documents"
+    ).select("doc_id", "source", "text")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sink.drift(spark)
+    want = QUERIES["corpus_zipf_source_drift"].spark(spark, SF_SMOKE)
+    assert got.columns == want.columns
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    # replay of a committed (possibly pruned) id: counts unchanged
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    before = {tuple(r) for r in sink.counts(spark).collect()}
+    for replay_id in sink.committed_batches():
+        sink(docs, replay_id)
+    assert {tuple(r) for r in sink.counts(spark).collect()} == before
