@@ -2367,7 +2367,9 @@ _PAGERANK_BASE = 150_000
 _PAGERANK_PART_OFFSET = 1_000_000_000_000
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle_parts() -> list[str]:
+    """The unrolled PageRank CTE chain (links → edges → deg → r0..rN),
+    shared by the rank oracle and the convergence-audit oracle."""
     parts = [
         "links AS MATERIALIZED ("
         "SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, "
@@ -2393,6 +2395,11 @@ def _pagerank_oracle() -> str:
             f"FROM edges e JOIN s{i} s ON s.node = e.src "
             f"GROUP BY e.dst)"
         )
+    return parts
+
+
+def _pagerank_oracle() -> str:
+    parts = _pagerank_oracle_parts()
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -2403,6 +2410,119 @@ def _pagerank_oracle() -> str:
     FROM r{_PAGERANK_ROUNDS} ORDER BY node
     """
     )
+
+
+def _pagerank_convergence_oracle() -> str:
+    parts = _pagerank_oracle_parts()
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS round, "
+        f"(SELECT CAST(SUM(ABS(a.pr - b.pr)) AS BIGINT) "
+        f"FROM r{i} a JOIN r{i-1} b USING (node)) AS l1_delta_micro"
+        for i in range(1, _PAGERANK_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(round AS INTEGER) AS round, l1_delta_micro
+    FROM ({rows}) ORDER BY round
+    """
+    )
+
+
+@register("pagerank_convergence_audit", _pagerank_convergence_oracle())
+def pagerank_convergence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Convergence telemetry of ``supply_chain_pagerank`` AS DATA
+    (VERDICT r4 #7, the PageRank half): one row per damped superstep
+    with the L1 rank movement Σ|pr_i − pr_{i−1}| in exact integer
+    micro-units. Geometric decay of this series is the evidence that 8
+    rounds suffice at the damping factor — and the signal a production
+    deployment uses to stop early or flag a graph whose structure
+    (e.g. near-bipartite oscillation) needs more rounds.
+
+    Exactness: ranks and deltas are BIGINT micro-units end-to-end, so
+    the unrolled consecutive-round-diff oracle reproduces every delta
+    bit-for-bit. Scale: each delta is a co-keyed join of two
+    checkpointed node slivers (the rounds were computed anyway — the
+    audit adds one sliver join per round, nothing corpus-sized)."""
+    from functools import reduce
+
+    _ranks, deltas = _pagerank_ranks(spark, sf_dir)
+    return reduce(lambda a, b: a.unionAll(b), deltas).orderBy("round")
+
+
+def _pagerank_ranks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared PageRank machinery: build the dst-partitioned
+    bipartite edge table once, run :data:`_PAGERANK_ROUNDS` damped
+    supersteps in exact integer micro-units, and return ``(ranks,
+    deltas)`` where ``deltas[i]`` is a lazy one-row frame
+    ``(round, l1_delta_micro)`` — the L1 rank movement of superstep
+    ``i+1`` over checkpointed slivers (cheap block scans; consumed by
+    the convergence audit, ignored by the rank query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    links = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey") + _PAGERANK_PART_OFFSET)
+            .cast("long")
+            .alias("p"),
+        )
+        .distinct()
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    edges = (
+        links.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionAll(
+            links.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+        )
+        .repartition(parallelism, "dst")  # one shuffle, reused 8 rounds
+        .localCheckpoint(eager=True)  # feeds deg + every round
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        "node", F.lit(_PAGERANK_SCALE).cast("long").alias("pr")
+    )
+    deltas: list[DataFrame] = []
+    for rnd in range(1, _PAGERANK_ROUNDS + 1):
+        shares = ranks.join(deg, "node").select(
+            "node", F.expr("pr DIV deg").alias("share")
+        )
+        prev = ranks
+        ranks = (
+            edges.join(F.broadcast(shares), edges.src == shares.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(_PAGERANK_BASE)
+                    + F.expr("(85 * sum(share)) DIV 100")
+                )
+                .cast("long")
+                .alias("pr")
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(
+            ranks.join(
+                prev.select("node", F.col("pr").alias("__prev")), "node"
+            )
+            .agg(
+                F.sum(F.abs(F.col("pr") - F.col("__prev")))
+                .cast("long")
+                .alias("l1_delta_micro")
+            )
+            .select(
+                F.lit(rnd).cast("int").alias("round"), "l1_delta_micro"
+            )
+        )
+    return ranks, deltas
 
 
 @register("supply_chain_pagerank", _pagerank_oracle())
@@ -2434,50 +2554,7 @@ def supply_chain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (whose rounds degraded 3 s → 46 s as shuffles piled up). localCheckpoint per round keeps lineage flat (same
     discipline as ``kcore_peel``). Every node has degree ≥ 1 by
     construction (no dangling-mass term)."""
-    li = _t(spark, sf_dir, "lineitem")
-    links = (
-        li.select(
-            F.col("l_suppkey").cast("long").alias("s"),
-            (F.col("l_partkey") + _PAGERANK_PART_OFFSET)
-            .cast("long")
-            .alias("p"),
-        )
-        .distinct()
-    )
-    parallelism = spark.sparkContext.defaultParallelism
-    edges = (
-        links.select(F.col("s").alias("src"), F.col("p").alias("dst"))
-        .unionAll(
-            links.select(F.col("p").alias("src"), F.col("s").alias("dst"))
-        )
-        .repartition(parallelism, "dst")  # one shuffle, reused 8 rounds
-        .localCheckpoint(eager=True)  # feeds deg + every round
-    )
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    ranks = deg.select(
-        "node", F.lit(_PAGERANK_SCALE).cast("long").alias("pr")
-    )
-    for _ in range(_PAGERANK_ROUNDS):
-        shares = ranks.join(deg, "node").select(
-            "node", F.expr("pr DIV deg").alias("share")
-        )
-        ranks = (
-            edges.join(F.broadcast(shares), edges.src == shares.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.lit(_PAGERANK_BASE)
-                    + F.expr("(85 * sum(share)) DIV 100")
-                )
-                .cast("long")
-                .alias("pr")
-            )
-            .localCheckpoint(eager=True)
-        )
+    ranks, _deltas = _pagerank_ranks(spark, sf_dir)
     return ranks.select(
         F.when(F.col("node") >= _PAGERANK_PART_OFFSET, "part")
         .otherwise("supplier")

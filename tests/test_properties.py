@@ -310,3 +310,23 @@ def test_global_ntile_equals_window_ntile(spark, n, k, mod):
         for r in global_ntile(df, k, order).select("id", "tile").collect()
     }
     assert got == expected
+
+
+def test_pagerank_l1_delta_decays_geometrically(spark):
+    """The convergence-audit series must decay ~0.85× per damped round
+    (the theoretical contraction factor): strictly decreasing, with
+    every consecutive ratio inside a loose [0.7, 0.95] band — the
+    evidence behind the fixed 8-round budget, now driver-certified as
+    data by ``pagerank_convergence_audit``."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    rows = (
+        QUERIES["pagerank_convergence_audit"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    deltas = [r["l1_delta_micro"] for r in sorted(rows, key=lambda r: r["round"])]
+    assert len(deltas) == 8 and all(d > 0 for d in deltas)
+    assert all(a > b for a, b in zip(deltas, deltas[1:]))
+    ratios = [b / a for a, b in zip(deltas, deltas[1:])]
+    assert all(0.7 <= r <= 0.95 for r in ratios), ratios
