@@ -1208,6 +1208,93 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc (doc_id, group_id, is_dup_member, split) assignment with
+    the NO-LEAKAGE guarantee: the split is a pure function of the
+    near-dup GROUP id (component min-id for dup members, own id
+    otherwise), so two near-duplicate documents can never land on
+    opposite sides of a train/test boundary — the split-contamination
+    failure mode a naive per-doc hash split has (a test doc's verbatim
+    twin in train inflates eval). Shared by the registered summary
+    query and the property tests."""
+    from .operators.dedup import duplicate_components
+    from .pipelines.ml import deterministic_split
+
+    comp = duplicate_components(minhash_pair_graph(spark, sf_dir))
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("group_id"),
+        F.col("component").isNotNull().alias("is_dup_member"),
+    )
+    return deterministic_split(g, "group_id")
+
+
+def _leakage_split_oracle() -> str:
+    components = _components_oracle()
+    return f"""
+    WITH comp AS ({components}),
+    g AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS group_id,
+               c.doc_id IS NOT NULL AS is_dup_member
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, group_id, is_dup_member,
+               CAST(('0x' || substr(md5('v1|' || CAST(group_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 100 AS bucket
+        FROM g
+    ),
+    s AS (
+        SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN is_dup_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_member_docs
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@register("dedup_leakage_safe_split", _leakage_split_oracle())
+def dedup_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe train/val/test split — the dedup machinery's
+    eval-hygiene payoff: route every near-dup COMPONENT (not every doc)
+    through the deterministic md5-bucket split, so a test document's
+    near-verbatim twin cannot sit in train (the contamination that
+    silently inflates benchmark scores; the per-doc
+    ``doc_deterministic_split`` has no such guarantee). Group id =
+    component min-id for dup members, own id otherwise; the split is a
+    pure function of (salt, group_id), stable under data growth.
+
+    Scale: the component map is pair-sliver-sized (broadcast left
+    join onto the corpus scan); the split expression is narrow-only on
+    top — corpus-sized work is ONE pass. Summary rows certify the
+    assignment volume per side; the no-leakage property itself is
+    structural (split = f(group)) and pinned by a planted test."""
+    a = leakage_safe_split_assignments(spark, sf_dir)
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.sum(F.col("is_dup_member").cast("long"))
+            .cast("long")
+            .alias("n_dup_member_docs"),
+        )
+        .orderBy("split")
+    )
+
+
 def _doc_quality_sql() -> str:
     """Per-doc quality score as SQL — mirrors TX.quality_score."""
     toks = SQL_TOKS.format(col="text")

@@ -840,3 +840,50 @@ def test_embedding_index_probe_requires_pinned_geometry(spark):
         incremental_embedding_dedup_status(
             df, df, "vec_id", "v", dim=2, corpus_band_index=idx
         )
+
+
+def test_leakage_safe_split_components_never_straddle(spark):
+    """The no-leakage guarantee: every verified near-dup PAIR's two
+    endpoints must land in the SAME split (split is a pure function of
+    the component id), and the assignment must be deterministic across
+    runs. The naive per-doc hash split demonstrably violates this on
+    the same graph — asserted too, so the test proves the query adds
+    a real property, not a vacuous one."""
+    from mknssh_11_bigdata_spark.pipelines.ml import deterministic_split
+    from mknssh_11_bigdata_spark.queries_llm import (
+        leakage_safe_split_assignments,
+        minhash_pair_graph,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    a = leakage_safe_split_assignments(spark, sf)
+    pairs = minhash_pair_graph(spark, sf)
+    assert pairs.count() > 0  # the property must be exercised
+    sa = a.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    sb = a.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    straddles = (
+        pairs.join(sa, "id_a").join(sb, "id_b").filter("s_a <> s_b")
+    )
+    assert straddles.count() == 0
+
+    # determinism across runs
+    m1 = {r["doc_id"]: r["split"] for r in a.collect()}
+    m2 = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split_assignments(spark, sf).collect()
+    }
+    assert m1 == m2
+
+    # the naive per-doc split DOES straddle components on this graph —
+    # i.e. the group routing is load-bearing, not vacuously true
+    naive = deterministic_split(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id"),
+        "doc_id",
+    )
+    na = naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    nb = naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    naive_straddles = (
+        pairs.join(na, "id_a").join(nb, "id_b").filter("s_a <> s_b").count()
+    )
+    assert naive_straddles > 0
