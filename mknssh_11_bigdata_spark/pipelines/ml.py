@@ -198,6 +198,36 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_assignments(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    salt: str = "v1",
+    **dedup_kwargs,
+) -> DataFrame:
+    """Component-routed :func:`deterministic_split` over an arbitrary
+    docs frame: every near-dup GROUP (exact ∪ near components from
+    :func:`operators.dedup.near_dup_components`) shares one split, so
+    a test doc's near-verbatim twin can never sit in train. Returns
+    ``(id_col, group_id, split)``; group_id = component min-id for dup
+    members, own id otherwise. The corpus-level registered query
+    (``dedup_leakage_safe_split``) uses the persisted pair-graph
+    artifact instead; this form serves arbitrary slices — seed corpora
+    and micro-batches in the incremental split sink."""
+    from ..operators.dedup import near_dup_components
+
+    comp = near_dup_components(docs, id_col, text_col, **dedup_kwargs)
+    g = docs.select(id_col).join(
+        F.broadcast(comp.withColumnRenamed("component", "group_id")),
+        id_col,
+        "left",
+    ).select(
+        id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id")
+    )
+    return deterministic_split(g, "group_id", splits=splits, salt=salt)
+
+
 class _NumpyLogReg:
     """Deterministic logistic-regression fallback (full-batch GD)."""
 

@@ -581,6 +581,42 @@ ANOMALY_TRAIL = 24  # trailing observed hours in the baseline frame
 ANOMALY_Z = 3.0
 
 
+def hourly_anomaly_from_counts(hourly: DataFrame) -> DataFrame:
+    """The anomaly scoring downstream of the (event_type, hour_ts,
+    n_events) spine — trailing-{ANOMALY_TRAIL}-hour mean/stddev frame,
+    z-score, threshold flag. Shared by the batch query
+    ``event_hourly_anomaly`` and the streaming
+    ``HourlyAnomalySink`` (which maintains the spine incrementally),
+    so the two twins cannot drift expression-by-expression."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        F.avg("n_events").over(w).alias("base_mean"),
+        F.stddev("n_events").over(w).alias("base_std"),
+    )
+    z = (F.col("n_events") - F.col("base_mean")) / F.col("base_std")
+    return (
+        scored.filter(
+            F.col("base_std").isNotNull() & (F.col("base_std") > 0)
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            F.round(F.col("base_mean"), 4).alias("base_mean"),
+            nz(F.round(z, 4)).alias("zscore"),
+            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
 @register(
     "event_hourly_anomaly",
     f"""
@@ -622,38 +658,14 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle for the hourly pre-agg (map-side combined), one
     for the per-type window — the frame is bounded (O(1) state per
     row), so the window never buffers more than {ANOMALY_TRAIL} rows
-    per group."""
+    per group. The post-spine scoring lives in
+    :func:`hourly_anomaly_from_counts`, shared verbatim with the
+    streaming ``HourlyAnomalySink`` twin."""
     e = _t(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_ts")
-        .rowsBetween(-ANOMALY_TRAIL, -1)
-    )
-    scored = hourly.select(
-        "event_type",
-        "hour_ts",
-        "n_events",
-        F.avg("n_events").over(w).alias("base_mean"),
-        F.stddev("n_events").over(w).alias("base_std"),
-    )
-    z = (F.col("n_events") - F.col("base_mean")) / F.col("base_std")
-    return (
-        scored.filter(
-            F.col("base_std").isNotNull() & (F.col("base_std") > 0)
-        )
-        .select(
-            "event_type",
-            "hour_ts",
-            "n_events",
-            F.round(F.col("base_mean"), 4).alias("base_mean"),
-            nz(F.round(z, 4)).alias("zscore"),
-            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
-        )
-        .orderBy("event_type", "hour_ts")
-    )
+    return hourly_anomaly_from_counts(hourly)
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .sinks import _CommitMarkerLedger
 
@@ -345,6 +346,10 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             f"{self.root}/corpus/batch_id={batch_id}"
         )
         self._write_index_slices(survivors, batch_id)
+        # subclass hook — any extra per-batch state must land BEFORE the
+        # commit marker (same crash-safety ordering as the slices: a
+        # half-written batch stays invisible until its marker exists)
+        self._post_route(spark, inc, status, batch_id)
         self._mark_committed(batch_id)
         if self.compact_every is not None:
             epoch = self._compact_epoch()
@@ -355,6 +360,116 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             ]
             if len(live) >= self.compact_every:
                 self.compact(spark)
+
+    def _post_route(
+        self,
+        spark: SparkSession,
+        inc: DataFrame,
+        status: DataFrame,
+        batch_id: int,
+    ) -> None:
+        """Per-batch extension point, called after the corpus/index
+        slices land and before the commit marker. No-op here."""
+
+
+class LeakageSafeSplitDedupSink(IndexedIncrementalDedupCorpusSink):
+    """The indexed daily-crawl sink PLUS leakage-safe train/val/test
+    assignment AT INGEST — the incremental form of the batch
+    ``dedup_leakage_safe_split`` query.
+
+    Assignment rule per routed doc:
+
+    * ``exact_dup`` / ``near_dup`` → INHERIT the split already assigned
+      to ``dup_of`` (always an assigned corpus doc — disjoint id
+      spaces guarantee it), carrying its group id. A doc and its
+      verified duplicate can therefore never straddle a split boundary.
+    * ``new`` survivors → component-routed assignment WITHIN the batch
+      (:func:`pipelines.ml.leakage_safe_assignments`): two new docs
+      that duplicate each other but nothing in the corpus found ONE
+      group and share a side (per-doc hashing here would be the
+      straddle bug in miniature).
+
+    Assignments are IMMUTABLE once committed — split STABILITY is the
+    contract a crawl pipeline needs (a doc that moves from train to
+    test after a later component merge IS the leak, retroactively).
+    The corollary is honest: if a later bridge doc connects two
+    existing groups that landed on opposite sides, the bridge inherits
+    its ``dup_of``'s side and its OTHER cross-group pairs straddle;
+    the right production response is detect-and-quarantine (the
+    straddle audit in the tests), never rewriting history. A
+    from-scratch batch recompute after such a merge may legitimately
+    differ — the e2e test asserts equality exactly when no cross-batch
+    merge occurred, and stability always.
+
+    Layout adds ``splits/batch_id=<n>`` slices of
+    ``(doc_id, group_id, split)`` (seed = batch_id=-1), gated by the
+    same commit markers as the corpus slices.
+    """
+
+    def seed(self, corpus: DataFrame) -> None:
+        super().seed(corpus)
+        from ..pipelines.ml import leakage_safe_assignments
+
+        a = leakage_safe_assignments(
+            corpus.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            **self.dedup_kwargs,
+        )
+        a.write.mode("overwrite").parquet(
+            f"{self.root}/splits/batch_id=-1"
+        )
+
+    def assignments(self, spark: SparkSession) -> DataFrame:
+        """Every committed (doc_id, group_id, split) assignment —
+        seed plus committed batches (same slice discipline as the
+        corpus; compaction does not touch split slices)."""
+        base = f"{self.root}/splits"
+        paths = [f"{base}/batch_id=-1"] + [
+            f"{base}/batch_id={b}"
+            for b in sorted(self.committed_batches())
+        ]
+        present = [p for p in paths if pathlib.Path(p).exists()]
+        if not present:
+            raise RuntimeError(
+                f"LeakageSafeSplitDedupSink has no split slices under "
+                f"{base}: call seed() before starting the stream."
+            )
+        return spark.read.parquet(*present)
+
+    def _post_route(
+        self,
+        spark: SparkSession,
+        inc: DataFrame,
+        status: DataFrame,
+        batch_id: int,
+    ) -> None:
+        from ..pipelines.ml import leakage_safe_assignments
+
+        prev = self.assignments(spark).select(
+            F.col(self.id_col).alias("dup_of"),
+            "group_id",
+            "split",
+        )
+        inherited = (
+            status.filter(F.col("status") != "new")
+            .select(self.id_col, "dup_of")
+            .join(prev, "dup_of")
+            .select(self.id_col, "group_id", "split")
+        )
+        fresh_docs = inc.join(
+            status.filter(F.col("status") == "new").select(self.id_col),
+            self.id_col,
+        )
+        fresh = leakage_safe_assignments(
+            fresh_docs.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            **self.dedup_kwargs,
+        )
+        inherited.unionByName(fresh).write.mode("overwrite").parquet(
+            f"{self.root}/splits/batch_id={batch_id}"
+        )
 
 
 class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):

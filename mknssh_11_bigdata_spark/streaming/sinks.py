@@ -500,3 +500,80 @@ class ZipfSourceDriftSink(_CommitMarkerLedger):
         committed = sorted(self.committed_batches())
         for old in committed[: -self.keep_versions]:
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+
+
+class HourlyAnomalySink(_CommitMarkerLedger):
+    """Streaming twin of ``event_hourly_anomaly`` — the trailing-
+    baseline ops monitor maintained INCREMENTALLY over the event
+    stream; the last batch monitor in the registry without a streaming
+    twin (seasonal baseline, quality drift, and Zipf drift have
+    theirs).
+
+    The sufficient statistic is the (event_type, hour_ts, n_events)
+    spine itself: counts are exact integers, so the additive per-batch
+    merge equals the batch query's one-pass groupBy under ANY batch
+    split, and the trailing-window z-score view derives at read time
+    through the SAME shared plan (:func:`queries_events.
+    hourly_anomaly_from_counts`) — streamed ≡ batch bit-for-bit
+    (e2e-tested). State is types×hours-sized (a few rows per hour),
+    bounded regardless of event volume.
+
+    Same exactly-once discipline as the module's other sinks:
+    versioned snapshots, marker after data, replayed ids dropped,
+    pruning keeps markers (additive merge — same rationale as
+    ``SourceQualityDriftSink._prune``).
+    """
+
+    def __init__(self, root: str, keep_versions: int = 2):
+        super().__init__(root)
+        self.keep_versions = keep_versions
+
+    def counts(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED (event_type, hour_ts, n_events) spine."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def anomalies(self, spark: SparkSession) -> DataFrame | None:
+        """The scored view — column-identical to
+        ``event_hourly_anomaly`` (event_type, hour_ts, n_events,
+        base_mean, zscore, is_anomaly)."""
+        from ..queries_events import hourly_anomaly_from_counts
+
+        counts = self.counts(spark)
+        if counts is None:
+            return None
+        return hourly_anomaly_from_counts(counts)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        part = (
+            batch_df.select(
+                "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+            )
+            .groupBy("event_type", "hour_ts")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        prev = self.counts(batch_df.sparkSession)
+        if prev is not None:
+            merged = (
+                prev.unionByName(part)
+                .groupBy("event_type", "hour_ts")
+                .agg(F.sum("n_events").alias("n_events"))
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(f"{self.root}/v={batch_id}")
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Keep commit markers (additive merge) — see
+        ``SourceQualityDriftSink._prune``."""
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)

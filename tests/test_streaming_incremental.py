@@ -474,3 +474,97 @@ def test_compact_cadence_bounds_slice_count(spark, tmp_path):
         assert {tuple(r) for r in auto._index(spark, name).collect()} == {
             tuple(r) for r in plain._index(spark, name).collect()
         }
+
+
+def test_leakage_safe_split_sink_invariants(spark, tmp_path):
+    """The incremental split sink's three contracts: (1) STABILITY —
+    an assignment never changes once committed (incl. under replay);
+    (2) NO LOCAL STRADDLE — every routed dup shares its dup_of's
+    split; (3) BATCH EQUIVALENCE when no cross-batch component merge
+    occurred — the incremental assignments equal a from-scratch
+    component-routed split of the accumulated corpus+increments.
+    Also: intra-batch duplicates that match nothing in the corpus
+    must found ONE group (per-doc hashing here would straddle)."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.pipelines.ml import (
+        leakage_safe_assignments,
+    )
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        LeakageSafeSplitDedupSink,
+    )
+
+    seed, incs = _slices(spark)
+    # plant an intra-batch near-dup pair into batch 2: two fresh ids
+    # sharing one long text that matches nothing in the corpus
+    novel = (
+        "zanzibar quokka flotilla "
+        + " ".join(f"novel{i}" for i in range(40))
+    )
+    plant = spark.createDataFrame(
+        [(2_000_000, novel), (2_000_001, novel + " tail")],
+        ["doc_id", "text"],
+    )
+    incs[2] = incs[2].unionByName(plant)
+
+    sink = LeakageSafeSplitDedupSink(str(tmp_path / "out"))
+    sink.seed(seed)
+    snapshots = []
+    for i, b in enumerate(incs):
+        sink(b, i)
+        snapshots.append(
+            {r["doc_id"]: (r["group_id"], r["split"])
+             for r in sink.assignments(spark).collect()}
+        )
+
+    final = snapshots[-1]
+    # (1) stability: every earlier snapshot is a subset of the final
+    for snap in snapshots:
+        assert all(final[d] == gs for d, gs in snap.items())
+    # ...including under replay of a committed batch
+    sink(incs[0], 0)
+    assert {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in sink.assignments(spark).collect()
+    } == final
+
+    # (2) no local straddle: dup routes share their target's split
+    statuses = sink.statuses(spark)
+    dup = statuses.filter("status <> 'new'").select("doc_id", "dup_of")
+    a = sink.assignments(spark)
+    pair_splits = (
+        dup.join(a.select("doc_id", F.col("split").alias("s_doc")), "doc_id")
+        .join(
+            a.select(
+                F.col("doc_id").alias("dup_of"),
+                F.col("split").alias("s_tgt"),
+            ),
+            "dup_of",
+        )
+    )
+    assert pair_splits.count() > 0  # the dup arms actually fired
+    assert pair_splits.filter("s_doc <> s_tgt").count() == 0
+
+    # planted intra-batch pair: one group, one side
+    assert final[2_000_000] == final[2_000_001]
+
+    # (3) batch equivalence (no cross-batch merges in this stream):
+    # from-scratch component-routed split over everything ever seen
+    all_docs = seed
+    for b in incs:
+        all_docs = all_docs.unionByName(b)
+    want = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in leakage_safe_assignments(
+            all_docs, "doc_id", "text"
+        ).collect()
+    }
+    # compare on survivor-founded groups: for docs routed as dups the
+    # incremental group is the dup TARGET's group (stability), while a
+    # from-scratch pass may relabel a merged group by a later min id —
+    # equality of the SPLIT (the user-facing contract) must still hold
+    # for every doc whose batch introduced no cross-batch merge; in
+    # this stream there are none, so splits agree everywhere
+    assert set(final) == set(want)
+    mismatches = {d for d in final if final[d][1] != want[d][1]}
+    assert mismatches == set(), sorted(mismatches)[:10]

@@ -321,3 +321,42 @@ def test_zipf_source_drift_sink_matches_batch_query(spark, tmp_path):
     for replay_id in sink.committed_batches():
         sink(docs, replay_id)
     assert {tuple(r) for r in sink.counts(spark).collect()} == before
+
+
+def test_hourly_anomaly_sink_matches_batch_query(spark, tmp_path):
+    """The incrementally-maintained hourly spine must derive the batch
+    trailing-baseline anomaly monitor bit-for-bit (integer counts →
+    additive merge exact under any batch split; the scored view is the
+    SAME shared plan), with replayed and pruned-replayed batch ids
+    dropped."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import HourlyAnomalySink
+
+    sink = HourlyAnomalySink(str(tmp_path / "anom"), keep_versions=1)
+    assert sink.anomalies(spark) is None  # pre-commit: explicit None
+    stream = stream_from_parquet_events(spark, SF_SMOKE).select(
+        "event_type", "ts"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sink.anomalies(spark)
+    want = QUERIES["event_hourly_anomaly"].spark(spark, SF_SMOKE)
+    assert got.columns == want.columns
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    # replays (including of pruned versions) must not double-count
+    events = load_table(spark, SF_SMOKE, "events").select("event_type", "ts")
+    before = {tuple(r) for r in sink.counts(spark).collect()}
+    for replay_id in sink.committed_batches():
+        sink(events, replay_id)
+    assert {tuple(r) for r in sink.counts(spark).collect()} == before
