@@ -3477,3 +3477,78 @@ def dedup_embedding_label_audit(
         )
         .orderBy("component")
     )
+
+
+def _semantic_leakage_split_oracle() -> str:
+    return f"""
+    WITH comp AS ({_embedding_components_oracle()}),
+    g AS (
+        SELECT e.vec_id,
+               COALESCE(c.component, e.vec_id) AS group_id,
+               c.vec_id IS NOT NULL AS is_dup_member
+        FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ),
+    b AS (
+        SELECT vec_id, group_id, is_dup_member,
+               CAST(('0x' || substr(md5('v1|' || CAST(group_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 100 AS bucket
+        FROM g
+    ),
+    s AS (
+        SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN is_dup_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_member_vecs
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@register("dedup_semantic_leakage_split", _semantic_leakage_split_oracle())
+def dedup_semantic_leakage_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The embedding-side sibling of ``dedup_leakage_safe_split``:
+    train/val/test routed by SEMANTIC-duplicate component (SRP-LSH
+    verified cosine pair graph), so two embeddings of the same content
+    — paraphrases, re-encodings, scaled copies — can never straddle a
+    train/test boundary. Text-level dedup misses exactly this class
+    (different surface forms, same meaning), which is why
+    decontamination pipelines run BOTH splits; group id = component
+    min-id for dup members, own id otherwise, split = the same
+    deterministic md5 bucket as the text-side query (one salt, one
+    rule, auditable).
+
+    Scale: third policy consumer of the persisted
+    :func:`srp_pair_graph` artifact — components over the pair sliver,
+    broadcast onto ONE narrow pass of the embeddings table (vec_id
+    only; the vectors themselves are never touched)."""
+    from .operators.dedup import duplicate_components
+    from .pipelines.ml import deterministic_split
+
+    comp = duplicate_components(srp_pair_graph(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    e = _t(spark, sf_dir, "embeddings").select("vec_id")
+    g = e.join(F.broadcast(comp), "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).alias("group_id"),
+        F.col("component").isNotNull().alias("is_dup_member"),
+    )
+    a = deterministic_split(g, "group_id")
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.sum(F.col("is_dup_member").cast("long"))
+            .cast("long")
+            .alias("n_dup_member_vecs"),
+        )
+        .orderBy("split")
+    )

@@ -887,3 +887,38 @@ def test_leakage_safe_split_components_never_straddle(spark):
         pairs.join(na, "id_a").join(nb, "id_b").filter("s_a <> s_b").count()
     )
     assert naive_straddles > 0
+
+
+def test_semantic_leakage_split_components_never_straddle(spark):
+    """Embedding-side no-leakage guarantee: every verified semantic
+    near-dup pair's endpoints land in the same split (split is a pure
+    function of the SRP component id)."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        duplicate_components,
+    )
+    from mknssh_11_bigdata_spark.pipelines.ml import deterministic_split
+    from mknssh_11_bigdata_spark.queries_llm import srp_pair_graph
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pairs = srp_pair_graph(spark, sf)
+    assert pairs.count() > 0  # the property must be exercised
+    comp = duplicate_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    e = load_table(spark, sf, "embeddings").select("vec_id")
+    a = deterministic_split(
+        e.join(F.broadcast(comp), "vec_id", "left").select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("group_id"),
+        ),
+        "group_id",
+    )
+    sa = a.select(F.col("vec_id").alias("id_a"), F.col("split").alias("s_a"))
+    sb = a.select(F.col("vec_id").alias("id_b"), F.col("split").alias("s_b"))
+    assert (
+        pairs.join(sa, "id_a").join(sb, "id_b").filter("s_a <> s_b").count()
+        == 0
+    )

@@ -568,3 +568,41 @@ def test_leakage_safe_split_sink_invariants(spark, tmp_path):
     assert set(final) == set(want)
     mismatches = {d for d in final if final[d][1] != want[d][1]}
     assert mismatches == set(), sorted(mismatches)[:10]
+
+
+def test_leakage_safe_split_sink_survives_compaction(spark, tmp_path):
+    """Split slices are NOT part of compact()'s fold set — they must
+    survive compaction verbatim (markers are kept, so assignments()
+    keeps resolving every committed slice) and the auto-cadence path
+    must compose with split assignment."""
+    seed, incs = _slices(spark)
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        LeakageSafeSplitDedupSink,
+    )
+
+    auto = LeakageSafeSplitDedupSink(
+        str(tmp_path / "auto"), compact_every=2
+    )
+    plain = LeakageSafeSplitDedupSink(str(tmp_path / "plain"))
+    auto.seed(seed)
+    plain.seed(seed)
+    for i, b in enumerate(incs):
+        auto(b, i)
+        plain(b, i)
+    assert auto._compact_epoch() is not None  # cadence fired
+    got = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in auto.assignments(spark).collect()
+    }
+    want = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in plain.assignments(spark).collect()
+    }
+    assert got == want
+    # routing after compaction still assigns (split slices + markers
+    # intact): replaying a folded batch stays a no-op
+    auto(incs[0], 0)
+    assert {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in auto.assignments(spark).collect()
+    } == got
