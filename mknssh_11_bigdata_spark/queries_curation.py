@@ -1148,15 +1148,19 @@ def funnel_pass(text_col) -> "F.Column":
     )
 
 
-def _pipeline_oracle() -> str:
+def _funnel_comp_prefix() -> str:
+    """The shared CTE chain ``tq → fl → qdocs → pairs → edges → reach
+    → comp``: quality-funnel survivors plus near-dup components over
+    the SURVIVOR-INDUCED graph (pairs recomputed on the filtered
+    table — a dropped bridge doc genuinely disconnects its neighbors).
+    Composed by the pipeline oracle and the curation leakage-split
+    oracle."""
     from .queries_llm import _minhash_oracle
 
     toks_l = SQL_TOKS.format(col="lower(text)")
-    toks = SQL_TOKS.format(col="text")
     sw = ", ".join(f"'{s}'" for s in FUNNEL_STOPWORDS)
     pairs = _minhash_oracle(table="qdocs")
-    return f"""
-    WITH RECURSIVE tq AS (
+    return f"""tq AS (
         SELECT doc_id, source, text, {toks_l} AS lt FROM documents
     ),
     fl AS (
@@ -1191,7 +1195,13 @@ def _pipeline_oracle() -> str:
         SELECT e.dst, r.root
         FROM reach r JOIN edges e ON e.src = r.id
     ),
-    comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id),
+    comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)"""
+
+
+def _pipeline_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH RECURSIVE {_funnel_comp_prefix()},
     losers AS (SELECT id AS doc_id FROM comp WHERE component <> id),
     kept AS (
         SELECT * FROM qdocs
@@ -1260,6 +1270,103 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = q.join(F.broadcast(losers), "doc_id", "left_anti")
     return pack_sequences(kept, "doc_id", "text")
+
+
+def _curation_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_funnel_comp_prefix()},
+    g AS (
+        SELECT q.doc_id,
+               COALESCE(c.component, q.doc_id) AS group_id,
+               c.id IS NOT NULL AS is_dup_member
+        FROM qdocs q LEFT JOIN comp c ON c.id = q.doc_id
+    ),
+    b AS (
+        SELECT doc_id, group_id, is_dup_member,
+               CAST(('0x' || substr(md5('v1|' || CAST(group_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 100 AS bucket
+        FROM g
+    ),
+    s AS (
+        SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN is_dup_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_member_docs
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@register("curation_leakage_split", _curation_split_oracle())
+def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage-safe split composed INTO the curation funnel — the
+    production order: quality-gate first (100× cheaper per doc than
+    dedup), then near-dup components over the SURVIVOR-INDUCED graph,
+    then the component-routed train/val/test split of the surviving
+    corpus. Induced, not filtered-global: a dropped bridge doc
+    genuinely disconnects its neighbors, so two survivors whose only
+    similarity path ran through rejected boilerplate split
+    independently — which is correct, their direct similarity is below
+    threshold.
+
+    Note the deliberate difference from ``dedup_leakage_safe_split``:
+    that query routes the RAW corpus via the persisted pair-graph
+    artifact; this one recomputes the chain on the funnel's output
+    (different doc set ⇒ different graph), certifying the composed
+    plan end-to-end the way ``corpus_curation_pipeline`` certifies
+    funnel→dedup→packing.
+
+    Scale: the LSH chain runs on the filtered sliver only; the
+    component map broadcasts onto the survivor set; the split
+    expression is narrow-only."""
+    from .operators.dedup import duplicate_components, minhash_dedup_pairs
+    from .pipelines.ml import deterministic_split
+    from .queries_llm import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = d.filter(funnel_pass(F.col("text")))
+    pairs = minhash_dedup_pairs(
+        q,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = duplicate_components(pairs)
+    g = q.select("doc_id").join(
+        F.broadcast(comp.withColumnRenamed("component", "group_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+        F.col("group_id").isNotNull().alias("is_dup_member"),
+    )
+    a = deterministic_split(g, "group_id")
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.sum(F.col("is_dup_member").cast("long"))
+            .cast("long")
+            .alias("n_dup_member_docs"),
+        )
+        .orderBy("split")
+    )
 
 
 # ---------------------------------------------------------------------------
