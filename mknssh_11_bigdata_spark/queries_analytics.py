@@ -764,7 +764,10 @@ _CONTAM_N = 3
 _CONTAM_EVAL_MOD, _CONTAM_EVAL_REM = 97, 7
 
 
-def _contam_tiers_oracle() -> str:
+def _contam_base_cte() -> str:
+    """CTE chain ``t → g → ev → corp → hits → base`` (per-doc eval
+    n-gram hit counts over the non-eval slice) — shared by the tier
+    oracle and the split-contamination audit oracle."""
     toks = _SQL_TOKS.format(col="text")
     n = _CONTAM_N
     gN = (
@@ -773,8 +776,7 @@ def _contam_tiers_oracle() -> str:
         f"i -> array_to_string(t[i:i+{n - 1}], ' '))) "
         "ELSE [array_to_string(t, ' ')] END"
     )
-    return f"""
-    WITH t AS (
+    return f"""t AS (
         SELECT doc_id, n_chars, {toks} AS t FROM documents
     ),
     g AS (SELECT doc_id, n_chars, {gN} AS gn FROM t),
@@ -795,7 +797,12 @@ def _contam_tiers_oracle() -> str:
         FROM (SELECT doc_id, n_chars FROM documents
               WHERE doc_id % {_CONTAM_EVAL_MOD} <> {_CONTAM_EVAL_REM}) b
         LEFT JOIN hits h ON h.doc_id = b.doc_id
-    ),
+    )"""
+
+
+def _contam_tiers_oracle() -> str:
+    return f"""
+    WITH {_contam_base_cte()},
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
     SELECT CASE WHEN nhit = 0 THEN 'clean'
                 WHEN nhit <= 2 THEN 'touched'
@@ -808,19 +815,10 @@ def _contam_tiers_oracle() -> str:
     """
 
 
-@register("doc_contamination_tiers", _contam_tiers_oracle())
-def doc_contamination_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded decontamination report: instead of the binary
-    flagged/clean gate, count how many DISTINCT eval n-grams each
-    training document shares with the held-out slice and band the
-    corpus into clean (0) / touched (1–2) / contaminated (3+) tiers —
-    the policy input for "drop hard hits, downweight soft hits"
-    decontamination (as opposed to drop-everything).
-
-    Scale: same broadcast-semi shape as ``doc_ngram_decontaminate`` —
-    the eval n-gram set is benchmark-sized and broadcasts; the corpus
-    side streams through one explode with NO corpus shuffle before the
-    sliver-sized per-doc distinct-hit count."""
+def _contamination_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct eval-n-gram hit counts ``(doc_id, n_chars,
+    nhit)`` over the non-eval corpus slice — the shared substrate of
+    ``doc_contamination_tiers`` and ``split_contamination_audit``."""
     d = _t(spark, sf_dir, "documents")
     is_eval = (F.col("doc_id") % _CONTAM_EVAL_MOD) == _CONTAM_EVAL_REM
     staged = d.select(
@@ -843,19 +841,39 @@ def doc_contamination_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("nhit"))
     )
-    base = (
+    return (
         d.filter(~is_eval)
         .select("doc_id", "n_chars")
         .join(hits, "doc_id", "left")
         .withColumn("nhit", F.coalesce(F.col("nhit"), F.lit(0)))
-        .localCheckpoint(eager=True)  # doc-count-sized; feeds tot + rollup
+        .localCheckpoint(eager=True)  # doc-count-sized; feeds consumers
     )
-    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tier = (
+
+
+def _contam_tier_col():
+    return (
         F.when(F.col("nhit") == 0, "clean")
         .when(F.col("nhit") <= 2, "touched")
         .otherwise("contaminated")
     )
+
+
+@register("doc_contamination_tiers", _contam_tiers_oracle())
+def doc_contamination_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination report: instead of the binary
+    flagged/clean gate, count how many DISTINCT eval n-grams each
+    training document shares with the held-out slice and band the
+    corpus into clean (0) / touched (1–2) / contaminated (3+) tiers —
+    the policy input for "drop hard hits, downweight soft hits"
+    decontamination (as opposed to drop-everything).
+
+    Scale: same broadcast-semi shape as ``doc_ngram_decontaminate`` —
+    the eval n-gram set is benchmark-sized and broadcasts; the corpus
+    side streams through one explode with NO corpus shuffle before the
+    sliver-sized per-doc distinct-hit count."""
+    base = _contamination_base(spark, sf_dir)
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tier = _contam_tier_col()
     return (
         base.crossJoin(F.broadcast(tot))
         .groupBy(tier.alias("tier"))
@@ -867,6 +885,75 @@ def doc_contamination_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
         .orderBy("tier")
+    )
+
+
+def _split_contam_oracle() -> str:
+    from .queries_llm import _components_oracle
+
+    return f"""
+    WITH comp AS ({_components_oracle()}),
+    {_contam_base_cte()},
+    ga AS (
+        SELECT b.doc_id, b.nhit,
+               COALESCE(c.component, b.doc_id) AS group_id
+        FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id
+    ),
+    s AS (
+        SELECT nhit,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT nhit,
+                   CAST(('0x' || substr(md5('v1|' ||
+                        CAST(group_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 100 AS bucket
+            FROM ga
+        )
+    )
+    SELECT split,
+           CASE WHEN nhit = 0 THEN 'clean'
+                WHEN nhit <= 2 THEN 'touched'
+                ELSE 'contaminated' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nhit) AS BIGINT) AS sum_hits
+    FROM s GROUP BY 1, 2 ORDER BY split, tier
+    """
+
+
+@register("split_contamination_audit", _split_contam_oracle())
+def split_contamination_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two eval-hygiene signals crossed: for every cell of
+    (leakage-safe split × contamination tier), the doc count and total
+    eval-n-gram hits — the table a curation run reads to decide how
+    much contaminated mass its TRAIN side carries before quarantine
+    (near-dup routing alone cannot catch benchmark overlap: a train
+    doc can quote the eval set verbatim without being anyone's
+    near-duplicate). Composes the component-routed split
+    (``dedup_leakage_safe_split``) with the graded contamination bands
+    (``doc_contamination_tiers``) through their shared substrates.
+
+    Scale: the component map and the eval n-gram set both broadcast;
+    the corpus contributes one narrow pass for the split and one
+    explode for the hit counts — no corpus-sized shuffle anywhere, and
+    the cross-tab is 9 rows."""
+    from .queries_llm import leakage_safe_split_assignments
+
+    base = _contamination_base(spark, sf_dir)
+    a = leakage_safe_split_assignments(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    return (
+        base.join(a, "doc_id")
+        .groupBy("split", _contam_tier_col().alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nhit").cast("long").alias("sum_hits"),
+        )
+        .orderBy("split", "tier")
     )
 
 
