@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles_of, tokens
 from ..functions.vectors import dot, l2_norm
-from ..plans.layout import spread
+from ..plans.layout import broadcast_if_small, spread
 
 __all__ = [
     "exact_duplicate_groups",
@@ -1119,11 +1119,13 @@ def near_dup_components(
         )
     finally:
         reps.unpersist()
-    # rep_comp is bounded by the near-dup graph (tiny vs corpus) =>
-    # broadcast. A doc whose rep has no near-dup neighbor labels itself
-    # with the rep and survives only if its exact group has size >= 2.
+    # rep_comp is bounded by the near-dup graph over distinct texts —
+    # usually tiny vs corpus, but on dup-heavy crawls it can be
+    # corpus-scale, so the hint arms only under a measured count
+    # (VERDICT r5 #1). A doc whose rep has no near-dup neighbor labels
+    # itself with the rep and survives only if its exact group >= 2.
     return (
-        mapping.join(F.broadcast(rep_comp), "rep_id", "left")
+        mapping.join(broadcast_if_small(rep_comp), "rep_id", "left")
         .filter((F.col("group_n") >= 2) | F.col("__rc").isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),

@@ -214,12 +214,18 @@ def leakage_safe_assignments(
     members, own id otherwise. The corpus-level registered query
     (``dedup_leakage_safe_split``) uses the persisted pair-graph
     artifact instead; this form serves arbitrary slices — seed corpora
-    and micro-batches in the incremental split sink."""
+    and micro-batches in the incremental split sink. The component-map
+    join hint is measured-count guarded (VERDICT r5 #1): micro-batches
+    always fit, but a corpus-sized seed on dup-heavy data must not
+    force the broadcast."""
     from ..operators.dedup import near_dup_components
+    from ..plans.layout import broadcast_if_small
 
     comp = near_dup_components(docs, id_col, text_col, **dedup_kwargs)
     g = docs.select(id_col).join(
-        F.broadcast(comp.withColumnRenamed("component", "group_id")),
+        broadcast_if_small(
+            comp.withColumnRenamed("component", "group_id")
+        ),
         id_col,
         "left",
     ).select(

@@ -1112,9 +1112,12 @@ def dedup_component_label_consensus(
     already log-rounds/banded (``duplicate_components``,
     ``minhash_dedup_pairs``); the vote is a component-keyed count and
     the winner window partitions BY COMPONENT (parallel, no global
-    window). Component maps are sliver-sized next to the corpus, so
-    the label join broadcasts at scale."""
+    window). The winner-map join hint is measured-count guarded
+    (:func:`broadcast_if_small`, VERDICT r5 #1) — on a crawl with
+    corpus-scale dup membership the per-component winner frame is no
+    longer a sliver and must not be force-broadcast."""
     from .operators.dedup import duplicate_components
+    from .plans.layout import broadcast_if_small
     from .queries_llm import minhash_pair_graph
 
     d = _t(spark, sf_dir, "documents")
@@ -1134,7 +1137,7 @@ def dedup_component_label_consensus(
         .select("component", F.col("lang").alias("consensus_lang"))
     )
     return (
-        labeled.join(F.broadcast(winner), "component")
+        labeled.join(broadcast_if_small(winner), "component")
         .select(
             "doc_id",
             "component",

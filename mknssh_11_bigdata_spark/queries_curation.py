@@ -1242,9 +1242,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each stage keeps its standalone plan (scan-speed gates, the
     banded LSH chain over the filtered sliver only — dedup after
     filtering is the production order since the gate is 100x cheaper
-    per doc — and the sharded packing cumsum); the component loser set
-    is tiny, so the kept-corpus filter is a broadcast anti-join."""
+    per doc — and the sharded packing cumsum); the kept-corpus filter
+    is an anti-join whose broadcast hint arms only under a measured
+    loser count (VERDICT r5 #1 — dup-heavy crawls make it corpus-scale)."""
     from .operators.dedup import duplicate_components, minhash_dedup_pairs
+    from .plans.layout import broadcast_if_small
     from .queries_llm import (
         BANDS,
         JACCARD_THRESHOLD,
@@ -1268,7 +1270,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.filter(F.col("component") != F.col("doc_id")).select(
         "doc_id"
     )
-    kept = q.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept = q.join(broadcast_if_small(losers), "doc_id", "left_anti")
     return pack_sequences(kept, "doc_id", "text")
 
 
@@ -1322,10 +1324,13 @@ def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel→dedup→packing.
 
     Scale: the LSH chain runs on the filtered sliver only; the
-    component map broadcasts onto the survivor set; the split
-    expression is narrow-only."""
+    component-map join hint is measured-count guarded
+    (:func:`broadcast_if_small`, VERDICT r5 #1 — dup members can be a
+    large fraction of a crawl corpus, so the hint must never be
+    unconditional); the split expression is narrow-only."""
     from .operators.dedup import duplicate_components, minhash_dedup_pairs
     from .pipelines.ml import deterministic_split
+    from .plans.layout import broadcast_if_small
     from .queries_llm import (
         BANDS,
         JACCARD_THRESHOLD,
@@ -1347,7 +1352,9 @@ def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = duplicate_components(pairs)
     g = q.select("doc_id").join(
-        F.broadcast(comp.withColumnRenamed("component", "group_id")),
+        broadcast_if_small(
+            comp.withColumnRenamed("component", "group_id")
+        ),
         "doc_id",
         "left",
     ).select(
