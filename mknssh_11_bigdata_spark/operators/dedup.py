@@ -145,7 +145,9 @@ def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int
 
 
 def hash_family_digest(
-    num_hashes: int = 32, srp_bits: int = 32, dim: int = 64
+    num_hashes: int | None = None,
+    srp_bits: int | None = None,
+    dim: int | None = None,
 ) -> str:
     """Short digest of the CODE-LEVEL hash-family constants that a
     persisted pair-graph artifact depends on but whose values never
@@ -158,12 +160,22 @@ def hash_family_digest(
     pairs generated by the old family — a source fingerprint plus
     geometry params alone cannot detect a code change (ADVICE r3).
 
-    Callers MUST pass their PRODUCTION geometry (``NUM_HASHES``,
-    ``SRP_BITS``, ``EMB_DIM``): probing a fixed small prefix would miss
-    a code change that alters only later stream draws (dim- or
-    index-dependent generation, or a raised hash count) — the exact
-    staleness hazard the digest exists to close (ADVICE r4)."""
+    Geometry args must be the caller's PRODUCTION geometry: probing a
+    fixed small prefix would miss a code change that alters only later
+    stream draws (dim- or index-dependent generation, or a raised hash
+    count) — the exact staleness hazard the digest exists to close
+    (ADVICE r4). Omitted args default to the production constants
+    THEMSELVES (``queries_llm.NUM_HASHES``/``SRP_BITS``/``EMB_DIM``,
+    lazily imported), not frozen copies, so a default-args caller can
+    never compute a stale digest after a geometry bump (ADVICE r5)."""
     import hashlib
+
+    if num_hashes is None or srp_bits is None or dim is None:
+        from ..queries_llm import EMB_DIM, NUM_HASHES, SRP_BITS
+
+        num_hashes = NUM_HASHES if num_hashes is None else num_hashes
+        srp_bits = SRP_BITS if srp_bits is None else srp_bits
+        dim = EMB_DIM if dim is None else dim
 
     payload = "|".join(
         [
@@ -1349,7 +1361,8 @@ def min_label_propagation(
     that ENTERED superstep ``i+1`` (so ``frontier_sizes[0]`` is the
     label-set size and the last entry is the changed-label count the
     fixpoint superstep re-propagated — convergence telemetry, exposed
-    as data by ``graph_convergence_audit``).
+    as data by the registered ``dedup_label_propagation_convergence``
+    query).
     """
     frontier = labels  # round 1 considers every label "new"
     n_frontier: int | None = None  # unknown until measured — never force
@@ -1368,8 +1381,12 @@ def min_label_propagation(
             )
             .localCheckpoint(eager=True)  # flat lineage per superstep
         )
+        # Round 1's size is the label-set count; read it off the
+        # just-checkpointed `updated` (one row per node, identical
+        # count) so it's a cached block scan, never a recompute of the
+        # caller's raw `labels` lineage (ADVICE r5).
         sizes.append(
-            n_frontier if n_frontier is not None else labels.count()
+            n_frontier if n_frontier is not None else updated.count()
         )
         frontier = updated.filter("__improved").select("node", "lbl")
         labels = updated.select("node", "lbl")

@@ -451,12 +451,28 @@ class LeakageSafeSplitDedupSink(IndexedIncrementalDedupCorpusSink):
             "group_id",
             "split",
         )
+        # LEFT join + loud failure (ADVICE r5): the disjoint-id
+        # contract says every dup_of is an already-assigned corpus doc;
+        # if an ingest bug or a missing split slice ever violates it,
+        # an inner join would silently drop the doc's split row — the
+        # worst outcome for an immutable-assignment ledger. Fail the
+        # batch instead so the broken contract surfaces at ingest.
         inherited = (
             status.filter(F.col("status") != "new")
             .select(self.id_col, "dup_of")
-            .join(prev, "dup_of")
-            .select(self.id_col, "group_id", "split")
+            .join(prev, "dup_of", "left")
+            .localCheckpoint(eager=True)  # count + write read one scan
         )
+        n_orphans = inherited.filter(F.col("split").isNull()).count()
+        if n_orphans:
+            raise RuntimeError(
+                f"LeakageSafeSplitDedupSink batch {batch_id}: "
+                f"{n_orphans} dup-routed doc(s) point at a dup_of with "
+                "no committed split assignment — the disjoint-id "
+                "ingest contract is violated or a split slice is "
+                "missing; refusing to write a silent gap."
+            )
+        inherited = inherited.select(self.id_col, "group_id", "split")
         fresh_docs = inc.join(
             status.filter(F.col("status") == "new").select(self.id_col),
             self.id_col,

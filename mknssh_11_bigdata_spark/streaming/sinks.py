@@ -444,6 +444,8 @@ class ZipfSourceDriftSink(_CommitMarkerLedger):
     def __init__(self, root: str, keep_versions: int = 2):
         super().__init__(root)
         self.keep_versions = keep_versions
+        self._drift_ckpt: DataFrame | None = None
+        self._drift_ckpt_version: int | None = None
 
     def counts(self, spark: SparkSession) -> DataFrame | None:
         """Latest COMMITTED (source, token, f) counts."""
@@ -456,15 +458,29 @@ class ZipfSourceDriftSink(_CommitMarkerLedger):
         """The drift view — column-identical to
         ``corpus_zipf_source_drift`` (source, n_terms, zipf_slope,
         slope_drift), derived from the maintained counts through the
-        shared batch-query plan."""
+        shared batch-query plan.
+
+        The counts snapshot feeds both OLS fits, so it is
+        localCheckpointed — but keyed by the committed version and
+        unpersisted on version change (ADVICE r5): a long-lived
+        monitoring session calling ``drift()`` repeatedly holds ONE
+        cached snapshot, not an accumulating block per call. A view
+        returned by an earlier call stays valid until the next
+        committed version supersedes it."""
         from ..queries_analytics import zipf_drift_from_source_counts
 
-        counts = self.counts(spark)
-        if counts is None:
+        committed = self.committed_batches()
+        if not committed:
             return None
-        return zipf_drift_from_source_counts(
-            counts.localCheckpoint(eager=True)  # feeds both fits
-        )
+        version = max(committed)
+        if self._drift_ckpt_version != version:
+            if self._drift_ckpt is not None:
+                self._drift_ckpt.unpersist()
+            self._drift_ckpt = spark.read.parquet(
+                f"{self.root}/v={version}"
+            ).localCheckpoint(eager=True)
+            self._drift_ckpt_version = version
+        return zipf_drift_from_source_counts(self._drift_ckpt)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..functions import text as TX

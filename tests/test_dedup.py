@@ -922,3 +922,19 @@ def test_semantic_leakage_split_components_never_straddle(spark):
         pairs.join(sa, "id_a").join(sb, "id_b").filter("s_a <> s_b").count()
         == 0
     )
+
+
+def test_hash_family_digest_defaults_track_production_geometry():
+    """ADVICE r5: omitted geometry args must resolve to the production
+    constants THEMSELVES, so a default-args caller can never compute a
+    digest at stale geometry after a production bump."""
+    from mknssh_11_bigdata_spark.operators import dedup as D
+    from mknssh_11_bigdata_spark.queries_llm import (
+        EMB_DIM,
+        NUM_HASHES,
+        SRP_BITS,
+    )
+
+    assert D.hash_family_digest() == D.hash_family_digest(
+        NUM_HASHES, SRP_BITS, EMB_DIM
+    )

@@ -606,3 +606,31 @@ def test_leakage_safe_split_sink_survives_compaction(spark, tmp_path):
         r["doc_id"]: (r["group_id"], r["split"])
         for r in auto.assignments(spark).collect()
     } == got
+
+
+def test_split_sink_orphan_dup_route_fails_loudly(spark, tmp_path):
+    """ADVICE r5: a dup-routed doc whose dup_of has no committed split
+    assignment (broken disjoint-id contract / missing slice) must fail
+    the batch loudly, never write a silent gap in the assignment
+    ledger."""
+    import pytest
+
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        LeakageSafeSplitDedupSink,
+    )
+
+    seed, incs = _slices(spark)
+    sink = LeakageSafeSplitDedupSink(str(tmp_path / "out"))
+    sink.seed(seed)
+    # corrupt the ledger: drop doc 0's split row — the planted clone in
+    # incs[1] dup-routes to doc 0 and now has nothing to inherit
+    path = str(tmp_path / "out" / "splits" / "batch_id=-1")
+    rest = (
+        spark.read.parquet(path)
+        .filter("doc_id <> 0")
+        .localCheckpoint(eager=True)  # materialize before overwrite
+    )
+    rest.write.mode("overwrite").parquet(path)
+    sink(incs[0], 0)  # clean batch still routes fine
+    with pytest.raises(RuntimeError, match="no committed split"):
+        sink(incs[1], 1)

@@ -360,3 +360,30 @@ def test_hourly_anomaly_sink_matches_batch_query(spark, tmp_path):
     for replay_id in sink.committed_batches():
         sink(events, replay_id)
     assert {tuple(r) for r in sink.counts(spark).collect()} == before
+
+
+def test_zipf_drift_checkpoint_reused_across_calls(spark, tmp_path):
+    """ADVICE r5: repeated ``drift()`` reads on a long-lived monitoring
+    session must hold ONE cached snapshot per committed version —
+    reused while the version is unchanged, the old one unpersisted on
+    version change — never an accumulating block per call."""
+    from mknssh_11_bigdata_spark.streaming.sinks import ZipfSourceDriftSink
+
+    sink = ZipfSourceDriftSink(str(tmp_path / "zipf"))
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sink(docs, 0)
+    d1 = sink.drift(spark)
+    ckpt1 = sink._drift_ckpt
+    d2 = sink.drift(spark)
+    assert sink._drift_ckpt is ckpt1  # same version: one checkpoint
+    assert {tuple(r) for r in d1.collect()} == {
+        tuple(r) for r in d2.collect()
+    }
+    sink(docs.limit(50), 1)  # new committed version
+    sink.drift(spark)
+    assert sink._drift_ckpt is not ckpt1
+    assert sink._drift_ckpt_version == 1
+    # the superseded snapshot's cached blocks were released
+    assert not ckpt1.storageLevel.useMemory
