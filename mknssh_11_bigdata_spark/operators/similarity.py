@@ -34,6 +34,7 @@ __all__ = [
     "kmeans_centroids",
     "quantized_topk",
     "ivf_int8_topk",
+    "kcenter_coreset",
 ]
 
 
@@ -674,3 +675,81 @@ def ivf_topk_arrow(
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     return _ranked(scored, k)
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Greedy farthest-point k-center coreset over the embedding
+    column — the classic 2-approximation (Gonzalez '85) that diversity-
+    sampling curation passes use to pick a maximally-spread subset
+    (coreset seeds, eval-panel selection, cluster-init that beats
+    random). Returns the k selected rows as a small local frame
+    ``(round, vec_id, dist_micro)`` where ``dist_micro`` is the
+    selected point's squared-L2 distance to its nearest PRIOR center in
+    integer micro-units — the non-increasing k-center radius sequence,
+    selection order preserved.
+
+    Determinism contract: seed = smallest ``id_col``; per-center
+    squared-L2 distances fold left-to-right in doubles and are rounded
+    to micro-units BEFORE the running min (so min/argmax compare exact
+    integers); each round picks max distance with min-id tie-break,
+    among rows at distance > 0 (centers and their verbatim duplicates
+    never re-selected — a diversity pick skips exact copies); stops
+    early if no row remains at distance > 0.
+
+    Scale shape: the selected-center model is driver-side (k x dim
+    doubles — model-sized, same contract as :func:`kmeans_centroids`),
+    so each round is ONE map-shaped job over the once-checkpointed
+    corpus: a LEAST-of-literal-distances projection plus a
+    (max, min-id) argmax aggregation. No per-round corpus state is
+    materialized and no join ever touches the vectors; total work is
+    k scans of cached blocks with <= k distance evals per row. At
+    100 TB, k passes over the embedding column is the floor for greedy
+    k-center — and each pass here is exchange-free up to the scalar
+    argmax."""
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).localCheckpoint(eager=False)
+
+    def dist_q(center: list[float]) -> F.Column:
+        lit_v = F.array(*[F.lit(float(x)) for x in center])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("__v"), lit_v, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.round(d2 * scale, 0).cast("long")
+
+    seed = base.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    if not seed:
+        return base.sparkSession.createDataFrame(
+            [], "round int, vec_id long, dist_micro long"
+        )
+    centers: list[list[float]] = [list(seed[0]["__v"])]
+    picked: list[tuple[int, int, int]] = [(0, int(seed[0]["vec_id"]), 0)]
+    for rnd in range(1, k):
+        mind = F.least(*[dist_q(c) for c in centers]) if len(
+            centers
+        ) > 1 else dist_q(centers[0])
+        far = (
+            base.select("vec_id", "__v", mind.alias("__d"))
+            .where(F.col("__d") > 0)
+            .orderBy(F.col("__d").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        centers.append(list(far[0]["__v"]))
+        picked.append((rnd, int(far[0]["vec_id"]), int(far[0]["__d"])))
+    return base.sparkSession.createDataFrame(
+        picked, "round int, vec_id long, dist_micro long"
+    )

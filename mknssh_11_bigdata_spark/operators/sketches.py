@@ -1,0 +1,238 @@
+"""Bounded-memory sketch operators: Bloom-filter membership and
+Misra-Gries heavy hitters.
+
+Two scale patterns a 100 TB curation pass needs that nothing else in
+the tree provides:
+
+* **Bloom membership** — probe every corpus row against a known set
+  (benchmark fingerprints, previously-crawled URLs, canary ids) with a
+  broadcast BITMAP instead of a join. The known set compresses from
+  |S| x 16-byte fingerprints to m bits (~1.2 GB per 10^9 items at 1%
+  false-positive rate), the probe is O(k) map-side bit tests — no
+  shuffle, no corpus-side state. False positives are one-sided: the
+  filter can only over-match, never miss, so a downstream exact
+  semi-join on just the flagged sliver restores exactness at a fraction
+  of the full join's cost.
+
+* **Misra-Gries heavy hitters** — one scan with a CONSTANT-size
+  per-partition summary proposes every item whose global frequency can
+  exceed n/(capacity+1); a second scan rescores only those candidates
+  exactly (broadcast semi-join, map-side partial agg on a tiny key
+  space). For adversarial/huge item domains (n-grams, URLs, hashes —
+  where per-partition distinct ~= partition size and an exact
+  ``groupBy`` would shuffle nearly the whole input) this replaces a
+  corpus-scale shuffle with a P x capacity sliver. The final output is
+  EXACT (sketch proposes, rescore disposes), so it carries a plain SQL
+  oracle.
+
+Cross-engine determinism: bloom bit positions derive from md5 over
+explicit strings (the repo-wide portable-hash convention,
+``operators/dedup.py shingle_base_hash``); Misra-Gries feeds an exact
+rescore, so its candidate set never shows in the output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+__all__ = [
+    "bloom_bit_positions",
+    "bloom_build",
+    "bloom_probe",
+    "misra_gries_candidates",
+    "heavy_hitters_exact",
+]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership
+# ---------------------------------------------------------------------------
+
+#: Bits per bitmap word (the map values are 64-bit longs).
+_WORD_BITS = 64
+
+
+def bloom_bit_positions(item: Column, m_bits: int, k: int) -> list[Column]:
+    """The ``k`` bit positions of ``item`` in an ``m_bits``-bit Bloom
+    filter, as Column expressions both engines reproduce bit-for-bit:
+    position_j = (first 15 md5 hex chars of ``"j|item"`` parsed base-16)
+    mod m_bits. One md5 per (item, j) — k is small (<= 8) and items are
+    32-char fingerprints, so this is noise next to the scan."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), item)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        ).alias(f"__pos{j}")
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Build a Bloom bitmap over ``df[item_col]`` as a ONE-ROW frame
+    ``(bloom_map: map<long, long>)`` — word index -> 64-bit word, only
+    non-zero words stored. Plan shape: explode k positions per item,
+    one groupBy on word index (<= m_bits/64 groups — constant-bounded,
+    map-side combined), one collect_list into the single-row map. The
+    result broadcasts to every probe task; at the 10^9-known-items /
+    m = 10^10 design point the bitmap is ~1.2 GB — a large but bounded
+    broadcast where the exact fingerprint set would be 10-100x that and
+    the join it replaces would shuffle the corpus."""
+    pos = df.select(
+        F.explode(
+            F.array(*bloom_bit_positions(F.col(item_col), m_bits, k))
+        ).alias("__pos")
+    )
+    words = pos.groupBy(
+        F.expr(f"CAST(__pos DIV {_WORD_BITS} AS BIGINT)").alias("__word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__pos % {_WORD_BITS} AS INT)))"
+        ).alias("__bits")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
+        ).alias("bloom_map")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    item_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``flag_col`` — true iff ALL k bits of ``df[item_col]``
+    are set in the broadcast bitmap (Bloom "might contain"; one-sided:
+    every true member flags true). The probe is a crossJoin against the
+    ONE-ROW bitmap frame (broadcast by construction) plus k O(1) bit
+    tests per row — map-side, no shuffle, whole-stage codegen."""
+    staged = df.crossJoin(F.broadcast(bloom))
+    for j, pos in enumerate(
+        bloom_bit_positions(F.col(item_col), m_bits, k)
+    ):
+        staged = staged.withColumn(f"__pos{j}", pos)
+    hit = F.expr(
+        " AND ".join(
+            "(coalesce(element_at(bloom_map, "
+            f"CAST(__pos{j} DIV {_WORD_BITS} AS BIGINT)), "
+            "CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__pos{j} % {_WORD_BITS} AS INT))) != 0"
+            for j in range(k)
+        )
+    )
+    return staged.withColumn(flag_col, hit).drop(
+        "bloom_map", *[f"__pos{j}" for j in range(k)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(
+    df: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summary over ``df[item_col]``: at most
+    ``capacity`` ``(item, est)`` rows per partition, where ``est``
+    undercounts the item's true partition count by at most
+    n_partition/(capacity+1).
+
+    Guarantee the caller builds on (union across partitions): any item
+    with GLOBAL count f > n/(capacity+1) has, in at least one partition
+    i, local count f_i > n_i/(capacity+1) (else summing the per-
+    partition bounds gives f <= n/(capacity+1)), hence positive
+    estimate there, hence appears in the output. So the candidate union
+    is a SUPERSET of every item at or above any threshold
+    T > n/(capacity+1) — rescore exactly and filter to finish.
+
+    Implementation: Arrow-batched (``mapInPandas``); each batch's exact
+    ``value_counts`` merges into the running summary, then the
+    (capacity+1)-th largest counter value is subtracted from all and
+    non-positive counters dropped — the mergeable-summaries MERGE step
+    (Agarwal et al., PODS'12): at least capacity+1 counters each lose
+    the full subtracted value, so total subtraction over a partition is
+    <= n_partition/(capacity+1). Transient memory is
+    capacity + batch-distinct (bounded by the Arrow batch size), steady
+    state is <= capacity counters."""
+    out_schema = StructType(
+        [
+            StructField("item", StringType()),
+            StructField("est", LongType()),
+        ]
+    )
+
+    def mg(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > capacity:
+                sub = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    it: v - sub for it, v in counters.items() if v > sub
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+    return df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        mg, out_schema
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """Every item with EXACT count >= n DIV capacity + 1 (strictly
+    above the n/(capacity+1) retention bound, so the sketch provably
+    proposes all of them), with its exact count and integer
+    parts-per-million share: ``(item, n_occurrences, share_ppm)``.
+
+    Two scans, near-zero shuffle: scan 1 is the Misra-Gries pass
+    (P x capacity candidate rows move); scan 2 rescores candidates via
+    a broadcast semi-join (map-side filter, then a partial-agg groupBy
+    on <= P x capacity distinct keys) plus one scalar count. Exact
+    output => plain SQL oracle; the sketch is pure architecture."""
+    items = df.select(F.col(item_col).alias("item"))
+    cand = (
+        misra_gries_candidates(items, "item", capacity)
+        .select("item")
+        .distinct()
+    )
+    total = items.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    rescored = (
+        items.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return (
+        rescored.crossJoin(F.broadcast(total))
+        .where(
+            F.col("n_occurrences")
+            >= F.expr(f"__n DIV CAST({capacity} AS BIGINT)") + 1
+        )
+        .select(
+            "item",
+            "n_occurrences",
+            F.expr("n_occurrences * 1000000 DIV __n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

@@ -1737,3 +1737,267 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory sketch architectures: Bloom membership, Misra-Gries
+# heavy hitters (round 6; operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+#: Misra-Gries capacity for the heavy-hitters query. 32 over the
+#: synthetic 31-token vocabulary means the sf-gate output is the
+#: near-uniform head above n/32 (~half the vocabulary — a dense,
+#: tie-heavy band that certifies the exact rescore hard); the sketch's
+#: truncation path is certified separately by adversarial property
+#: tests (tests/test_sketches.py), the precedent being DECON_N=4 as the
+#: collision-rate analog of 13-gram decontamination.
+HH_CAPACITY = 32
+
+#: Bloom geometry: bits-per-known-item and probe count. 16 bits/item at
+#: k=2 gives a DELIBERATELY loose ~1.4% false-positive rate so the
+#: FP-audit arm of the query is exercised and counted at every sf (a
+#: production filter runs k≈7 at 10-14 bits/item for <1%; the load
+#: factor here is scale-invariant by construction — m grows with the
+#: measured known-set size, the n-scaled-geometry pattern the SRP band
+#: ladder established).
+BLOOM_BITS_PER_ITEM = 16
+BLOOM_K = 2
+BLOOM_M_FLOOR = 64  # keeps m positive when the eval slice is empty
+
+KCENTER_K = 8
+
+
+def _heavy_hitters_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH t AS (SELECT {toks} AS t FROM documents),
+    tok AS (SELECT unnest(t) AS token FROM t),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM n) AS BIGINT)
+               AS share_ppm
+    FROM tok GROUP BY token
+    HAVING COUNT(*) >= (SELECT n FROM n) // {HH_CAPACITY} + 1
+    ORDER BY n_occurrences DESC, token
+    """
+
+
+@register("corpus_heavy_hitters", _heavy_hitters_oracle())
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token heavy hitters (count >= n DIV capacity + 1) via the
+    Misra-Gries sketch -> exact-rescore architecture: one scan with a
+    CONSTANT-size per-partition summary proposes candidates (provably a
+    superset of everything above the threshold — the n/(capacity+1)
+    retention bound), a second scan rescores only candidates through a
+    broadcast semi-join. For huge item domains (n-grams, URLs — the
+    boilerplate-detection case, where per-partition distinct ~ partition
+    size) this replaces the exact groupBy's corpus-scale shuffle with a
+    P x capacity sliver; the OUTPUT is exact either way, which is why a
+    plain SQL oracle certifies the whole architecture.
+
+    Python appears only as the declared Arrow stage (mapInPandas MG
+    summary, operators/sketches.py misra_gries_candidates)."""
+    from .operators.sketches import heavy_hitters_exact
+
+    items = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        heavy_hitters_exact(items, "token", HH_CAPACITY)
+        .select(
+            F.col("item").alias("token"), "n_occurrences", "share_ppm"
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )
+
+
+#: fp(text) in DuckDB — the repo-wide exact-dedup fingerprint.
+_SQL_FP = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+def _bloom_oracle() -> str:
+    m = (
+        f"(SELECT CAST({BLOOM_BITS_PER_ITEM} * COUNT(DISTINCT fp) "
+        f"+ {BLOOM_M_FLOOR} AS BIGINT) FROM ev)"
+    )
+    pos = [
+        f"CAST(('0x' || substr(md5('{j}|' || fp), 1, 15)) AS BIGINT) % {m}"
+        for j in range(BLOOM_K)
+    ]
+    pos_cols = ", ".join(f"{p} AS p{j}" for j, p in enumerate(pos))
+    bloom_hit = " AND ".join(
+        f"(p{j} IN (SELECT pos FROM evpos))" for j in range(BLOOM_K)
+    )
+    ev_pos_rows = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM ev" for p in pos
+    )
+    return f"""
+    WITH ev AS (
+        SELECT DISTINCT {_SQL_FP} AS fp FROM documents
+        WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+    ),
+    evpos AS (SELECT DISTINCT pos FROM ({ev_pos_rows})),
+    corp AS (
+        SELECT doc_id, source, {_SQL_FP} AS fp FROM documents
+        WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}
+    ),
+    probe AS (SELECT doc_id, source, fp, {pos_cols} FROM corp),
+    flags AS (
+        SELECT doc_id, source,
+               ({bloom_hit}) AS bloom_hit,
+               (fp IN (SELECT fp FROM ev)) AS exact_hit
+        FROM probe
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           ROUND(SUM(CASE WHEN bloom_hit AND NOT exact_hit
+                     THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS fp_rate
+    FROM flags GROUP BY source ORDER BY source
+    """
+
+
+@register("dedup_bloom_membership", _bloom_oracle())
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-set membership at crawl scale: probe every training
+    document's content fingerprint against a broadcast BLOOM BITMAP of
+    the held-out eval slice's fingerprints (the doc_id % 97 == 7
+    benchmark stand-in), per-source audit of bloom hits vs exact hits
+    vs false positives. The pattern a 100 TB decontamination/recrawl
+    pass runs when the known set (benchmark fps, seen URLs) is too big
+    to semi-join per batch but its BITS fit in a broadcast: the probe
+    is k O(1) map-side bit tests — no shuffle, no corpus-side state —
+    and Bloom's one-sided error means a downstream exact join on just
+    the flagged sliver restores exactness (the exact arm here measures
+    precisely that sliver).
+
+    The exact arm doubles as the self-audit: n_bloom_hits >=
+    n_exact_hits always (no false negatives — property-tested), and
+    n_false_positives / fp_rate measure the deliberately-loose
+    16-bits-per-item k=2 geometry (~1.4%, scale-invariant because m is
+    n-scaled from the measured known-set size). All arithmetic integer
+    or 6-dp-rounded; bit positions are the repo's portable md5 hash, so
+    the oracle reproduces the bitmap bit-for-bit."""
+    from .operators.sketches import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    ev = d.filter(is_eval).select(fp.alias("fp")).distinct()
+    # n-scaled geometry: m tracks the measured known-set size so the
+    # load factor (and FP rate) is scale-invariant. The count is a
+    # sliver-sized action, same contract as broadcast_if_small.
+    m_bits = BLOOM_BITS_PER_ITEM * ev.count() + BLOOM_M_FLOOR
+    bloom = bloom_build(ev, "fp", m_bits, BLOOM_K)
+    corp = d.filter(~is_eval).select("doc_id", "source", fp.alias("fp"))
+    probed = bloom_probe(corp, "fp", bloom, m_bits, BLOOM_K)
+    flagged = probed.join(
+        F.broadcast(ev.withColumn("__ex", F.lit(1))), "fp", "left"
+    ).select(
+        "source",
+        F.col("bloom_hit"),
+        (F.col("__ex").isNotNull()).alias("exact_hit"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("bloom_hit").cast("long"))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.sum(F.col("exact_hit").cast("long"))
+            .cast("long")
+            .alias("n_exact_hits"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("exact_hit")).cast("long")
+            )
+            .cast("long")
+            .alias("n_false_positives"),
+            F.round(
+                F.sum(
+                    (F.col("bloom_hit") & ~F.col("exact_hit")).cast(
+                        "double"
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kcenter_oracle() -> str:
+    dist = (
+        "CAST(ROUND(list_sum(list_transform(range(1, len({a}.v) + 1), "
+        "i -> ({a}.v[i] - {b}.v[i]) * ({a}.v[i] - {b}.v[i]))) "
+        "* 1000000, 0) AS BIGINT)"
+    )
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        "AS v FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT 0 AS round, vec_id, v, "
+        "CAST(0 AS BIGINT) AS d FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT e.vec_id, e.v, "
+        f"{dist.format(a='e', b='c')} AS d FROM e CROSS JOIN s0 c)",
+    ]
+    for r in range(1, KCENTER_K):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT {r} AS round, vec_id, v, d "
+            f"FROM d{r} WHERE d > 0 ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        if r < KCENTER_K - 1:
+            parts.append(
+                f"d{r + 1} AS MATERIALIZED (SELECT p.vec_id, p.v, "
+                f"LEAST(p.d, {dist.format(a='p', b='c')}) AS d "
+                f"FROM d{r} p CROSS JOIN s{r} c)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT round, vec_id, d FROM s{r}" for r in range(KCENTER_K)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(round AS INTEGER) AS round, vec_id,
+           CAST(d AS BIGINT) AS dist_micro
+    FROM ({union}) ORDER BY round
+    """
+    )
+
+
+@register("embedding_kcenter_coreset", _kcenter_oracle())
+def embedding_kcenter_coreset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy farthest-point k-center coreset (k=8) over the embedding
+    table — the diversity-sampling primitive (Gonzalez 2-approx) a
+    curation pass uses to pick a maximally-spread subset for eval
+    panels, cluster init, or coverage-first data selection. Output is
+    the selection sequence ``(round, vec_id, dist_micro)`` — the
+    non-increasing k-center radius ladder, which doubles as the
+    coverage diagnostic (a slowly-decaying ladder = the corpus still
+    has unexplored modes).
+
+    Exactness: per-center squared-L2 folds left-to-right in doubles
+    and quantizes to integer micro-units BEFORE the running min, so
+    min/argmax compare exact integers and the unrolled MATERIALIZED-CTE
+    oracle (the supply_chain_pagerank pattern) replays every selection
+    bit-for-bit, tie-break included. Scale: the center model is
+    driver-side (k x 64 doubles), each round is one exchange-free
+    map+argmax pass over the once-checkpointed corpus — k scans is the
+    greedy floor; no join touches the vectors
+    (operators/similarity.py kcenter_coreset)."""
+    from .operators.similarity import kcenter_coreset
+
+    return kcenter_coreset(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", KCENTER_K
+    )

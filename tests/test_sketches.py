@@ -1,0 +1,180 @@
+"""Bounded-memory sketch operators (operators/sketches.py): the
+guarantees the registered queries build on but the sf-gate data is too
+benign to exercise — Misra-Gries truncation under adversarial skew,
+Bloom one-sidedness with planted members, bitmap boundedness."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mknssh_11_bigdata_spark.operators.sketches import (
+    bloom_bit_positions,
+    bloom_build,
+    bloom_probe,
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+
+
+def _skewed_items(n: int, seed: int) -> list[str]:
+    """Zipf-ish skew over a domain much larger than any MG capacity
+    used below, interleaved so heavy items span every partition."""
+    rng = random.Random(seed)
+    items = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.30:
+            items.append("hh0")
+        elif r < 0.45:
+            items.append("hh1")
+        elif r < 0.55:
+            items.append("hh2")
+        else:
+            items.append(f"tail{rng.randrange(5000)}")
+    return items
+
+
+@pytest.mark.parametrize("capacity", [4, 8, 16])
+def test_mg_candidates_bounded_and_retain_heavy(spark, capacity):
+    items = _skewed_items(20000, seed=7)
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(8)
+    cand = misra_gries_candidates(df, "item", capacity)
+    rows = cand.collect()
+    # per-partition summaries are capacity-bounded
+    per_part = (
+        cand.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= capacity for r in per_part)
+    # retention: every item with global count > n/(capacity+1) present
+    n = len(items)
+    exact: dict[str, int] = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    heavy = {x for x, c in exact.items() if c > n / (capacity + 1)}
+    got = {r["item"] for r in rows}
+    assert heavy <= got, heavy - got
+
+
+def test_heavy_hitters_exact_matches_groundtruth(spark):
+    items = _skewed_items(15000, seed=13)
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    capacity = 6
+    out = {
+        r["item"]: (r["n_occurrences"], r["share_ppm"])
+        for r in heavy_hitters_exact(df, "item", capacity).collect()
+    }
+    n = len(items)
+    thresh = n // capacity + 1
+    exact: dict[str, int] = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    want = {
+        x: (c, c * 1_000_000 // n)
+        for x, c in exact.items()
+        if c >= thresh
+    }
+    assert out == want
+    assert want, "skew fixture must actually produce heavy hitters"
+
+
+def test_mg_single_partition_worst_case_stream(spark):
+    """Adversarial order: the heavy item arrives AFTER a flood of
+    distinct tail items has saturated the summary — retention must
+    still hold (the decrement budget, not luck, is the guarantee)."""
+    tail = [f"t{i}" for i in range(3000)]
+    items = tail + ["HH"] * 1200 + tail  # n=7200, HH share ~1/6
+    df = spark.createDataFrame([(x,) for x in items], "item string").coalesce(1)
+    cand = {r["item"] for r in misra_gries_candidates(df, "item", 5).collect()}
+    # 1200 > 7200/6 = n/(capacity+1) => must be retained
+    assert "HH" in cand
+
+
+def test_bloom_no_false_negatives_with_planted_members(spark):
+    known = [f"k{i}" for i in range(200)]
+    probes = known + [f"other{i}" for i in range(2000)]
+    m_bits, k = 16 * len(known) + 64, 2
+    kdf = spark.createDataFrame([(x,) for x in known], "item string")
+    bloom = bloom_build(kdf, "item", m_bits, k)
+    pdf = spark.createDataFrame([(x,) for x in probes], "item string")
+    flagged = {
+        r["item"]: r["bloom_hit"]
+        for r in bloom_probe(pdf, "item", bloom, m_bits, k).collect()
+    }
+    assert all(flagged[x] for x in known)  # one-sided: no false negatives
+    fp = sum(1 for x in probes[len(known):] if flagged[x])
+    # loose geometry (~1.4% design point): nonzero but small
+    assert 0 < fp < 200
+
+
+def test_bloom_bitmap_bounded_and_positions_in_range(spark):
+    known = [f"k{i}" for i in range(500)]
+    m_bits, k = 1024, 4
+    kdf = spark.createDataFrame([(x,) for x in known], "item string")
+    row = bloom_build(kdf, "item", m_bits, k).collect()[0]
+    assert len(row["bloom_map"]) <= m_bits // 64
+    assert all(0 <= w < m_bits // 64 for w in row["bloom_map"])
+    pos = kdf.select(
+        F.array(*bloom_bit_positions(F.col("item"), m_bits, k)).alias("p")
+    ).collect()
+    assert all(0 <= p < m_bits for r in pos for p in r["p"])
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    import numpy as np
+
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(120, 16)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["round"], r["vec_id"], r["dist_micro"])
+        for r in kcenter_coreset(df, "vec_id", "embedding", k=6)
+        .orderBy("round")
+        .collect()
+    ]
+    # numpy replay of the same contract (quantize before min/argmax)
+    centers = [0]
+    picked = [(0, 0, 0)]
+    dq = None
+    for rnd in range(1, 6):
+        d2 = ((vecs - vecs[centers[-1]]) ** 2).sum(axis=1)
+        q = np.round(d2 * 1_000_000).astype(np.int64)
+        dq = q if dq is None else np.minimum(dq, q)
+        cand = np.where(dq > 0)[0]
+        best = cand[np.lexsort((cand, -dq[cand]))][0]
+        picked.append((rnd, int(best), int(dq[best])))
+        centers.append(int(best))
+    assert got == picked
+    # radius ladder non-increasing after the seed
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # selections distinct
+    assert len({v for _, v, _ in got}) == len(got)
+
+
+def test_kcenter_skips_exact_duplicates_and_stops_early(spark):
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    # 3 distinct points, each duplicated: k=5 must stop at 3 picks and
+    # never select a verbatim copy of an existing center
+    pts = [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]]
+    rows = [(i, pts[i % 3]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_coreset(df, "vec_id", "embedding", k=5).collect()
+    assert len(got) == 3
+    ids = [r["vec_id"] for r in got]
+    assert len(set(pts[i % 3][0] * 10 + pts[i % 3][1] for i in ids)) == 3
