@@ -2001,3 +2001,121 @@ def embedding_kcenter_coreset(
     return kcenter_coreset(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", KCENTER_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+# deterministic; round 6)
+# ---------------------------------------------------------------------------
+
+ARES_SALT = "ares-v1"
+ARES_K = 100
+#: 2^60 — the md5-derived 60-bit hash's range, as an exact double.
+_ARES_RANGE = float(1 << 60)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = ARES_SALT,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-Res scheme): each row gets
+    key = ln(u) / w for a hash-derived uniform u = (h+1)/2^60 (pure
+    function of salt+id — no RNG state, reproducible under re-runs and
+    data growth), and the sample is the top-k rows by key. Higher
+    weight => stochastically higher key => proportionally higher
+    inclusion probability (exactly w_i/Σw for k=1); this is how a
+    curation pass draws a quality-weighted subset in ONE pass.
+
+    Keys quantize to integer nano-units before ranking (repo float
+    policy: compare exact integers, tie-break on id), so any SQL engine
+    replays the sample bit-for-bit.
+
+    Scale shape: a map-only key projection + a distributed partial
+    top-k (``orderBy().limit(k)`` = TakeOrdered: each partition keeps
+    its local k, the driver merges P×k rows) — no shuffle of the
+    corpus, k-sized result. The follow-up rank window runs on the
+    k-row result, not the corpus."""
+    from pyspark.sql.window import Window
+
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(_ARES_RANGE)
+    key = (
+        F.round(F.log(u) / F.greatest(w, F.lit(1.0)) * 1e9, 0)
+        .cast("long")
+        .alias("key_nano")
+    )
+    topk = (
+        df.select(F.col(id_col), key)
+        .orderBy(F.col("key_nano").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    rank_w = Window.orderBy(
+        F.col("key_nano").desc(), F.col(id_col).asc()
+    )
+    return topk.select(
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        id_col,
+        "key_nano",
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(ROUND(
+                   ln((CAST(('0x' || substr(md5('{ARES_SALT}|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       + 1) / {_ARES_RANGE!r})
+                   / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 1e9,
+               0) AS BIGINT) AS key_nano
+        FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_nano DESC, doc_id)
+                AS INTEGER) AS rank,
+           doc_id, source, n_chars, key_nano
+    FROM keyed
+    ORDER BY key_nano DESC, doc_id
+    LIMIT {ARES_K}
+    """
+
+
+@register("doc_weighted_sample", _weighted_sample_oracle())
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sample (k=100, weight = n_chars standing
+    in for a quality score): the A-Res weighted-reservoir draw a mixing
+    pass uses to select training data proportionally to per-document
+    quality in one scan. Deterministic (hash-uniform keys, integer
+    nano-unit quantization, id tie-break) so the SQL oracle replays the
+    exact sample; statistically, inclusion probability is proportional
+    to weight (property-tested over salt sweeps in
+    tests/test_sketches.py).
+
+    Scale: map-only keys + TakeOrdered partial top-k — the corpus never
+    shuffles; complements doc_stratified_sample (per-group rates) with
+    per-ROW continuous weights."""
+    d = _t(spark, sf_dir, "documents")
+    sampled = weighted_sample_topk(d, "doc_id", "n_chars", ARES_K)
+    return sampled.join(
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")),
+        "doc_id",
+    ).select("rank", "doc_id", "source", "n_chars", "key_nano").orderBy("rank")

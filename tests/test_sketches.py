@@ -178,3 +178,56 @@ def test_kcenter_skips_exact_duplicates_and_stops_early(spark):
     assert len(got) == 3
     ids = [r["vec_id"] for r in got]
     assert len(set(pts[i % 3][0] * 10 + pts[i % 3][1] for i in ids)) == 3
+
+
+def test_weighted_sample_matches_numpy_replay(spark):
+    import hashlib
+
+    from mknssh_11_bigdata_spark.queries_curation import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 10.0 if i % 7 == 0 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [
+        (r["rank"], r["id"], r["key_nano"])
+        for r in weighted_sample_topk(df, "id", "w", 25, salt="t1")
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"t1|{i}".encode()).hexdigest()[:15], 16)
+        import math
+
+        return round(math.log((h + 1) / float(1 << 60)) / max(w, 1.0) * 1e9)
+
+    keyed = sorted(
+        ((key(i, w), i) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )
+    want = [(r + 1, i, k) for r, (k, i) in enumerate(keyed[:25])]
+    assert got == want
+
+
+def test_weighted_sample_inclusion_proportional_to_weight():
+    """E-S property, k=1: P(i wins) = w_i / sum(w). Two weight classes
+    (10:1), replayed in pure python over 400 salts — the winner should
+    come from the heavy class ~10x/(10x+y) of the time."""
+    import hashlib
+    import math
+
+    heavy = [(i, 10.0) for i in range(20)]
+    light = [(i, 1.0) for i in range(20, 220)]
+    rows = heavy + light
+    wins_heavy = 0
+    for s in range(400):
+        best = None
+        for i, w in rows:
+            h = int(hashlib.md5(f"s{s}|{i}".encode()).hexdigest()[:15], 16)
+            k = math.log((h + 1) / float(1 << 60)) / w
+            if best is None or k > best[0] or (k == best[0] and i < best[1]):
+                best = (k, i, w)
+        if best[2] == 10.0:
+            wins_heavy += 1
+    # expected share 200/(200+200) = 0.5; 400 trials => sd ~ 0.025
+    assert 0.40 <= wins_heavy / 400 <= 0.60
