@@ -41,6 +41,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 __all__ = [
     "bloom_bit_positions",
+    "bloom_word_frame",
     "bloom_build",
     "bloom_probe",
     "misra_gries_candidates",
@@ -75,6 +76,30 @@ def bloom_bit_positions(item: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+def bloom_word_frame(
+    df: DataFrame, item_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """The Bloom bitmap as a DISTRIBUTED word table
+    ``(__word: long, __bits: long)`` — only non-zero 64-bit words. The
+    persistable/mergeable form: slices built over different item
+    batches union row-wise and merge with one ``bit_or`` groupBy (an
+    LSM-friendly index artifact — the incremental dedup sink persists
+    one slice per batch and folds them at read/compaction)."""
+    pos = df.select(
+        F.explode(
+            F.array(*bloom_bit_positions(F.col(item_col), m_bits, k))
+        ).alias("__pos")
+    )
+    return pos.groupBy(
+        F.expr(f"CAST(__pos DIV {_WORD_BITS} AS BIGINT)").alias("__word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__pos % {_WORD_BITS} AS INT)))"
+        ).alias("__bits")
+    )
+
+
 def bloom_build(
     df: DataFrame, item_col: str, m_bits: int, k: int
 ) -> DataFrame:
@@ -87,19 +112,7 @@ def bloom_build(
     m = 10^10 design point the bitmap is ~1.2 GB — a large but bounded
     broadcast where the exact fingerprint set would be 10-100x that and
     the join it replaces would shuffle the corpus."""
-    pos = df.select(
-        F.explode(
-            F.array(*bloom_bit_positions(F.col(item_col), m_bits, k))
-        ).alias("__pos")
-    )
-    words = pos.groupBy(
-        F.expr(f"CAST(__pos DIV {_WORD_BITS} AS BIGINT)").alias("__word")
-    ).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(__pos % {_WORD_BITS} AS INT)))"
-        ).alias("__bits")
-    )
+    words = bloom_word_frame(df, item_col, m_bits, k)
     return words.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("__word"), F.col("__bits")))

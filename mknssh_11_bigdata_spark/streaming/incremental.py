@@ -165,6 +165,10 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
     default) leaves compaction to the operator.
     """
 
+    #: slice-table names compact() folds and cleans; subclasses that
+    #: persist extra per-batch tables extend this
+    _TABLES: tuple[str, ...] = ("corpus", "fp_index", "band_index")
+
     def __init__(
         self,
         root: str,
@@ -293,7 +297,7 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             # while the marker still points at it. Nothing to fold:
             # no-op.
             return epoch
-        for name in ("corpus", "fp_index", "band_index"):
+        for name in self._TABLES:
             df = spark.read.parquet(*self._slice_paths(name))
             # pin the read BEFORE overwriting anything under the table
             df = df.localCheckpoint(eager=True)
@@ -303,7 +307,7 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
         marker = pathlib.Path(self.root) / "_compacted"
         marker.mkdir(parents=True, exist_ok=True)
         (marker / str(epoch)).touch()
-        for name in ("corpus", "fp_index", "band_index"):
+        for name in self._TABLES:
             base = pathlib.Path(self.root) / name
             for b in [-1] + sorted(b for b in committed if b <= epoch):
                 shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
@@ -317,16 +321,15 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
                     pass
         return epoch
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _status(self, spark: SparkSession, inc: DataFrame) -> DataFrame:
+        """The per-batch routing decision (id, status, dup_of) — the
+        subclass seam the Bloom-prefiltered sink narrows. MUST return
+        the same decisions :func:`incremental_dedup_status_indexed`
+        would (the certified semantics); only the probe COST may
+        change."""
         from ..operators.dedup import incremental_dedup_status_indexed
 
-        if batch_id in self.committed_batches():
-            return  # replay of a committed batch — exactly-once drop
-        spark = batch_df.sparkSession
-        inc = batch_df.select(self.id_col, self.text_col).localCheckpoint(
-            eager=True
-        )
-        status = incremental_dedup_status_indexed(
+        return incremental_dedup_status_indexed(
             self.corpus(spark).select(self.id_col, self.text_col),
             self._index(spark, "fp_index"),
             self._index(spark, "band_index"),
@@ -334,7 +337,16 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             self.id_col,
             self.text_col,
             **self.dedup_kwargs,
-        ).localCheckpoint(eager=True)
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        inc = batch_df.select(self.id_col, self.text_col).localCheckpoint(
+            eager=True
+        )
+        status = self._status(spark, inc).localCheckpoint(eager=True)
         status.write.mode("overwrite").parquet(
             f"{self.root}/status/batch_id={batch_id}"
         )
@@ -371,6 +383,183 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
         """Per-batch extension point, called after the corpus/index
         slices land and before the commit marker. No-op here."""
 
+
+class BloomPrefilteredIncrementalDedupSink(
+    IndexedIncrementalDedupCorpusSink
+):
+    """The indexed sink with a BLOOM PRE-FILTER in front of both probe
+    joins — the 100 TB shape of "most of today's crawl is new": before
+    touching the fp/band indexes, each batch row probes two persisted
+    Bloom bitmaps (corpus fingerprints; corpus band keys). A row whose
+    fingerprint misses AND whose every band key misses provably has no
+    exact match and no LSH candidate in the corpus, so it routes
+    ``new`` without either index join; only the bloom-suspect sliver
+    runs the full indexed probe. One-sided error makes this exact:
+    false positives only send extra rows to the joins that then decide
+    correctly, never the reverse (equality with the unfiltered sink is
+    e2e-asserted in tests).
+
+    Bitmap slices persist per batch as mergeable ``(__word, __bits)``
+    tables (``bloom_fp/``, ``bloom_band/``), ride the same commit
+    markers and compaction as the other index tables (``_TABLES``),
+    and fold with one ``bit_or`` groupBy at read — total size is
+    m_bits/8 bytes regardless of corpus row count. ``bloom_m_bits`` is
+    FIXED geometry (words must align across slices): size it from the
+    corpus forecast (~16 bits per expected item). A saturated bitmap
+    degrades safely — everything probes as suspect and the sink
+    behaves exactly like the parent, paying only the bitmap scan.
+
+    The batch-side signature computation is NOT saved (the band probe
+    needs the increment's own band keys either way); the savings is
+    the corpus-side index join — file listing, pruned reads, shuffle —
+    which is the term that grows with corpus size."""
+
+    _TABLES = (
+        "corpus",
+        "fp_index",
+        "band_index",
+        "bloom_fp",
+        "bloom_band",
+    )
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        compact_every: int | None = None,
+        bloom_m_bits: int = 1 << 18,
+        bloom_k: int = 2,
+        **dedup_kwargs,
+    ):
+        super().__init__(
+            root, id_col, text_col, compact_every, **dedup_kwargs
+        )
+        if bloom_m_bits < 64 or bloom_k < 1:
+            raise ValueError("bloom geometry: m_bits >= 64, k >= 1")
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_k = bloom_k
+        #: (n_cleared, n_suspect) prefilter telemetry of the last batch
+        self.last_prefilter_stats: tuple[int, int] | None = None
+
+    def _write_index_slices(self, docs: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import bloom_word_frame
+
+        super()._write_index_slices(docs, batch_id)
+        spark = docs.sparkSession
+        fp = spark.read.parquet(
+            f"{self.root}/fp_index/batch_id={batch_id}"
+        )
+        band = spark.read.parquet(
+            f"{self.root}/band_index/batch_id={batch_id}"
+        )
+        bloom_word_frame(
+            fp.select(F.col("fp").alias("item")),
+            "item",
+            self.bloom_m_bits,
+            self.bloom_k,
+        ).write.mode("overwrite").parquet(
+            f"{self.root}/bloom_fp/batch_id={batch_id}"
+        )
+        bloom_word_frame(
+            band.select(F.col("band_key").alias("item")),
+            "item",
+            self.bloom_m_bits,
+            self.bloom_k,
+        ).write.mode("overwrite").parquet(
+            f"{self.root}/bloom_band/batch_id={batch_id}"
+        )
+
+    def _bloom(self, spark: SparkSession, name: str) -> DataFrame:
+        """Committed bitmap slices folded into the one-row broadcastable
+        map form (bit_or merge across slices — word-aligned by the
+        fixed geometry)."""
+        words = spark.read.parquet(*self._slice_paths(name))
+        return (
+            words.groupBy("__word")
+            .agg(F.expr("bit_or(__bits)").alias("__bits"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__word", "__bits"))
+                ).alias("bloom_map")
+            )
+        )
+
+    def _status(self, spark: SparkSession, inc: DataFrame) -> DataFrame:
+        from ..operators.dedup import (
+            fingerprint,
+            melt_band_keys,
+            minhash_signatures,
+        )
+        from ..operators.sketches import bloom_probe
+
+        nh = self.dedup_kwargs.get("num_hashes", 12)
+        nb = self.dedup_kwargs.get("bands", 4)
+        sn = self.dedup_kwargs.get("shingle_n", 3)
+        fp_probe = bloom_probe(
+            inc.select(
+                self.id_col,
+                fingerprint(F.col(self.text_col)).alias("__fp"),
+            ),
+            "__fp",
+            self._bloom(spark, "bloom_fp"),
+            self.bloom_m_bits,
+            self.bloom_k,
+            "fp_hit",
+        )
+        melt_i = melt_band_keys(
+            minhash_signatures(inc, self.id_col, self.text_col, nh, sn),
+            self.id_col,
+            nb,
+            nh // nb,
+        )
+        band_probe = (
+            bloom_probe(
+                melt_i,
+                "band_key",
+                self._bloom(spark, "bloom_band"),
+                self.bloom_m_bits,
+                self.bloom_k,
+                "band_hit",
+            )
+            .groupBy(self.id_col)
+            .agg(F.max("band_hit").alias("band_hit"))
+        )
+        flags = (
+            fp_probe.select(self.id_col, "fp_hit")
+            .join(band_probe, self.id_col, "left")
+            .select(
+                self.id_col,
+                (
+                    F.col("fp_hit")
+                    | F.coalesce(F.col("band_hit"), F.lit(False))
+                ).alias("__suspect"),
+            )
+            .localCheckpoint(eager=True)  # feeds both arms + telemetry
+        )
+        suspects = inc.join(
+            flags.filter("__suspect").select(self.id_col), self.id_col
+        )
+        cleared = flags.filter(~F.col("__suspect")).select(self.id_col)
+        # telemetry: two cached-block counts on the checkpointed flags
+        n_suspect = flags.filter("__suspect").count()
+        self.last_prefilter_stats = (
+            flags.count() - n_suspect,
+            n_suspect,
+        )
+        st_clear = cleared.select(
+            F.col(self.id_col),
+            F.lit("new").alias("status"),
+            F.lit(None)
+            .cast(dict(inc.dtypes)[self.id_col])
+            .alias("dup_of"),
+        )
+        return (
+            super()
+            ._status(spark, suspects)
+            .unionByName(st_clear)
+            .orderBy(self.id_col)
+        )
 
 class LeakageSafeSplitDedupSink(IndexedIncrementalDedupCorpusSink):
     """The indexed daily-crawl sink PLUS leakage-safe train/val/test

@@ -779,3 +779,121 @@ def test_semantic_split_sink_orphan_dup_route_fails_loudly(
     )
     with pytest.raises(RuntimeError, match="no committed split"):
         sink(clone, 0)
+
+
+def test_bloom_prefiltered_sink_matches_indexed_sink(spark, tmp_path):
+    """Round 6: the Bloom-prefiltered sink must route every streamed
+    document EXACTLY as the unfiltered indexed sink (= the certified
+    batch-replay semantics): one-sided bloom error may only send extra
+    rows through the index joins, never skip a real duplicate. The
+    prefilter must also actually clear rows (novel docs skip both
+    probe joins), and the bitmap slices must ride commit markers and
+    compaction like every other index table."""
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        BloomPrefilteredIncrementalDedupSink,
+    )
+
+    seed, incs = _slices(spark)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    for i, inc in enumerate(incs):
+        inc.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+        schema = inc.schema
+
+    sink = BloomPrefilteredIncrementalDedupSink(str(tmp_path / "out"))
+    sink.seed(seed)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    # routing identical to the certified batch replay
+    corpus = seed
+    expected = {}
+    for inc in incs:
+        st = incremental_dedup_status(corpus, inc, "doc_id", "text")
+        for r in st.collect():
+            expected[r["doc_id"]] = (r["status"], r["dup_of"])
+        corpus = corpus.unionByName(
+            inc.join(
+                st.filter("status = 'new'").select("doc_id"), "doc_id"
+            )
+        )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert got == expected
+    assert got[_PLANT_ID] == ("exact_dup", 0)
+    got_ids = {r["doc_id"] for r in sink.corpus(spark).collect()}
+    assert got_ids == {r["doc_id"] for r in corpus.collect()}
+
+    # the prefilter did real work on the last batch: some rows cleared
+    # (skipped both index joins), and suspects cover at least every
+    # actual duplicate
+    cleared, suspect = sink.last_prefilter_stats
+    n_dups_last = sum(
+        1
+        for d, (s, _) in expected.items()
+        if s != "new" and _CUTS[-1][0] <= d < _CUTS[-1][1]
+    )
+    assert cleared > 0
+    assert suspect >= n_dups_last
+
+    # bitmap slices exist per commit, marker-gated
+    for b in (-1, 0, 1, 2):
+        assert pathlib.Path(
+            f"{sink.root}/bloom_fp/batch_id={b}"
+        ).exists()
+        assert pathlib.Path(
+            f"{sink.root}/bloom_band/batch_id={b}"
+        ).exists()
+
+    # compaction folds bloom tables too, and reads are unchanged
+    pre = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    epoch = sink.compact(spark)
+    assert pathlib.Path(
+        f"{sink.root}/bloom_fp/compacted_v={epoch}"
+    ).exists()
+    assert not pathlib.Path(f"{sink.root}/bloom_fp/batch_id=0").exists()
+    post = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert post == pre
+
+    # a saturated bitmap degrades safely: a tiny-m sink still routes
+    # correctly (everything suspect => parent behavior)
+    tiny = BloomPrefilteredIncrementalDedupSink(
+        str(tmp_path / "tiny"), bloom_m_bits=64
+    )
+    tiny.seed(seed)
+    tiny(incs[0].localCheckpoint(eager=True), 0)
+    st0 = incremental_dedup_status(seed, incs[0], "doc_id", "text")
+    want0 = {
+        r["doc_id"]: (r["status"], r["dup_of"]) for r in st0.collect()
+    }
+    got0 = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in tiny.statuses(spark).collect()
+    }
+    assert got0 == want0
