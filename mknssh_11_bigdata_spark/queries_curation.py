@@ -2119,3 +2119,86 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")),
         "doc_id",
     ).select("rank", "doc_id", "source", "n_chars", "key_nano").orderBy("rank")
+
+
+ARES_PER_SOURCE_K = 10
+
+
+def _weighted_sample_by_source_oracle() -> str:
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(ROUND(
+                   ln((CAST(('0x' || substr(md5('{ARES_SALT}|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       + 1) / {_ARES_RANGE!r})
+                   / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 1e9,
+               0) AS BIGINT) AS key_nano
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, key_nano,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY key_nano DESC, doc_id) AS INTEGER) AS rank
+        FROM keyed
+    )
+    SELECT source, rank, doc_id, key_nano
+    FROM ranked WHERE rank <= {ARES_PER_SOURCE_K}
+    ORDER BY source, rank
+    """
+
+
+@register(
+    "doc_weighted_sample_by_source", _weighted_sample_by_source_oracle()
+)
+def doc_weighted_sample_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-stratum weighted sampling: the A-Res draw of
+    ``doc_weighted_sample`` applied PER SOURCE (k=10 each) — the actual
+    mixing-pass primitive (draw a quality-weighted quota from every
+    source independently, then union into the training mix). Same
+    deterministic keys, ranked within source.
+
+    Scale: one map-only key projection + one hash-partition-by-source
+    window — a single shuffle of (source, id, key) slivers, never the
+    text; per-group top-k needs no global sort. Certifies the window
+    form of the same sample the TakeOrdered form certifies globally."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(ARES_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(_ARES_RANGE)
+    key = (
+        F.round(
+            F.log(u)
+            / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+            * 1e9,
+            0,
+        )
+        .cast("long")
+        .alias("key_nano")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("key_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id", key)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= ARES_PER_SOURCE_K)
+        .select("source", "rank", "doc_id", "key_nano")
+        .orderBy("source", "rank")
+    )

@@ -1656,3 +1656,106 @@ def weekend_events_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch with exact audit (round 6)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SALT = "kmv-v1"
+_KMV_RANGE = float(1 << 60)
+
+
+def _kmv_oracle() -> str:
+    est = (
+        f"CAST(ROUND({KMV_K - 1} * {_KMV_RANGE!r} / hk, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('{KMV_SALT}|'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM m
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+        FROM h
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               MAX(CASE WHEN rn <= {KMV_K} THEN h END) AS hk
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           n_exact AS n_exact_distinct,
+           CAST(CASE WHEN n_exact <= {KMV_K} THEN n_exact
+                ELSE {est} END AS BIGINT) AS kmv_estimate,
+           ROUND((CAST(CASE WHEN n_exact <= {KMV_K} THEN n_exact
+                       ELSE {est} END AS DOUBLE) - n_exact)
+                 / n_exact, 6) AS rel_err
+    FROM agg ORDER BY event_type
+    """
+
+
+@register("event_kmv_distinct", _kmv_oracle())
+def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality via the KMV (bottom-k /
+    k-minimum-values) sketch, audited against the exact count in the
+    same row. Unlike the HLL row in ``event_type_sketch_stats`` (rows-
+    only by nature — HLL register layouts are engine-internal), KMV is
+    a DETERMINISTIC function of the data through the repo's portable
+    md5 hash: estimate = (k-1) * 2^60 / h_(k), so a SQL oracle replays
+    the sketch bit-for-bit and the driver hash-certifies an
+    approximate-counting architecture end-to-end.
+
+    Scale shape: KMV is the mergeable bounded-memory cardinality
+    sketch — per partition keep the k smallest hashes, merge keeps the
+    k smallest of the union (a custom partial agg in production; here
+    the certification form is one distinct shuffle + one window, the
+    same cost class as the exact arm it audits). Groups with <= k
+    members report exactly (the sketch IS the set there); rel_err
+    documents the (k-1)/h_k estimator's accuracy (~1/sqrt(k-1) ≈ 13%
+    at k=64)."""
+    d = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(KMV_SALT), F.col("user_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    m = d.select("event_type", "user_id").distinct().select(
+        "event_type", h.alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    r = m.withColumn("rn", F.row_number().over(w))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.round(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("hk"), 0
+    ).cast("long")
+    kmv = F.when(F.col("n_exact") <= KMV_K, F.col("n_exact")).otherwise(
+        est
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_exact").alias("n_exact_distinct"),
+        kmv.cast("long").alias("kmv_estimate"),
+        F.round(
+            (kmv.cast("double") - F.col("n_exact")) / F.col("n_exact"),
+            6,
+        ).alias("rel_err"),
+    ).orderBy("event_type")

@@ -593,3 +593,130 @@ class HourlyAnomalySink(_CommitMarkerLedger):
         committed = sorted(self.committed_batches())
         for old in committed[: -self.keep_versions]:
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+
+
+class HeavyHittersMonitorSink(_CommitMarkerLedger):
+    """Streaming twin of ``corpus_heavy_hitters``' sketch stage: a
+    CONSTANT-size Misra-Gries summary over the document stream's
+    tokens, maintained incrementally — the boilerplate/hot-key monitor
+    a crawl pipeline keeps running without ever materializing the full
+    (item, count) table.
+
+    Per batch: exact batch token counts merge additively into the
+    summary, then the mergeable-summaries MERGE truncation (subtract
+    the (capacity+1)-th largest counter, drop non-positives — Agarwal
+    et al., the same step ``operators/sketches.misra_gries_candidates``
+    applies per Arrow batch). Error composes additively across batches:
+    total undercount <= sum_b n_b/(capacity+1) = n/(capacity+1), so
+    after ANY number of micro-batches every item with true stream count
+    > n/(capacity+1) is present with
+    est in [true - n/(capacity+1), true] (e2e-tested against exact
+    replay, truncation forced).
+
+    State is EXACTLY <= capacity rows (plus the running token total as
+    a constant column) — unlike the Zipf sink's vocabulary-sized
+    counts, this monitor's snapshot cost is independent of corpus and
+    vocabulary size; that is its reason to exist at 100 TB. The
+    (capacity+1)-th-largest probe collects capacity+1 rows, never the
+    summary.
+
+    Same exactly-once discipline as the module's other monitors:
+    versioned ``v=<batchId>`` snapshots, marker after data, replayed
+    batch ids dropped, pruning keeps markers.
+    """
+
+    def __init__(self, root: str, capacity: int = 64, keep_versions: int = 2):
+        super().__init__(root)
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = capacity
+        self.keep_versions = keep_versions
+
+    def summary(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED summary: (item, est, n_total)."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def heavy_hitters(self, spark: SparkSession) -> DataFrame | None:
+        """Summary rows with their bound columns: ``est`` (a lower
+        bound on the true count), ``max_undercount`` = n DIV
+        (capacity+1) (the summed truncation budget), and
+        ``guaranteed_heavy`` — true iff est alone already clears the
+        n/(capacity+1) bar, i.e. the item is a heavy hitter under ANY
+        resolution of the undercount."""
+        s = self.summary(spark)
+        if s is None:
+            return None
+        bound = F.expr(
+            f"n_total DIV CAST({self.capacity + 1} AS BIGINT)"
+        ).alias("max_undercount")
+        return s.select(
+            "item",
+            F.col("est"),
+            "n_total",
+            bound,
+            (
+                F.col("est")
+                > F.expr(
+                    f"n_total DIV CAST({self.capacity + 1} AS BIGINT)"
+                )
+            ).alias("guaranteed_heavy"),
+        ).orderBy(F.col("est").desc(), "item")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions import text as TX
+
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.select(
+                F.explode(TX.tokens(F.col("text"))).alias("item")
+            )
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).cast("long").alias("est"))
+        )
+        batch_n = part.agg(F.sum("est").cast("long")).collect()[0][0] or 0
+        prev = self.summary(spark)
+        prev_n = 0
+        if prev is not None:
+            head = prev.limit(1).collect()
+            prev_n = head[0]["n_total"] if head else 0
+            merged = (
+                prev.select("item", "est")
+                .unionByName(part)
+                .groupBy("item")
+                .agg(F.sum("est").cast("long").alias("est"))
+            )
+        else:
+            merged = part
+        merged = merged.localCheckpoint(eager=True)  # summary-sized
+        top = (
+            merged.orderBy(F.col("est").desc(), "item")
+            .limit(self.capacity + 1)
+            .collect()
+        )
+        if len(top) > self.capacity:
+            sub = top[-1]["est"]
+            final = merged.filter(F.col("est") > sub).select(
+                "item", (F.col("est") - sub).cast("long").alias("est")
+            )
+        else:
+            final = merged
+        final.withColumn(
+            "n_total", F.lit(prev_n + batch_n).cast("long")
+        ).write.mode("overwrite").parquet(f"{self.root}/v={batch_id}")
+        merged.unpersist()
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Keep commit markers (additive merge) — see
+        ``SourceQualityDriftSink._prune``."""
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)

@@ -387,3 +387,94 @@ def test_zipf_drift_checkpoint_reused_across_calls(spark, tmp_path):
     assert sink._drift_ckpt_version == 1
     # the superseded snapshot's cached blocks were released
     assert not ckpt1.storageLevel.useMemory
+
+
+def test_heavy_hitters_monitor_sink_guarantee(spark, tmp_path):
+    """Round 6: the Misra-Gries monitor must, after any number of
+    micro-batches, (a) hold <= capacity rows, (b) retain EVERY token
+    whose true stream count exceeds n/(capacity+1), (c) bound each
+    estimate in [true - n/(capacity+1), true], and (d) drop replayed
+    batch ids. capacity=8 over the 31-token vocabulary forces the
+    truncation path every batch."""
+    import pathlib
+
+    from mknssh_11_bigdata_spark.functions import text as TX
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        HeavyHittersMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    cuts = [(0, 30), (30, 60), (60, 100)]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, (lo, hi) in enumerate(cuts):
+        sl = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    capacity = 8
+    sink = HeavyHittersMonitorSink(
+        str(tmp_path / "hh"), capacity=capacity
+    )
+    assert sink.heavy_hitters(spark) is None
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    # exact replay over the full stream
+    streamed = docs.filter("doc_id < 100")
+    exact = {
+        r["item"]: r["c"]
+        for r in streamed.select(
+            F.explode(TX.tokens(F.col("text"))).alias("item")
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    got = {
+        r["item"]: r["est"] for r in sink.summary(spark).collect()
+    }
+    n_total = sink.summary(spark).limit(1).collect()[0]["n_total"]
+    assert n_total == n
+    assert len(got) <= capacity
+    assert len(exact) > capacity  # truncation actually fired
+    budget = n / (capacity + 1)
+    for item, true_c in exact.items():
+        if true_c > budget:
+            assert item in got, (item, true_c, budget)
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert exact[item] - est <= n // (capacity + 1) + 1
+
+    # bound columns in the view
+    hh = {r["item"]: r for r in sink.heavy_hitters(spark).collect()}
+    for item, r in hh.items():
+        assert r["max_undercount"] == n // (capacity + 1)
+        assert r["guaranteed_heavy"] == (r["est"] > n // (capacity + 1))
+
+    # replay drop: committed ids are no-ops
+    before = dict(got)
+    for replay_id in sink.committed_batches():
+        sink(streamed, replay_id)
+    after = {
+        r["item"]: r["est"] for r in sink.summary(spark).collect()
+    }
+    assert after == before
