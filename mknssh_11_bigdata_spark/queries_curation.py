@@ -2202,3 +2202,89 @@ def doc_weighted_sample_by_source(
         .select("source", "rank", "doc_id", "key_nano")
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal novelty scoring (round 6)
+# ---------------------------------------------------------------------------
+
+#: 3-gram shingles in DuckDB — must mirror TX.shingles_of(t, 3)
+_SQL_SHINGLES3 = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(t)-1), "
+    "i -> array_to_string(t[i:i+2], ' '))) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+
+def _novelty_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH t AS (SELECT doc_id, source, {toks} AS t FROM documents),
+    ex AS (
+        SELECT doc_id, source, unnest({_SQL_SHINGLES3}) AS g FROM t
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_id FROM ex GROUP BY g)
+    SELECT ex.doc_id, ex.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_id < ex.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
+           CAST((COUNT(*) - SUM(CASE WHEN f.first_id < ex.doc_id
+                                THEN 1 ELSE 0 END)) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM ex JOIN first f ON f.g = ex.g
+    GROUP BY ex.doc_id, ex.source
+    ORDER BY ex.doc_id
+    """
+
+
+@register("doc_novelty_scores", _novelty_oracle())
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty per document: the share of its distinct word
+    3-grams that FIRST appeared in an earlier document (doc_id order
+    standing in for crawl time). The memorization/novelty signal a
+    curation pass uses to downweight recycled text and measure how
+    much genuinely-new content each crawl day adds (the per-doc dual
+    of the dedup family's corpus-level duplicate mass).
+
+    Exactness: first-occurrence is MIN(doc_id) per gram — integers end
+    to end; novelty is an integer ppm share.
+
+    Scale shape: one explode of distinct per-doc shingles (zipped-
+    slice n-grams — the documented O(n) construction), one groupBy on
+    the gram for first-occurrence, one co-partitioned join back (AQE
+    reuses the gram hash partitioning), one per-doc agg. Gram rows
+    carry (doc_id, 8-byte hashable gram) — never the text; the same
+    cost class as doc_ngram_decontaminate's corpus side."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    ex = staged.select(
+        "doc_id",
+        "source",
+        F.explode(TX.shingles_of(F.col("__t"), 3)).alias("g"),
+    )
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("__first"))
+    return (
+        ex.join(first, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__first") < F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_seen_before",
+            F.expr(
+                "(n_grams - n_seen_before) * 1000000 DIV n_grams"
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -771,16 +771,14 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
             )
         return spark.read.parquet(*paths)
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _status(self, spark: SparkSession, inc: DataFrame) -> DataFrame:
+        """The per-batch routing decision (id, status, dup_of) — the
+        subclass seam the Bloom-prefiltered sink narrows (same contract
+        as the text sink's hook: decisions must be identical, only the
+        probe COST may change)."""
         from ..operators.dedup import incremental_embedding_dedup_status
 
-        if batch_id in self.committed_batches():
-            return  # replay of a committed batch — exactly-once drop
-        spark = batch_df.sparkSession
-        inc = batch_df.select(self.id_col, self.vec_col).localCheckpoint(
-            eager=True
-        )
-        status = incremental_embedding_dedup_status(
+        return incremental_embedding_dedup_status(
             self.corpus(spark).select(self.id_col, self.vec_col),
             inc,
             self.id_col,
@@ -793,7 +791,16 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
             corpus_band_index=spark.read.parquet(
                 *self._slices("band_index")
             ),
-        ).localCheckpoint(eager=True)
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        inc = batch_df.select(self.id_col, self.vec_col).localCheckpoint(
+            eager=True
+        )
+        status = self._status(spark, inc).localCheckpoint(eager=True)
         status.write.mode("overwrite").parquet(
             f"{self.root}/status/batch_id={batch_id}"
         )
@@ -819,6 +826,163 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
     ) -> None:
         """Per-batch extension point, called after the corpus/index
         slices land and before the commit marker. No-op here."""
+
+
+class BloomPrefilteredEmbeddingDedupSink(IncrementalEmbeddingDedupSink):
+    """The embedding ingest loop with an SRP band-key BLOOM PRE-FILTER
+    — the semantic twin of
+    :class:`BloomPrefilteredIncrementalDedupSink`: before probing the
+    persisted band index, each batch vector's band keys test a
+    persisted bitmap of the corpus's band keys; a vector whose EVERY
+    band key misses provably has no LSH candidate in the corpus (the
+    near probe is the only gate — embedding dedup has no exact arm)
+    and routes ``new`` without the index join. One-sided error keeps
+    routing identical to the parent (e2e-asserted).
+
+    Bitmap slices (``bloom_band/batch_id=<n>``, mergeable
+    ``(__word, __bits)`` rows) are written from each slice's band
+    index and ride the same commit markers. Geometry is fixed at
+    construction (words must align across slices); a saturated bitmap
+    degrades to the parent's exact behavior. The increment's
+    signatures are computed for the probe and again inside the parent
+    status for the suspect sliver — the signature cost is plan-compile
+    dominated locally (BASELINE.md r4) and batch-sized at scale; the
+    savings is the corpus-side index read + join, the term that grows
+    with corpus size.
+
+    The prefilter's yield tracks BAND WIDTH, exactly like bucket load:
+    8-bit bands (2^8 keys) saturate at a few hundred corpus vectors —
+    measured 0/100 cleared — while the 16-bit large-corpus geometry
+    (`srp_rows_per_band` ladder) cleared 97/100 on the same batch.
+    Pair this sink with the wide-band geometry the corpus size calls
+    for; narrow bands degrade it to the parent's behavior (safely)."""
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        threshold: float = 0.9,
+        n_bits: int = 32,
+        bands: int = 4,
+        max_bucket_size: int | None = None,
+        bloom_m_bits: int = 1 << 18,
+        bloom_k: int = 2,
+    ):
+        super().__init__(
+            root,
+            id_col,
+            vec_col,
+            dim,
+            threshold,
+            n_bits,
+            bands,
+            max_bucket_size,
+        )
+        if bloom_m_bits < 64 or bloom_k < 1:
+            raise ValueError("bloom geometry: m_bits >= 64, k >= 1")
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_k = bloom_k
+        #: (n_cleared, n_suspect) prefilter telemetry of the last batch
+        self.last_prefilter_stats: tuple[int, int] | None = None
+
+    def _write_index_slice(self, docs: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import bloom_word_frame
+
+        super()._write_index_slice(docs, batch_id)
+        spark = docs.sparkSession
+        band = spark.read.parquet(
+            f"{self.root}/band_index/batch_id={batch_id}"
+        )
+        # item = band_idx|band_key: the raw SRP band key is a sig
+        # substring whose meaning depends on its position, so the
+        # bitmap item must carry the position (the text-side keys embed
+        # it in the md5 already)
+        bloom_word_frame(
+            band.select(
+                F.concat_ws(
+                    "|", F.col("band_idx"), F.col("band_key")
+                ).alias("item")
+            ),
+            "item",
+            self.bloom_m_bits,
+            self.bloom_k,
+        ).write.mode("overwrite").parquet(
+            f"{self.root}/bloom_band/batch_id={batch_id}"
+        )
+
+    def _bloom(self, spark: SparkSession) -> DataFrame:
+        words = spark.read.parquet(*self._slices("bloom_band"))
+        return (
+            words.groupBy("__word")
+            .agg(F.expr("bit_or(__bits)").alias("__bits"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__word", "__bits"))
+                ).alias("bloom_map")
+            )
+        )
+
+    def _status(self, spark: SparkSession, inc: DataFrame) -> DataFrame:
+        from ..operators.dedup import hyperplane_signatures
+        from ..operators.sketches import bloom_probe
+
+        rows = self.n_bits // self.bands
+        sig_i = hyperplane_signatures(
+            inc, self.id_col, self.vec_col, self.dim, self.n_bits
+        )
+        melt_i = sig_i.select(
+            F.col(self.id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|",
+                            F.lit(j),
+                            F.substring(
+                                F.col("sig"), j * rows + 1, rows
+                            ),
+                        )
+                        for j in range(self.bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        flags = (
+            bloom_probe(
+                melt_i,
+                "band_key",
+                self._bloom(spark),
+                self.bloom_m_bits,
+                self.bloom_k,
+                "band_hit",
+            )
+            .groupBy(self.id_col)
+            .agg(F.max("band_hit").alias("__suspect"))
+            .localCheckpoint(eager=True)  # feeds both arms + telemetry
+        )
+        suspects = inc.join(
+            flags.filter("__suspect").select(self.id_col), self.id_col
+        )
+        n_suspect = flags.filter("__suspect").count()
+        self.last_prefilter_stats = (
+            flags.count() - n_suspect,
+            n_suspect,
+        )
+        st_clear = flags.filter(~F.col("__suspect")).select(
+            F.col(self.id_col),
+            F.lit("new").alias("status"),
+            F.lit(None)
+            .cast(dict(inc.dtypes)[self.id_col])
+            .alias("dup_of"),
+        )
+        return (
+            super()
+            ._status(spark, suspects)
+            .unionByName(st_clear)
+            .orderBy(self.id_col)
+        )
 
 
 class SemanticLeakageSplitDedupSink(IncrementalEmbeddingDedupSink):

@@ -223,6 +223,7 @@ _PYTHON_STAGE_OK = {
     "tier_crossing_alerts",
     "dedup_semdedup_prune_fast",  # declared Arrow/numpy dense-math arm
     "embedding_topk_ivf_fast",  # declared Arrow/numpy dense-math arm
+    "corpus_heavy_hitters",  # declared Arrow MG sketch stage (r6)
 }
 
 
@@ -703,3 +704,55 @@ def test_split_queries_carry_no_unconditional_component_broadcast():
         src = inspect.getsource(fn)
         assert "F.broadcast(" not in src, fn.__name__
         assert "broadcast_if_small(" in src, fn.__name__
+
+
+def test_bloom_membership_probe_is_map_side(spark):
+    """Round 6: the bloom query's corpus probe must be a map-shaped
+    pass — the corpus scan feeds a BroadcastNestedLoopJoin against the
+    ONE-ROW bitmap frame with NO shuffle exchange between the documents
+    scan and the probe (the whole point of the bitmap: no corpus-side
+    state, no join shuffle). The only exchanges in the plan belong to
+    the eval-sliver build and the final per-source agg."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    df = QUERIES["dedup_bloom_membership"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the probe-side corpus scan (filter doc_id % 97 <> 7) must sit
+    # under the BNLJ with no Exchange in between: find the BNLJ block
+    # and check its left subtree up to the FileScan has no Exchange
+    lines = plan.splitlines()
+    bnlj = next(
+        i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln
+    )
+    probe_side = []
+    for ln in lines[bnlj + 1 :]:
+        probe_side.append(ln)
+        if "Scan parquet" in ln and "text" in ln:
+            break
+        if "BroadcastExchange" in ln:
+            # reached the build side without a probe scan first
+            break
+    probe_txt = "\n".join(probe_side)
+    assert "Scan parquet" in probe_txt
+    assert "Exchange hashpartitioning" not in probe_txt
+    assert "Exchange rangepartitioning" not in probe_txt
+
+
+def test_heavy_hitters_rescore_join_is_broadcast(spark):
+    """Round 6: the exact-rescore pass must reach the corpus scan via a
+    BROADCAST semi-join on the sketch candidates (a shuffled semi-join
+    would reintroduce the corpus-scale token shuffle the sketch
+    architecture exists to remove)."""
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    df = QUERIES["corpus_heavy_hitters"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the MG stage is the single declared Arrow stage
+    assert plan.count("MapInPandas") == 1

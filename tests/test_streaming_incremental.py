@@ -897,3 +897,145 @@ def test_bloom_prefiltered_sink_matches_indexed_sink(spark, tmp_path):
         for r in tiny.statuses(spark).collect()
     }
     assert got0 == want0
+
+
+def test_bloom_prefiltered_embedding_sink_matches_parent(spark, tmp_path):
+    """Round 6: the SRP band-key bloom prefilter must route every
+    streamed vector EXACTLY as the unfiltered embedding sink (one-sided
+    error only over-probes), clear a nonzero sliver (vectors whose
+    every positioned band key misses the corpus bitmap skip the index
+    join), persist bitmap slices per commit, and degrade safely when
+    the bitmap saturates."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        incremental_embedding_dedup_status,
+    )
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        BloomPrefilteredEmbeddingDedupSink,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.filter("vec_id < 200")
+    cuts = [(200, 300), (300, 400), (400, 500)]
+    incs = [
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}") for lo, hi in cuts
+    ]
+    clone = seed.filter("vec_id = 0").select(
+        F.lit(1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    incs[1] = incs[1].unionByName(clone)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    for i, inc in enumerate(incs):
+        inc.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+        schema = inc.schema
+
+    kw = dict(dim=64, threshold=0.4, n_bits=32, bands=4)
+    sink = BloomPrefilteredEmbeddingDedupSink(
+        str(tmp_path / "out"), "vec_id", "embedding", **kw
+    )
+    sink.seed(seed)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    corpus = seed
+    expected = {}
+    for inc in incs:
+        st = incremental_embedding_dedup_status(
+            corpus, inc, "vec_id", "embedding", **kw
+        )
+        for r in st.collect():
+            expected[r["vec_id"]] = (r["status"], r["dup_of"])
+        corpus = corpus.unionByName(
+            inc.join(
+                st.filter("status = 'new'").select("vec_id"), "vec_id"
+            )
+        )
+    got = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert got == expected
+    assert got[1_000_000] == ("near_dup", 0)
+    got_ids = {r["vec_id"] for r in sink.corpus(spark).collect()}
+    assert got_ids == {r["vec_id"] for r in corpus.collect()}
+
+    # prefilter telemetry: total adds up; suspects cover all near-dups
+    cleared, suspect = sink.last_prefilter_stats
+    last = [
+        d for d in expected if 400 <= d < 500 or d == 1_000_000
+    ]
+    n_last = sum(1 for d in last if 400 <= d < 500)
+    assert cleared + suspect == n_last
+    n_dups_last = sum(
+        1 for d in expected if 400 <= d < 500
+        and expected[d][0] == "near_dup"
+    )
+    assert suspect >= n_dups_last
+
+    # bitmap slices per commit
+    for b in (-1, 0, 1, 2):
+        assert pathlib.Path(
+            f"{sink.root}/bloom_band/batch_id={b}"
+        ).exists()
+
+    # saturated bitmap (tiny m): still exact vs the batch operator
+    tiny = BloomPrefilteredEmbeddingDedupSink(
+        str(tmp_path / "tiny"), "vec_id", "embedding",
+        bloom_m_bits=64, **kw
+    )
+    tiny.seed(seed)
+    tiny(incs[0].localCheckpoint(eager=True), 0)
+    st0 = incremental_embedding_dedup_status(
+        seed, incs[0], "vec_id", "embedding", **kw
+    )
+    want0 = {
+        r["vec_id"]: (r["status"], r["dup_of"]) for r in st0.collect()
+    }
+    got0 = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in tiny.statuses(spark).collect()
+    }
+    assert got0 == want0
+
+    # the wide-band (16-bit) large-corpus geometry actually CLEARS:
+    # same batch, bands=2 -> most of the batch skips the index join,
+    # and routing still matches the batch operator at that geometry
+    kw2 = dict(dim=64, threshold=0.4, n_bits=32, bands=2)
+    wide = BloomPrefilteredEmbeddingDedupSink(
+        str(tmp_path / "wide"), "vec_id", "embedding", **kw2
+    )
+    wide.seed(seed)
+    wide(incs[0].localCheckpoint(eager=True), 0)
+    cleared2, suspect2 = wide.last_prefilter_stats
+    assert cleared2 > suspect2  # the prefilter does real work here
+    stw = incremental_embedding_dedup_status(
+        seed, incs[0], "vec_id", "embedding", **kw2
+    )
+    assert {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in wide.statuses(spark).collect()
+    } == {
+        r["vec_id"]: (r["status"], r["dup_of"]) for r in stw.collect()
+    }
