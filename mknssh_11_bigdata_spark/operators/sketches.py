@@ -46,6 +46,7 @@ __all__ = [
     "bloom_probe",
     "misra_gries_candidates",
     "heavy_hitters_exact",
+    "bottom_k_stats",
 ]
 
 
@@ -248,4 +249,45 @@ def heavy_hitters_exact(
             .cast("long")
             .alias("share_ppm"),
         )
+    )
+
+
+def bottom_k_stats(
+    df: DataFrame, key_col: str, hash_col: str, k: int
+) -> DataFrame:
+    """Distributed bottom-k (KMV) per key WITHOUT a window:
+    ``(key, n_exact, hk)`` where ``n_exact`` is the group's row count
+    and ``hk`` its k-th smallest hash (NULL when the group has fewer
+    than k rows — the caller's exact-fallback arm).
+
+    Two partial-agg phases, both memory-bounded: phase 1 keeps the k
+    minima per (key, partition) — transient state = the partition's
+    rows, steady state = k; phase 2 flattens the <= P x k survivors
+    per key and takes the k smallest of the union (bottom-k is an
+    associative, commutative merge — the mergeable-sketch property
+    KMV shares with Misra-Gries). No per-key sort of the full group,
+    no single-partition window, no collect_set holding every distinct
+    hash.
+
+    Measured at 20M rows / ~4M distinct per key on local[32]
+    (BASELINE.md round 6): the ``row_number`` window form ran
+    [67.4, 12.2, 13.2] s, this form [7.3, 4.8, 10.3] s with identical
+    h_k — the window pays a full per-key sort of all distinct hashes,
+    the merge form sorts only partition-local slices."""
+    s1 = df.groupBy(
+        F.col(key_col), F.spark_partition_id().alias("__p")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(hash_col)), 1, k).alias(
+            "__mins"
+        ),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return s1.groupBy(key_col).agg(
+        F.sum("__n").cast("long").alias("n_exact"),
+        F.get(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__mins"))), 1, k
+            ),
+            k - 1,
+        ).alias("hk"),
     )

@@ -1715,12 +1715,18 @@ def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: KMV is the mergeable bounded-memory cardinality
     sketch — per partition keep the k smallest hashes, merge keeps the
-    k smallest of the union (a custom partial agg in production; here
-    the certification form is one distinct shuffle + one window, the
-    same cost class as the exact arm it audits). Groups with <= k
-    members report exactly (the sketch IS the set there); rel_err
-    documents the (k-1)/h_k estimator's accuracy (~1/sqrt(k-1) ≈ 13%
-    at k=64)."""
+    k smallest of the union. The Spark side runs the two-phase
+    partial-agg merge form (``operators/sketches.py bottom_k_stats``):
+    measured 2-6x faster than the ``row_number`` window form at 20M
+    rows / 4M distinct per key with IDENTICAL h_k (BASELINE.md r6 —
+    the window pays a full per-key sort of all distinct hashes), and
+    memory-bounded by construction. The oracle keeps the window form —
+    same h_k by definition, which is itself the cross-form
+    certificate. Groups with <= k members report exactly (the sketch
+    IS the set there); rel_err documents the (k-1)/h_k estimator's
+    accuracy (~1/sqrt(k-1) ≈ 13% at k=64)."""
+    from .operators.sketches import bottom_k_stats
+
     d = _t(spark, sf_dir, "events")
     h = F.conv(
         F.substring(
@@ -1738,12 +1744,7 @@ def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = d.select("event_type", "user_id").distinct().select(
         "event_type", h.alias("h")
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
-    r = m.withColumn("rn", F.row_number().over(w))
-    agg = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("hk"),
-    )
+    agg = bottom_k_stats(m, "event_type", "h", KMV_K)
     est = F.round(
         F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("hk"), 0
     ).cast("long")
