@@ -698,7 +698,19 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         band_index/batch_id=<n>  (id, band_idx, band_key) of slice n
         status/batch_id=<n>      (id, status, dup_of) per increment row
         _committed/<n>           commit marker (data first, marker after)
+
+    ``compact_every=K`` arms the same LSM-style compaction cadence the
+    text sink carries (round 6): corpus + index slices fold into one
+    consolidated ``compacted_v=<epoch>`` dir per table once K batch
+    slices accumulate, with the text sink's crash-safety ordering and
+    equal-epoch no-op. Status slices stay per-batch.
     """
+
+    #: slice-table names compact() folds and cleans; subclasses that
+    #: persist extra per-batch tables extend this (status and split
+    #: slices stay per-batch — they are read by committed batch id,
+    #: and markers survive compaction)
+    _TABLES: tuple[str, ...] = ("corpus", "band_index")
 
     def __init__(
         self,
@@ -710,6 +722,7 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         n_bits: int = 32,
         bands: int = 4,
         max_bucket_size: int | None = None,
+        compact_every: int | None = None,
     ):
         super().__init__(root)
         self.id_col = id_col
@@ -719,6 +732,9 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         self.n_bits = n_bits
         self.bands = bands
         self.max_bucket_size = max_bucket_size
+        if compact_every is not None and compact_every < 1:
+            raise ValueError("compact_every must be >= 1 (or None)")
+        self.compact_every = compact_every
 
     def _write_index_slice(self, docs: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import embedding_band_index
@@ -742,11 +758,35 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         )
         self._write_index_slice(corpus, -1)
 
-    def _slices(self, name: str) -> list[str]:
-        base = f"{self.root}/{name}"
-        cands = [f"{base}/batch_id=-1"] + [
-            f"{base}/batch_id={b}" for b in sorted(self.committed_batches())
+    def _compact_epoch(self) -> int | None:
+        """Highest committed compaction epoch, or None."""
+        d = pathlib.Path(self.root) / "_compacted"
+        if not d.is_dir():
+            return None
+        epochs = [
+            int(p.name)
+            for p in d.iterdir()
+            if p.name.lstrip("-").isdigit()
         ]
+        return max(epochs, default=None)
+
+    def _slices(self, name: str) -> list[str]:
+        """Committed data paths for ``name``, compaction-aware: the
+        newest consolidation (if any) plus every committed batch slice
+        after its epoch — same read rule as the text sink."""
+        base = f"{self.root}/{name}"
+        epoch = self._compact_epoch()
+        if epoch is None:
+            cands = [f"{base}/batch_id=-1"] + [
+                f"{base}/batch_id={b}"
+                for b in sorted(self.committed_batches())
+            ]
+        else:
+            cands = [f"{base}/compacted_v={epoch}"] + [
+                f"{base}/batch_id={b}"
+                for b in sorted(self.committed_batches())
+                if b > epoch
+            ]
         present = [p for p in cands if pathlib.Path(p).exists()]
         if not present:
             raise RuntimeError(
@@ -755,6 +795,53 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
                 "before starting the stream."
             )
         return present
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold seed + committed slices of every ``_TABLES`` table into
+        one consolidated slice each, then drop the folded dirs —
+        bounding the per-batch read fan-in (one slice lands per crawl
+        day; the probe join's file-listing cost grows with that count).
+        Same crash-safety ordering as the text sink: consolidated data
+        first, epoch marker second, folded slices deleted last; equal
+        epoch (no batch since the last compaction) is a NO-OP so the
+        only persisted copy is never rewritten in place. Status and
+        split slices are untouched — they are read per committed batch
+        id, and batch COMMIT markers survive, so the exactly-once
+        replay drop still recognizes folded ids."""
+        import shutil
+
+        committed = self.committed_batches()
+        if not committed:
+            raise RuntimeError(
+                "nothing to compact: no committed batches yet"
+            )
+        epoch = max(committed)
+        prev_epoch = self._compact_epoch()
+        if prev_epoch == epoch:
+            return epoch
+        for name in self._TABLES:
+            df = spark.read.parquet(*self._slices(name))
+            df = df.localCheckpoint(eager=True)  # pin before overwrite
+            df.write.mode("overwrite").parquet(
+                f"{self.root}/{name}/compacted_v={epoch}"
+            )
+        marker = pathlib.Path(self.root) / "_compacted"
+        marker.mkdir(parents=True, exist_ok=True)
+        (marker / str(epoch)).touch()
+        for name in self._TABLES:
+            base = pathlib.Path(self.root) / name
+            for b in [-1] + sorted(b for b in committed if b <= epoch):
+                shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
+            if prev_epoch is not None and prev_epoch != epoch:
+                shutil.rmtree(
+                    base / f"compacted_v={prev_epoch}",
+                    ignore_errors=True,
+                )
+                try:
+                    (marker / str(prev_epoch)).unlink()
+                except OSError:
+                    pass
+        return epoch
 
     def corpus(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(*self._slices("corpus"))
@@ -816,6 +903,15 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         # the commit marker (same crash-safety ordering as the slices)
         self._post_route(spark, inc, status, batch_id)
         self._mark_committed(batch_id)
+        if self.compact_every is not None:
+            epoch = self._compact_epoch()
+            live = [
+                b
+                for b in self.committed_batches()
+                if epoch is None or b > epoch
+            ]
+            if len(live) >= self.compact_every:
+                self.compact(spark)
 
     def _post_route(
         self,
@@ -857,6 +953,8 @@ class BloomPrefilteredEmbeddingDedupSink(IncrementalEmbeddingDedupSink):
     Pair this sink with the wide-band geometry the corpus size calls
     for; narrow bands degrade it to the parent's behavior (safely)."""
 
+    _TABLES = ("corpus", "band_index", "bloom_band")
+
     def __init__(
         self,
         root: str,
@@ -867,6 +965,7 @@ class BloomPrefilteredEmbeddingDedupSink(IncrementalEmbeddingDedupSink):
         n_bits: int = 32,
         bands: int = 4,
         max_bucket_size: int | None = None,
+        compact_every: int | None = None,
         bloom_m_bits: int = 1 << 18,
         bloom_k: int = 2,
     ):
@@ -879,6 +978,7 @@ class BloomPrefilteredEmbeddingDedupSink(IncrementalEmbeddingDedupSink):
             n_bits,
             bands,
             max_bucket_size,
+            compact_every,
         )
         if bloom_m_bits < 64 or bloom_k < 1:
             raise ValueError("bloom geometry: m_bits >= 64, k >= 1")

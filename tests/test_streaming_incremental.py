@@ -1039,3 +1039,116 @@ def test_bloom_prefiltered_embedding_sink_matches_parent(spark, tmp_path):
     } == {
         r["vec_id"]: (r["status"], r["dup_of"]) for r in stw.collect()
     }
+
+
+def test_embedding_sink_compaction(spark, tmp_path):
+    """Round 6: embedding-sink compaction must fold corpus + band index
+    (+ bloom_band on the prefiltered subclass) into one consolidated
+    slice per table without changing ANY read result, keep routing
+    correctly afterwards, keep the exactly-once drop for folded batch
+    ids, and no-op on an equal epoch."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        incremental_embedding_dedup_status,
+    )
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        BloomPrefilteredEmbeddingDedupSink,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.filter("vec_id < 200")
+    cuts = [(200, 300), (300, 400), (400, 500)]
+    incs = [
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}").localCheckpoint(
+            eager=True
+        )
+        for lo, hi in cuts
+    ]
+    kw = dict(dim=64, threshold=0.4, n_bits=32, bands=2)
+    sink = BloomPrefilteredEmbeddingDedupSink(
+        str(tmp_path / "out"), "vec_id", "embedding",
+        compact_every=2, **kw
+    )
+    sink.seed(seed)
+    for i, inc in enumerate(incs):
+        sink(inc, i)
+    # cadence fired at least once: an epoch exists and folded batch
+    # dirs are gone for every table incl. the bitmap
+    epoch = sink._compact_epoch()
+    assert epoch is not None
+    for name in ("corpus", "band_index", "bloom_band"):
+        assert pathlib.Path(
+            f"{sink.root}/{name}/compacted_v={epoch}"
+        ).exists()
+        assert not pathlib.Path(
+            f"{sink.root}/{name}/batch_id=-1"
+        ).exists()
+
+    # routing across compaction matches the batch operator replay
+    corpus = seed
+    expected = {}
+    for inc in incs:
+        st = incremental_embedding_dedup_status(
+            corpus, inc, "vec_id", "embedding", **kw
+        )
+        for r in st.collect():
+            expected[r["vec_id"]] = (r["status"], r["dup_of"])
+        corpus = corpus.unionByName(
+            inc.join(
+                st.filter("status = 'new'").select("vec_id"), "vec_id"
+            )
+        )
+    got = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert got == expected
+    assert {r["vec_id"] for r in sink.corpus(spark).collect()} == {
+        r["vec_id"] for r in corpus.collect()
+    }
+
+    # replay of a FOLDED batch id is still a no-op (markers survive)
+    before = {r["vec_id"] for r in sink.corpus(spark).collect()}
+    sink(incs[0], 0)
+    assert {
+        r["vec_id"] for r in sink.corpus(spark).collect()
+    } == before
+
+    # fold the remaining post-epoch slice up to the top epoch, then an
+    # equal-epoch recompact must be a no-op: same epoch, files untouched
+    top = sink.compact(spark)
+    assert top == max(sink.committed_batches())
+    files_before = sorted(
+        str(p)
+        for p in pathlib.Path(
+            f"{sink.root}/corpus/compacted_v={top}"
+        ).iterdir()
+    )
+    assert sink.compact(spark) == top
+    files_after = sorted(
+        str(p)
+        for p in pathlib.Path(
+            f"{sink.root}/corpus/compacted_v={top}"
+        ).iterdir()
+    )
+    assert files_after == files_before
+
+    # a further batch after compaction still routes correctly
+    extra = emb.filter("vec_id >= 0 AND vec_id < 50").select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    sink(extra, 3)
+    st3 = incremental_embedding_dedup_status(
+        corpus, extra, "vec_id", "embedding", **kw
+    )
+    want3 = {
+        r["vec_id"]: (r["status"], r["dup_of"]) for r in st3.collect()
+    }
+    got_all = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in sink.statuses(spark).collect()
+    }
+    assert {k: v for k, v in got_all.items() if k >= 2_000_000} == want3
