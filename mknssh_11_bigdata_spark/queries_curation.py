@@ -2030,6 +2030,13 @@ def weighted_sample_topk(
     inclusion probability (exactly w_i/Σw for k=1); this is how a
     curation pass draws a quality-weighted subset in ONE pass.
 
+    Weights must be strictly positive: the E-S inclusion guarantee is
+    undefined at w <= 0, so a NULL/zero/negative weight raises at
+    execution time (scan-side ``raise_error`` — no validation pass).
+    Fractional weights in (0, 1] — the typical quality-score input —
+    are used AS IS (ADVICE r6: the former silent ``>= 1.0`` clamp
+    degraded exactly those draws to uniform sampling).
+
     Keys quantize to integer nano-units before ranking (repo float
     policy: compare exact integers, tie-break on id), so any SQL engine
     replays the sample bit-for-bit.
@@ -2041,9 +2048,22 @@ def weighted_sample_topk(
     k-row result, not the corpus."""
     from pyspark.sql.window import Window
 
-    w = (
+    w_raw = (
         F.col(weight_col) if isinstance(weight_col, str) else weight_col
     ).cast("double")
+    w = F.when(
+        w_raw.isNull() | (w_raw <= 0.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_sample_topk: weight must be > 0 "
+                    "(NULL/zero/negative at id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("double"),
+    ).otherwise(w_raw)
     h = F.conv(
         F.substring(
             F.md5(
@@ -2059,7 +2079,7 @@ def weighted_sample_topk(
     ).cast("long")
     u = (h + 1).cast("double") / F.lit(_ARES_RANGE)
     key = (
-        F.round(F.log(u) / F.greatest(w, F.lit(1.0)) * 1e9, 0)
+        F.round(F.log(u) / w * 1e9, 0)
         .cast("long")
         .alias("key_nano")
     )
@@ -2086,7 +2106,7 @@ def _weighted_sample_oracle() -> str:
                    ln((CAST(('0x' || substr(md5('{ARES_SALT}|'
                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                        + 1) / {_ARES_RANGE!r})
-                   / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 1e9,
+                   / CAST(n_chars AS DOUBLE) * 1e9,
                0) AS BIGINT) AS key_nano
         FROM documents
     )
@@ -2132,7 +2152,7 @@ def _weighted_sample_by_source_oracle() -> str:
                    ln((CAST(('0x' || substr(md5('{ARES_SALT}|'
                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                        + 1) / {_ARES_RANGE!r})
-                   / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 1e9,
+                   / CAST(n_chars AS DOUBLE) * 1e9,
                0) AS BIGINT) AS key_nano
         FROM documents
     ),
@@ -2185,7 +2205,7 @@ def doc_weighted_sample_by_source(
     key = (
         F.round(
             F.log(u)
-            / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+            / F.col("n_chars").cast("double")
             * 1e9,
             0,
         )

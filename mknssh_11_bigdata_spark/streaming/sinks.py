@@ -639,30 +639,49 @@ class HeavyHittersMonitorSink(_CommitMarkerLedger):
             return None
         return spark.read.parquet(f"{self.root}/v={max(committed)}")
 
+    def n_total(self, spark: SparkSession) -> int:
+        """Running stream token total, read from the one-row sidecar
+        (``n/v=<batchId>``) — persisted INDEPENDENTLY of the summary
+        rows (ADVICE r6): a truncation that empties the summary (top
+        capacity+1 counters all tied) must not reset n, or every later
+        ``max_undercount``/``guaranteed_heavy`` is computed against an
+        understated total and the guarantee column lies."""
+        import pathlib
+
+        committed = self.committed_batches()
+        if not committed:
+            return 0
+        side = pathlib.Path(self.root) / "n" / f"v={max(committed)}"
+        if side.exists():
+            rows = spark.read.parquet(str(side)).collect()
+            return int(rows[0]["n_total"]) if rows else 0
+        # legacy root (pre-sidecar): best effort from the summary rows
+        head = (
+            spark.read.parquet(f"{self.root}/v={max(committed)}")
+            .limit(1)
+            .collect()
+        )
+        return int(head[0]["n_total"]) if head else 0
+
     def heavy_hitters(self, spark: SparkSession) -> DataFrame | None:
         """Summary rows with their bound columns: ``est`` (a lower
         bound on the true count), ``max_undercount`` = n DIV
         (capacity+1) (the summed truncation budget), and
         ``guaranteed_heavy`` — true iff est alone already clears the
         n/(capacity+1) bar, i.e. the item is a heavy hitter under ANY
-        resolution of the undercount."""
+        resolution of the undercount. ``n_total`` comes from the
+        sidecar, never the (possibly empty) summary rows."""
         s = self.summary(spark)
         if s is None:
             return None
-        bound = F.expr(
-            f"n_total DIV CAST({self.capacity + 1} AS BIGINT)"
-        ).alias("max_undercount")
+        n = self.n_total(s.sparkSession)
+        bound = F.lit(n // (self.capacity + 1)).cast("long")
         return s.select(
             "item",
             F.col("est"),
-            "n_total",
-            bound,
-            (
-                F.col("est")
-                > F.expr(
-                    f"n_total DIV CAST({self.capacity + 1} AS BIGINT)"
-                )
-            ).alias("guaranteed_heavy"),
+            F.lit(n).cast("long").alias("n_total"),
+            bound.alias("max_undercount"),
+            (F.col("est") > bound).alias("guaranteed_heavy"),
         ).orderBy(F.col("est").desc(), "item")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -680,10 +699,13 @@ class HeavyHittersMonitorSink(_CommitMarkerLedger):
         )
         batch_n = part.agg(F.sum("est").cast("long")).collect()[0][0] or 0
         prev = self.summary(spark)
-        prev_n = 0
+        # n comes from the SIDECAR, never the summary rows: a
+        # truncation can legally empty the summary (capacity+1 counters
+        # all tied), and reading prev_n from a zero-row snapshot would
+        # reset the running total — understating every later bound and
+        # falsely claiming guaranteed_heavy (ADVICE r6)
+        prev_n = self.n_total(spark)
         if prev is not None:
-            head = prev.limit(1).collect()
-            prev_n = head[0]["n_total"] if head else 0
             merged = (
                 prev.select("item", "est")
                 .unionByName(part)
@@ -705,9 +727,15 @@ class HeavyHittersMonitorSink(_CommitMarkerLedger):
             )
         else:
             final = merged
+        n_now = prev_n + batch_n
         final.withColumn(
-            "n_total", F.lit(prev_n + batch_n).cast("long")
+            "n_total", F.lit(n_now).cast("long")
         ).write.mode("overwrite").parquet(f"{self.root}/v={batch_id}")
+        spark.range(1).select(
+            F.lit(n_now).cast("long").alias("n_total")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.root}/n/v={batch_id}"
+        )
         merged.unpersist()
         self._mark_committed(batch_id)
         self._prune()
@@ -720,3 +748,4 @@ class HeavyHittersMonitorSink(_CommitMarkerLedger):
         committed = sorted(self.committed_batches())
         for old in committed[: -self.keep_versions]:
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+            shutil.rmtree(f"{self.root}/n/v={old}", ignore_errors=True)

@@ -1152,3 +1152,72 @@ def test_embedding_sink_compaction(spark, tmp_path):
         for r in sink.statuses(spark).collect()
     }
     assert {k: v for k, v in got_all.items() if k >= 2_000_000} == want3
+
+
+def test_bloom_prefiltered_sink_null_text_routes_like_parent(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): a NULL text row yields a NULL fingerprint,
+    so the bloom probe's hit expression is NULL — before the coalesce
+    fix the row failed BOTH filter(__suspect) and filter(~__suspect)
+    and silently vanished from status and corpus, while the parent
+    sink emitted a status for it. The contract is IDENTICAL decisions:
+    unknown-probe rows must fall through to the parent's index probe."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        BloomPrefilteredIncrementalDedupSink,
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    seed, incs = _slices(spark)
+    nulled = incs[0].unionByName(
+        spark.createDataFrame(
+            [(2_000_000,)], "doc_id long"
+        ).select("doc_id", F.lit(None).cast("string").alias("text"))
+    ).localCheckpoint(eager=True)
+
+    parent = IndexedIncrementalDedupCorpusSink(str(tmp_path / "p"))
+    parent.seed(seed)
+    parent(nulled, 0)
+    bloom = BloomPrefilteredIncrementalDedupSink(str(tmp_path / "b"))
+    bloom.seed(seed)
+    bloom(nulled, 0)
+
+    want = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in parent.statuses(spark).collect()
+    }
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in bloom.statuses(spark).collect()
+    }
+    assert 2_000_000 in got  # the row must not vanish
+    assert got == want  # and every decision matches the parent
+
+
+def test_bloom_sink_rejects_mixed_root_missing_bloom_slices(
+    spark, tmp_path
+):
+    """ADVICE r6 (low): a root seeded by the NON-bloom parent class has
+    fp/band index slices but no bitmap slices; probing the partial
+    bitmap would silently clear rows duplicating the uncovered slices
+    (missed duplicates). The coverage check must fail loudly instead."""
+    import pytest
+
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        BloomPrefilteredIncrementalDedupSink,
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    seed, incs = _slices(spark)
+    root = str(tmp_path / "mixed")
+    parent = IndexedIncrementalDedupCorpusSink(root)
+    parent.seed(seed)
+    parent(incs[0].localCheckpoint(eager=True), 0)
+
+    # same root re-opened with the Bloom subclass: slices exist for
+    # fp_index/band_index (seed + batch 0) but bloom_* has none
+    mixed = BloomPrefilteredIncrementalDedupSink(root)
+    with pytest.raises(RuntimeError, match="do not match"):
+        mixed(incs[1].localCheckpoint(eager=True), 1)

@@ -478,3 +478,40 @@ def test_heavy_hitters_monitor_sink_guarantee(spark, tmp_path):
         r["item"]: r["est"] for r in sink.summary(spark).collect()
     }
     assert after == before
+
+
+def test_heavy_hitters_n_total_survives_empty_summary(spark, tmp_path):
+    """ADVICE r6 (medium): a truncation that empties the summary (top
+    capacity+1 counters all tied) must NOT reset the running n_total —
+    it is persisted as a one-row sidecar independent of the summary
+    rows. Before the fix, the next batch read prev_n = 0 from the
+    zero-row snapshot and every later max_undercount/guaranteed_heavy
+    was computed against an understated n."""
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        HeavyHittersMonitorSink,
+    )
+
+    sink = HeavyHittersMonitorSink(str(tmp_path / "hh"), capacity=2)
+    # batch 0: 3 distinct tokens, one occurrence each -> merged summary
+    # has 3 == capacity+1 rows all tied at est=1; truncation subtracts
+    # 1 from everything and drops all rows -> EMPTY summary, n_total=3
+    b0 = spark.createDataFrame(
+        [("aa bb cc",)], "text string"
+    ).withColumn("doc_id", F.lit(0))
+    sink(b0, 0)
+    assert sink.summary(spark).count() == 0
+    assert sink.n_total(spark) == 3
+
+    # batch 1: the heavy item arrives; n must ACCUMULATE to 3 + 9
+    b1 = spark.createDataFrame(
+        [("hh hh hh hh hh hh hh xx yy",)], "text string"
+    ).withColumn("doc_id", F.lit(1))
+    sink(b1, 1)
+    assert sink.n_total(spark) == 12
+    hh = {r["item"]: r for r in sink.heavy_hitters(spark).collect()}
+    assert hh["hh"]["n_total"] == 12
+    # bound computed against the TRUE total: 12 DIV 3 = 4
+    assert hh["hh"]["max_undercount"] == 4
+    # est(hh)=7 > 4 -> genuinely guaranteed under the honest n; with
+    # the reset bug n was 9, understating the bound of later batches
+    assert hh["hh"]["guaranteed_heavy"]
