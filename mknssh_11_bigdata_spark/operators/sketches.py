@@ -48,7 +48,14 @@ __all__ = [
     "misra_gries_candidates",
     "heavy_hitters_exact",
     "bottom_k_stats",
+    "kmv_hash",
+    "bottom_k_values",
+    "KMV_HASH_RANGE",
 ]
+
+#: Range of the portable 60-bit md5 hash (first 15 hex chars), as the
+#: exact double both engines' estimators divide by.
+KMV_HASH_RANGE = float(1 << 60)
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +301,64 @@ def heavy_hitters_exact(
     )
 
 
+def kmv_hash(col: Column, salt: str) -> Column:
+    """The repo's portable 60-bit hash (first 15 md5 hex chars of
+    ``salt|value`` parsed base-16) as a Column — shared by the batch
+    KMV query (``event_kmv_distinct``) and the streaming KMV monitor
+    (``KmvDistinctMonitorSink``) so streamed h_k is the batch h_k
+    bit-for-bit, and reproducible in any SQL engine."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+    ).cast("long")
+
+
+def bottom_k_values(
+    df: DataFrame, key_col: str, hash_col: str, k: int
+) -> DataFrame:
+    """The k smallest DISTINCT hashes per key, as ``(key, hash)`` rows
+    — the mergeable slice form of KMV state: bottom-k over distinct
+    values is an associative, commutative set merge, so slices built
+    over different batches union row-wise and re-reduce with the same
+    operator (the property the streaming monitor's additive state
+    update rides).
+
+    Same two-phase partial-agg shape as :func:`bottom_k_stats` (k
+    minima per (key, partition), then k smallest of the <= P x k
+    survivors) — no per-key window sort; ``array_distinct`` runs on
+    the SORTED slice so duplicates collapse before they can crowd real
+    minima out of the k-slot."""
+    s1 = df.groupBy(
+        F.col(key_col), F.spark_partition_id().alias("__p")
+    ).agg(
+        F.slice(
+            F.array_distinct(F.array_sort(F.collect_list(hash_col))),
+            1,
+            k,
+        ).alias("__mins")
+    )
+    return (
+        s1.groupBy(key_col)
+        .agg(
+            F.slice(
+                F.array_distinct(
+                    F.array_sort(F.flatten(F.collect_list("__mins")))
+                ),
+                1,
+                k,
+            ).alias("__mins")
+        )
+        .select(F.col(key_col), F.explode("__mins").alias(hash_col))
+    )
+
+
 def bottom_k_stats(
     df: DataFrame, key_col: str, hash_col: str, k: int
 ) -> DataFrame:
@@ -304,7 +369,11 @@ def bottom_k_stats(
 
     Two partial-agg phases, both memory-bounded: phase 1 keeps the k
     minima per (key, partition) — transient state = the partition's
-    rows, steady state = k; phase 2 flattens the <= P x k survivors
+    rows (bounded by PARTITION size, not key size: measured at the
+    adversarial one-key x 20M-row shape, 3.8 s vs the window form's
+    53.1 s with ~5 MB of agg buffer per task — BASELINE.md round 7;
+    at 100 TB the buffer stays ~file-split-sized no matter how hot
+    the key), steady state = k; phase 2 flattens the <= P x k survivors
     per key and takes the k smallest of the union (bottom-k is an
     associative, commutative merge — the mergeable-sketch property
     KMV shares with Misra-Gries). No per-key sort of the full group,

@@ -1195,6 +1195,14 @@ _RECERTIFY = {
     # Spark-side outputs of every OTHER nz'd query are bit-unchanged
     # (F.round never emits -0.0), so their earlier green rows stand.
     "dsir_importance_weights": 5,
+    # round 7 implementation changes (outputs verified bit-identical
+    # locally, but the shipped code differs from what the r6 rows
+    # certified): dense-array Bloom probe (VERDICT r6 #1), shared
+    # kmv_hash expression, weight-clamp removal (ADVICE r6).
+    "dedup_bloom_membership": 7,
+    "event_kmv_distinct": 7,
+    "doc_weighted_sample": 7,
+    "doc_weighted_sample_by_source": 7,
 }
 
 

@@ -1080,6 +1080,171 @@ def dedup_decontaminated_split(
     )
 
 
+def curation_decontaminated_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc ``(doc_id, group_id, nhit, split)`` routing for the
+    quarantine-composed FUNNEL split — shared by the registered
+    summary query (``curation_decontaminated_split``) and the property
+    tests. The full production order: quality-funnel gate over the
+    non-eval corpus → near-dup components over the SURVIVOR-INDUCED
+    graph → component-routed hash split with the contamination
+    quarantine override (any group holding a hard eval-n-gram hit
+    routes whole to ``quarantine``)."""
+    from .pipelines.ml import deterministic_split
+    from .operators.dedup import (
+        duplicate_components,
+        minhash_dedup_pairs,
+    )
+    from .plans.layout import broadcast_if_small
+    from .queries_curation import funnel_pass
+    from .queries_llm import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        LSH_MAX_BUCKET,
+        NUM_HASHES,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = (F.col("doc_id") % _CONTAM_EVAL_MOD) == _CONTAM_EVAL_REM
+    q = d.filter(~is_eval).filter(funnel_pass(F.col("text")))
+    pairs = minhash_dedup_pairs(
+        q,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = duplicate_components(pairs)
+    g = (
+        q.select("doc_id")
+        .join(
+            broadcast_if_small(
+                comp.withColumnRenamed("component", "group_id")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+        )
+    )
+    base = _contamination_base(spark, sf_dir).select("doc_id", "nhit")
+    # inner join: survivors only (all non-eval by construction). The
+    # frame feeds the group-max agg AND the split projection — narrow
+    # (3 cols, survivor-count-sized), checkpoint once.
+    j = g.join(base, "doc_id").localCheckpoint(eager=True)
+    a = deterministic_split(j, "group_id")
+    ghit = j.groupBy("group_id").agg(F.max("nhit").alias("g_nhit"))
+    return a.join(broadcast_if_small(ghit), "group_id").select(
+        "doc_id",
+        "group_id",
+        "nhit",
+        F.when(
+            F.col("g_nhit") >= _QUARANTINE_HITS, F.lit("quarantine")
+        )
+        .otherwise(F.col("split"))
+        .alias("split"),
+    )
+
+
+def _curation_decon_oracle() -> str:
+    from .queries_curation import _funnel_comp_prefix
+
+    where = (
+        f"WHERE doc_id % {_CONTAM_EVAL_MOD} <> {_CONTAM_EVAL_REM}"
+    )
+    return f"""
+    WITH RECURSIVE {_funnel_comp_prefix(where=where)},
+    {_contam_base_cte()},
+    ga AS (
+        SELECT q.doc_id, b.nhit,
+               COALESCE(c.component, q.doc_id) AS group_id
+        FROM qdocs q
+        JOIN base b ON b.doc_id = q.doc_id
+        LEFT JOIN comp c ON c.id = q.doc_id
+    ),
+    gh AS (
+        SELECT group_id, MAX(nhit) AS g_nhit FROM ga GROUP BY 1
+    ),
+    s AS (
+        SELECT ga.doc_id, ga.nhit, ga.group_id,
+               CASE WHEN gh.g_nhit >= {_QUARANTINE_HITS}
+                        THEN 'quarantine'
+                    WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, nhit, group_id,
+                   CAST(('0x' || substr(md5('v1|' ||
+                        CAST(group_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 100 AS bucket
+            FROM ga
+        ) ga JOIN gh USING (group_id)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nhit >= {_QUARANTINE_HITS}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_docs,
+           CAST(SUM(nhit) AS BIGINT) AS sum_hits
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@register("curation_decontaminated_split", _curation_decon_oracle())
+def curation_decontaminated_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The funnel split and the decontamination quarantine COMPOSED
+    (VERDICT r6 next-round #4): ``curation_leakage_split`` routes by
+    component but ignores contamination; ``dedup_decontaminated_split``
+    quarantines but runs on the raw corpus. A real curation pass wants
+    both, in the production order — quality-funnel survivors (the
+    non-eval corpus only; eval docs are never training candidates) →
+    near-dup components over the SURVIVOR-INDUCED graph (a dropped
+    bridge doc genuinely disconnects its neighbors) → component-routed
+    hash split where any group carrying a hard eval-n-gram hit
+    (≥ {_QUARANTINE_HITS} distinct grams, the 'contaminated' tier)
+    routes WHOLE to quarantine. Group-level, because a hard hit's
+    near-verbatim twin carries the same eval text; group routing also
+    keeps the split a pure function of the group, so the no-straddle
+    invariant survives the override.
+
+    Summary rows certify composition + guarantee numerically:
+    ``n_contaminated_docs`` is 0 outside quarantine by construction,
+    and every count reflects the funnel-surviving corpus, not the raw
+    one. The oracle composes the shared `_funnel_comp_prefix` chain
+    (where-restricted) with the shared `_contam_base_cte` substrate
+    verbatim — membership changes in ANY stage flip the hash.
+
+    Scale: the funnel gates at scan speed before any dedup work (100x
+    cheaper per doc); the LSH chain runs on the filtered sliver; the
+    eval n-gram set broadcasts; component-map and group-max joins are
+    measured-count guarded (broadcast_if_small); no corpus-payload
+    shuffle anywhere."""
+    routed = curation_decontaminated_assignments(spark, sf_dir)
+    return (
+        routed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.sum(
+                (F.col("nhit") >= _QUARANTINE_HITS).cast("long")
+            )
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.sum("nhit").cast("long").alias("sum_hits"),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-source quality drift across crawl shards
 # ---------------------------------------------------------------------------

@@ -1148,20 +1148,22 @@ def funnel_pass(text_col) -> "F.Column":
     )
 
 
-def _funnel_comp_prefix() -> str:
+def _funnel_comp_prefix(where: str = "") -> str:
     """The shared CTE chain ``tq → fl → qdocs → pairs → edges → reach
     → comp``: quality-funnel survivors plus near-dup components over
     the SURVIVOR-INDUCED graph (pairs recomputed on the filtered
     table — a dropped bridge doc genuinely disconnects its neighbors).
-    Composed by the pipeline oracle and the curation leakage-split
-    oracle."""
+    Composed by the pipeline oracle, the curation leakage-split oracle
+    and (``where``-restricted to the non-eval corpus) the
+    quarantine-composed split oracle in ``queries_analytics``."""
     from .queries_llm import _minhash_oracle
 
     toks_l = SQL_TOKS.format(col="lower(text)")
     sw = ", ".join(f"'{s}'" for s in FUNNEL_STOPWORDS)
     pairs = _minhash_oracle(table="qdocs")
+    src = f"documents {where}" if where else "documents"
     return f"""tq AS (
-        SELECT doc_id, source, text, {toks_l} AS lt FROM documents
+        SELECT doc_id, source, text, {toks_l} AS lt FROM {src}
     ),
     fl AS (
         SELECT doc_id, source, text,
@@ -2307,4 +2309,205 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection + near-dup source cross-tab (round 7)
+# ---------------------------------------------------------------------------
+
+#: Selection budget as a fraction of total corpus tokens (DIV 4 = 25%)
+#: — n-scaled like the bloom geometry, so the cut bites at every SF.
+BUDGET_DIV = 4
+
+
+def _token_budget_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN len({toks}) = 0 THEN 0
+                    ELSE (1000000 * len(list_distinct({toks})))
+                         // len({toks}) END AS BIGINT) AS score_micro
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   ORDER BY score_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM m
+    ),
+    sel AS (
+        SELECT * FROM c
+        WHERE cum_tokens <= (SELECT SUM(n_tokens) FROM m)
+                            // {BUDGET_DIV}
+    )
+    SELECT m.source,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT)
+               AS selected_tokens,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(100.0 * COALESCE(SUM(s.n_tokens), 0)
+                 / SUM(m.n_tokens), 2) AS sel_pct
+    FROM m LEFT JOIN sel s USING (doc_id)
+    GROUP BY m.source ORDER BY m.source
+    """
+
+
+@register("curation_token_budget_selection", _token_budget_oracle())
+def curation_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy data selection under a TOKEN BUDGET — the pass that
+    assembles a fixed-size training mix from a larger pool: rank every
+    document by quality density (distinct-token ratio in integer
+    ppm — the dup_token_ratio gate's signal as a continuous score),
+    take the best documents until the cumulative token count reaches
+    the budget (25% of the corpus), and report the per-source
+    selection profile (which sources the budget actually buys).
+
+    Exactness: the score is integer (1e6 * distinct DIV total — no
+    float rounding at the boundary), the ranking a total order
+    (score DESC, doc_id), and the running token sum exact bigint
+    addition, so the budget cut lands on the same document in any
+    engine.
+
+    Scale: the ranking + prefix-sum run through
+    :func:`operators.relational.global_rank_cumsum` — range-partition
+    sort, per-partition offsets folded driver-side — NOT a
+    single-partition window; the budget scalar is one sliver agg
+    (same contract as the bloom geometry count); the summary joins
+    the k-selected sliver back to per-source totals."""
+    from .operators.relational import global_rank_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.when(F.size(t) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "1000000 * CAST(size(array_distinct("
+                "filter(split(text, ' '), x -> x != ''))) AS BIGINT) "
+                "DIV size(filter(split(text, ' '), x -> x != ''))"
+            )
+        )
+        .alias("score_micro"),
+    ).localCheckpoint(eager=True)  # feeds budget agg + rank + totals
+    budget = (
+        m.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
+        // BUDGET_DIV
+    )
+    ranked = global_rank_cumsum(
+        m,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        cum_out="cum_tokens",
+    )
+    sel = (
+        ranked.filter(F.col("cum_tokens") <= budget)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("selected_tokens"),
+        )
+    )
+    tot = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        tot.join(sel, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias(
+                "n_selected"
+            ),
+            "n_docs",
+            F.coalesce("selected_tokens", F.lit(0))
+            .cast("long")
+            .alias("selected_tokens"),
+            "total_tokens",
+            F.round(
+                100.0
+                * F.coalesce("selected_tokens", F.lit(0))
+                / F.col("total_tokens"),
+                2,
+            ).alias("sel_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pair_crosstab_oracle() -> str:
+    from .queries_llm import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    s AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               CAST(ROUND(p.jaccard * 1000000, 0) AS BIGINT)
+                   AS j_micro
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_micro) AS BIGINT) AS sum_jaccard_micro
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("dedup_pair_source_crosstab", _pair_crosstab_oracle())
+def dedup_pair_source_crosstab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHICH SOURCES duplicate each other: the verified near-dup pair
+    graph cross-tabbed by (source_a, source_b) — the mirror/re-host
+    detector a corpus-mixing pass reads before weighting sources (two
+    sources sharing heavy near-dup mass should not both get full
+    weight; within-source mass signals boilerplate instead). Pair
+    order normalizes LEAST/GREATEST so a pair counts once per
+    unordered source pair; jaccard sums in exact integer micro-units
+    (per-pair values are already 6-dp-rounded, so the quantization is
+    exact and the sum associative — no float-order drift).
+
+    Scale: the eleventh consumer of the PERSISTED pair-graph artifact
+    (:func:`queries_llm.minhash_pair_graph`) — no corpus rescan, no
+    shingle work; two narrow (doc_id, source) joins onto the
+    pair-count-sized sliver, then a sources²-bounded aggregation."""
+    from .queries_llm import minhash_pair_graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_pair_graph(spark, sf_dir)
+    sa = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    )
+    sb = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            F.round(F.col("jaccard") * 1000000, 0)
+            .cast("long")
+            .alias("j_micro"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("j_micro").cast("long").alias("sum_jaccard_micro"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -1725,24 +1725,14 @@ def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate. Groups with <= k members report exactly (the sketch
     IS the set there); rel_err documents the (k-1)/h_k estimator's
     accuracy (~1/sqrt(k-1) ≈ 13% at k=64)."""
-    from .operators.sketches import bottom_k_stats
+    from .operators.sketches import bottom_k_stats, kmv_hash
 
     d = _t(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.lit(KMV_SALT), F.col("user_id").cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # the SHARED hash expression (operators/sketches.kmv_hash) — the
+    # streaming KmvDistinctMonitorSink evaluates the same Column, so
+    # streamed h_k ≡ this query's h_k bit-for-bit (e2e-tested)
     m = d.select("event_type", "user_id").distinct().select(
-        "event_type", h.alias("h")
+        "event_type", kmv_hash(F.col("user_id"), KMV_SALT).alias("h")
     )
     agg = bottom_k_stats(m, "event_type", "h", KMV_K)
     est = F.round(

@@ -987,3 +987,67 @@ def test_decontaminated_split_quarantines_every_hard_hit(spark):
     assert {
         r["split"] for r in soft.select("split").distinct().collect()
     } <= {"train", "val", "test"}
+
+
+def test_curation_decontaminated_split_composes_all_three_stages(spark):
+    """VERDICT r6 next-round #4: the funnel-composed quarantine split
+    must (1) cover EXACTLY the non-eval funnel survivors; (2) put no
+    hard-hit doc outside quarantine (non-vacuously); (3) keep the
+    split a pure function of the group (no-straddle survives the
+    override, measured on the survivor-induced pair graph); (4) keep
+    soft hits on their hash side."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.queries_analytics import (
+        _CONTAM_EVAL_MOD,
+        _CONTAM_EVAL_REM,
+        _QUARANTINE_HITS,
+        curation_decontaminated_assignments,
+    )
+    from mknssh_11_bigdata_spark.queries_curation import funnel_pass
+    from mknssh_11_bigdata_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    a = curation_decontaminated_assignments(spark, sf).localCheckpoint(
+        eager=True
+    )
+
+    # (1) coverage = non-eval funnel survivors, exactly
+    d = load_table(spark, sf, "documents")
+    want_ids = {
+        r["doc_id"]
+        for r in d.filter(
+            (F.col("doc_id") % _CONTAM_EVAL_MOD) != _CONTAM_EVAL_REM
+        )
+        .filter(funnel_pass(F.col("text")))
+        .select("doc_id")
+        .collect()
+    }
+    got_ids = {r["doc_id"] for r in a.select("doc_id").collect()}
+    assert got_ids == want_ids and want_ids
+
+    # (2) every hard hit quarantined, non-vacuously
+    hard = a.filter(F.col("nhit") >= _QUARANTINE_HITS)
+    assert hard.count() > 0
+    assert hard.filter("split <> 'quarantine'").count() == 0
+
+    # (3) split is a pure function of group_id (no-straddle at group
+    # granularity — pairs are a subset of groups by construction)
+    assert (
+        a.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+        == 0
+    )
+
+    # (4) soft hits in clean groups keep hash sides
+    soft = a.filter(
+        (F.col("nhit") > 0)
+        & (F.col("nhit") < _QUARANTINE_HITS)
+        & (F.col("split") != "quarantine")
+    )
+    assert soft.count() > 0
+    assert {
+        r["split"] for r in soft.select("split").distinct().collect()
+    } <= {"train", "val", "test"}

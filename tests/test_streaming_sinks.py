@@ -515,3 +515,222 @@ def test_heavy_hitters_n_total_survives_empty_summary(spark, tmp_path):
     # est(hh)=7 > 4 -> genuinely guaranteed under the honest n; with
     # the reset bug n was 9, understating the bound of later batches
     assert hh["hh"]["guaranteed_heavy"]
+
+
+def test_kmv_monitor_sink_matches_batch_query(spark, tmp_path):
+    """Round 7 (VERDICT r6 missing #3): the streaming KMV monitor's
+    h_k/estimate must equal the batch ``event_kmv_distinct`` arm
+    bit-for-bit after streaming the same rows in micro-batches, its
+    per-key state must stay bounded at k+1 hashes, and replayed batch
+    ids must drop."""
+    import pathlib
+
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        KmvDistinctMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        sl = events.filter(f"user_id % 3 = {i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    sink = KmvDistinctMonitorSink(str(tmp_path / "kmv"))
+    assert sink.estimates(spark) is None
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    batch = {
+        r["event_type"]: r
+        for r in QUERIES["event_kmv_distinct"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    got = {
+        r["event_type"]: r for r in sink.estimates(spark).collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        # the estimate column is the contract: exact arm when <= k
+        # distinct, (k-1)*2^60/h_k above — bit-for-bit vs batch
+        assert got[t]["kmv_estimate"] == b["kmv_estimate"], t
+        if b["n_exact_distinct"] <= sink.k:
+            assert got[t]["n_state"] == b["n_exact_distinct"]
+            assert got[t]["hk"] is None
+    # state bounded at k+1 rows per key
+    per_key = (
+        sink.state(spark)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= sink.k + 1 for r in per_key)
+
+    # replay drop: re-delivering a committed id is a no-op
+    before = {
+        (r["event_type"], r["kmv_estimate"])
+        for r in sink.estimates(spark).collect()
+    }
+    sink(events, 1)
+    after = {
+        (r["event_type"], r["kmv_estimate"])
+        for r in sink.estimates(spark).collect()
+    }
+    assert after == before
+
+
+def test_kmv_monitor_estimator_arm_and_batch_split_invariance(
+    spark, tmp_path
+):
+    """Force the ESTIMATOR arm (distinct >> k) with synthetic keys and
+    prove batch-split invariance: streaming the same rows as 1 batch
+    or 4 batches yields identical state and estimates (bottom-k over
+    distinct hashes is an associative, commutative set merge), and the
+    estimate tracks the true cardinality within the ~1/sqrt(k-1) band."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        KmvDistinctMonitorSink,
+    )
+
+    k = 16
+    rows = spark.range(2000).select(
+        F.lit("big").alias("event_type"), F.col("id").alias("user_id")
+    ).unionByName(
+        spark.range(5).select(
+            F.lit("small").alias("event_type"),
+            F.col("id").alias("user_id"),
+        )
+    ).localCheckpoint(eager=True)
+
+    whole = KmvDistinctMonitorSink(str(tmp_path / "w"), k=k)
+    whole(rows, 0)
+    split = KmvDistinctMonitorSink(str(tmp_path / "s"), k=k)
+    for i in range(4):
+        split(rows.filter(f"user_id % 4 = {i}"), i)
+
+    w = {
+        tuple(r)
+        for r in whole.estimates(spark)
+        .select("event_type", "n_state", "hk", "kmv_estimate")
+        .collect()
+    }
+    s = {
+        tuple(r)
+        for r in split.estimates(spark)
+        .select("event_type", "n_state", "hk", "kmv_estimate")
+        .collect()
+    }
+    assert w == s
+    est = {r[0]: r[3] for r in w}
+    assert est["small"] == 5  # exact arm: state IS the distinct set
+    # estimator arm: within ~3/sqrt(k-1) of truth (generous CI)
+    assert abs(est["big"] - 2000) / 2000 < 3 / (k - 1) ** 0.5
+    hks = {r[0]: r[2] for r in w}
+    assert hks["small"] is None and hks["big"] is not None
+
+
+def test_novelty_monitor_one_sided_and_matches_exact_replay(
+    spark, tmp_path
+):
+    """Round 7: the bounded-state novelty monitor (state = a Bloom
+    bitmap of prior batches' grams) must (a) never OVER-report
+    novelty — Bloom false positives can only mark unseen grams seen;
+    (b) equal the exact batch-granular replay bit-for-bit while the
+    bitmap is unsaturated (deterministic: the bitmap is a pure
+    function of the data); (c) drop replayed batch ids."""
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        NoveltyMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    cuts = [(0, 40), (40, 80), (80, 140)]
+    batches = [
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").localCheckpoint(
+            eager=True
+        )
+        for lo, hi in cuts
+    ]
+    sink = NoveltyMonitorSink(str(tmp_path / "nov"))
+    assert sink.novelty(spark) is None
+    for i, b in enumerate(batches):
+        sink(b, i)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    # exact batch-granular replay in plain python
+    def grams_of(text):
+        t = [x for x in text.split(" ") if x]
+        n = 3
+        if len(t) < n:
+            return set()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    seen: set = set()
+    exact = {}
+    for b in batches:
+        rows = b.collect()
+        for r in rows:
+            g = grams_of(r["text"])
+            ns = sum(1 for x in g if x in seen)
+            exact[r["doc_id"]] = (
+                len(g),
+                ns,
+                (len(g) - ns) * 1_000_000 // len(g),
+            )
+        for r in rows:
+            seen |= grams_of(r["text"])
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_seen_prior"], r["novelty_ppm"])
+        for r in sink.novelty(spark).collect()
+    }
+    assert set(got) == set(exact)
+    for d, (ng, ns, ppm) in exact.items():
+        assert got[d][0] == ng
+        # one-sided: streamed seen-count never undercounts
+        assert got[d][1] >= ns
+        assert got[d][2] <= ppm
+    # unsaturated default geometry: exact equality (deterministic)
+    assert got == exact
+
+    # replay drop: re-delivering batch 0 is a no-op
+    before = dict(got)
+    sink(batches[0], 0)
+    after = {
+        r["doc_id"]: (r["n_grams"], r["n_seen_prior"], r["novelty_ppm"])
+        for r in sink.novelty(spark).collect()
+    }
+    assert after == before
+
+    # later batches with recycled text read as low-novelty: batch 0
+    # docs re-fed as a NEW batch id report ~0 novelty
+    recycled = batches[0].selectExpr("doc_id + 1000000 AS doc_id", "text")
+    sink(recycled.localCheckpoint(eager=True), 3)
+    rec = {
+        r["doc_id"]: r["novelty_ppm"]
+        for r in sink.novelty(spark).collect()
+        if r["doc_id"] >= 1_000_000
+    }
+    assert rec and all(v == 0 for v in rec.values())
