@@ -915,8 +915,12 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
     Same exactly-once discipline as the module's other monitors:
     per-batch slices + telemetry gated by commit markers, replayed
     batch ids dropped. Slices are never rewritten (the bitmap is
-    additive), so there is no version pruning; compaction of old
-    slices is one bit_or fold if a deployment ever needs it.
+    additive), so there is no version pruning; :meth:`compact` folds
+    accumulated slices into one consolidated ``compacted_v=<epoch>``
+    word table (one bit_or groupBy — the merge the read path already
+    performs) with the repo's crash-safety ordering: data first,
+    epoch marker second, folded dirs deleted last; commit markers are
+    kept so replayed folded batch ids still drop.
     """
 
     def __init__(
@@ -952,16 +956,88 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
             .distinct()
         )
 
+    def _compact_epoch(self) -> int | None:
+        d = pathlib.Path(self.root) / "_compacted"
+        if not d.is_dir():
+            return None
+        epochs = [
+            int(p.name)
+            for p in d.iterdir()
+            if p.name.lstrip("-").isdigit()
+        ]
+        return max(epochs, default=None)
+
+    def _bloom_paths(self) -> list[str]:
+        """Committed bitmap slice dirs, compaction-aware: the newest
+        consolidation (if any) plus every committed slice after its
+        epoch — the module's standard read rule."""
+        committed = sorted(self.committed_batches())
+        epoch = self._compact_epoch()
+        if epoch is None:
+            cands = [
+                f"{self.root}/bloom/batch_id={b}" for b in committed
+            ]
+        else:
+            cands = [f"{self.root}/bloom/compacted_v={epoch}"] + [
+                f"{self.root}/bloom/batch_id={b}"
+                for b in committed
+                if b > epoch
+            ]
+        return [p for p in cands if pathlib.Path(p).exists()]
+
     def _prior_bloom(self, spark: SparkSession) -> DataFrame | None:
         from ..operators.sketches import bloom_dense_frame
 
-        committed = sorted(self.committed_batches())
-        if not committed:
+        paths = self._bloom_paths()
+        if not paths:
             return None
-        words = spark.read.parquet(
-            *[f"{self.root}/bloom/batch_id={b}" for b in committed]
+        return bloom_dense_frame(spark.read.parquet(*paths), self.m_bits)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold every committed bitmap slice into ONE consolidated
+        ``(__word, __bits)`` table — one bit_or groupBy, exactly the
+        merge the probe path performs per batch, done once so a
+        long-running stream's per-batch read fan-in stays bounded
+        (one slice lands per crawl day; file-listing cost grows with
+        the count — the LSM level-0 argument of the dedup sinks).
+        Crash-safe ordering: consolidated data first, epoch marker
+        second, folded dirs deleted last; telemetry slices and commit
+        markers are untouched (replays of folded ids still drop).
+        Equal-epoch re-compaction is a no-op (the only persisted copy
+        must never be read-then-overwritten in place)."""
+        import shutil
+
+        committed = self.committed_batches()
+        if not committed:
+            raise RuntimeError("nothing to compact: no committed batches")
+        epoch = max(committed)
+        prev_epoch = self._compact_epoch()
+        if prev_epoch == epoch:
+            return epoch
+        folded = (
+            spark.read.parquet(*self._bloom_paths())
+            .groupBy("__word")
+            .agg(F.expr("bit_or(__bits)").alias("__bits"))
+            .localCheckpoint(eager=True)  # pin before any overwrite
         )
-        return bloom_dense_frame(words, self.m_bits)
+        folded.write.mode("overwrite").parquet(
+            f"{self.root}/bloom/compacted_v={epoch}"
+        )
+        marker = pathlib.Path(self.root) / "_compacted"
+        marker.mkdir(parents=True, exist_ok=True)
+        (marker / str(epoch)).touch()
+        base = pathlib.Path(self.root) / "bloom"
+        for b in sorted(b for b in committed if b <= epoch):
+            shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
+        if prev_epoch is not None:
+            shutil.rmtree(
+                base / f"compacted_v={prev_epoch}", ignore_errors=True
+            )
+            try:
+                (marker / str(prev_epoch)).unlink()
+            except OSError:
+                pass
+        return epoch
 
     def novelty(self, spark: SparkSession) -> DataFrame | None:
         """All committed telemetry rows: (id, batch_id, n_grams,

@@ -734,3 +734,67 @@ def test_novelty_monitor_one_sided_and_matches_exact_replay(
         if r["doc_id"] >= 1_000_000
     }
     assert rec and all(v == 0 for v in rec.values())
+
+
+def test_novelty_monitor_compaction_read_invariant(spark, tmp_path):
+    """compact() must fold the bitmap slices without changing any
+    probe decision: a post-compaction batch reports the same novelty
+    as an identical never-compacted twin; folded batch ids still
+    drop; equal-epoch recompaction is a no-op."""
+    import pathlib as _pl
+
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        NoveltyMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    batches = [
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").localCheckpoint(
+            eager=True
+        )
+        for lo, hi in [(0, 40), (40, 80), (80, 140)]
+    ]
+    probe = docs.filter("doc_id >= 140 AND doc_id < 200").localCheckpoint(
+        eager=True
+    )
+
+    a = NoveltyMonitorSink(str(tmp_path / "a"))
+    b = NoveltyMonitorSink(str(tmp_path / "b"))
+    for i, bt in enumerate(batches):
+        a(bt, i)
+        b(bt, i)
+    epoch = a.compact(spark)
+    assert epoch == 2
+    assert _pl.Path(f"{a.root}/bloom/compacted_v=2").exists()
+    assert not _pl.Path(f"{a.root}/bloom/batch_id=0").exists()
+    # equal-epoch recompaction: byte-identical no-op
+    files_before = sorted(
+        p.name for p in _pl.Path(f"{a.root}/bloom/compacted_v=2").iterdir()
+    )
+    assert a.compact(spark) == 2
+    assert (
+        sorted(
+            p.name
+            for p in _pl.Path(f"{a.root}/bloom/compacted_v=2").iterdir()
+        )
+        == files_before
+    )
+
+    # folded batch replays still drop (markers kept)
+    a(batches[0], 0)
+    assert a.committed_batches() == {0, 1, 2}
+
+    # post-compaction probes identical to the never-compacted twin
+    a(probe, 3)
+    b(probe, 3)
+    ga = {
+        r["doc_id"]: (r["n_grams"], r["n_seen_prior"], r["novelty_ppm"])
+        for r in a.novelty(spark).collect()
+    }
+    gb = {
+        r["doc_id"]: (r["n_grams"], r["n_seen_prior"], r["novelty_ppm"])
+        for r in b.novelty(spark).collect()
+    }
+    assert ga == gb
