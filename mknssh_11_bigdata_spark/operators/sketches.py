@@ -125,26 +125,42 @@ def bloom_dense_frame(words: DataFrame, m_bits: int) -> DataFrame:
 
     Build shape (fully distributed until the final one-row fold): the
     zero spine is ``spark.range(n_words)``, one bit_or groupBy merges
-    spine + non-zero words, one sorted collect assembles the array —
-    O(n_words log n_words) total, never O(n_words x non_zero) like a
-    per-position map lookup would be. The sparse ``(__word, __bits)``
-    form stays the persisted/mergeable artifact (slices union + bit_or,
-    see :func:`bloom_word_frame`); densify once at probe time."""
+    spine + non-zero words, then a TWO-LEVEL assembly — per-chunk
+    sorted word arrays (2^16 words each, distributed), then one flatten
+    of the n_words/2^16 chunk arrays into the row. The final task
+    therefore materializes plain long arrays (~the bitmap's own
+    m_bits/8 bytes — the size any broadcast of it pays anyway), never
+    n_words individual (word, bits) STRUCT rows whose per-element
+    overhead would multiply that footprint several-fold at the
+    10^10-bit design point. Total work O(n_words log chunk), never
+    O(n_words x non_zero) like a per-position map lookup would be.
+    The sparse ``(__word, __bits)`` form stays the persisted/mergeable
+    artifact (slices union + bit_or, see :func:`bloom_word_frame`);
+    densify once at probe time."""
     n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
+    chunk = 1 << 16
     spine = words.sparkSession.range(n_words).select(
         F.col("id").cast("long").alias("__word"),
         F.lit(0).cast("long").alias("__bits"),
     )
-    return (
+    dense = (
         spine.unionByName(words)
         .groupBy("__word")
         .agg(F.expr("bit_or(__bits)").alias("__bits"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list("
-                "struct(__word, __bits))), e -> e.__bits)"
-            ).alias("bloom_arr")
-        )
+    )
+    chunked = dense.groupBy(
+        F.expr(f"CAST(__word DIV {chunk} AS BIGINT)").alias("__chunk")
+    ).agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(__word, __bits))), e -> e.__bits)"
+        ).alias("__arr")
+    )
+    return chunked.agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list("
+            "struct(__chunk, __arr))), e -> e.__arr))"
+        ).alias("bloom_arr")
     )
 
 
