@@ -2511,3 +2511,112 @@ def dedup_pair_source_crosstab(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+OUTLIER_TOP_K = 3
+
+
+def _label_outlier_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    x AS (
+        SELECT label, unnest(v) AS val,
+               generate_subscripts(v, 1) AS dim
+        FROM e
+    ),
+    c AS (
+        SELECT label, dim, ROUND(AVG(val), 9) AS m
+        FROM x GROUP BY label, dim
+    ),
+    cent AS (
+        SELECT label, list(m ORDER BY dim) AS cv FROM c GROUP BY label
+    ),
+    d AS (
+        SELECT e.vec_id, e.label,
+               CAST(ROUND(list_sum(list_transform(
+                   range(1, len(e.v) + 1),
+                   i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])))
+                   * 1000000, 0) AS BIGINT) AS d2_micro
+        FROM e JOIN cent USING (label)
+    ),
+    r AS (
+        SELECT label, vec_id, d2_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY d2_micro DESC, vec_id) AS INTEGER) AS rank
+        FROM d
+    )
+    SELECT label, rank, vec_id, d2_micro
+    FROM r WHERE rank <= {OUTLIER_TOP_K}
+    ORDER BY label, rank
+    """
+
+
+@register("embedding_label_outliers", _label_outlier_oracle())
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled/noisy-sample detector: per label, the {OUTLIER_TOP_K}
+    vectors FARTHEST (squared L2) from their label's centroid — the
+    audit list a training-data QA pass inspects first (a vector far
+    from everything that shares its label is the canonical annotation-
+    noise signature; the geometric dual of
+    ``dedup_embedding_label_audit``'s identical-vectors-different-
+    labels signal).
+
+    Exactness discipline: centroid dims round to 9 dp BEFORE any
+    consumer (the ``embedding_centroid_by_label`` precedent — both
+    engines then hold bit-identical doubles), distances fold
+    left-to-right in doubles and quantize to integer micro-units
+    before ranking, ranks tie-break on vec_id — the oracle replays
+    the selection bit-for-bit.
+
+    Scale: the centroid model is labels x dims (broadcast — never a
+    corpus shuffle); the distance is one map-side zip_with fold per
+    vector; per-label top-k is a window over (label) hash partitions,
+    carrying only (label, id, d2) slivers."""
+    from .operators.relational import top_k_per_group
+    from pyspark.sql import functions as FF
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    c = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 9).alias("m"))
+    )
+    cent = c.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, m))), "
+            "s -> s.m)"
+        ).alias("cv")
+    )
+    d2 = (
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("d2_micro")
+    )
+    scored = e.join(FF.broadcast(cent), "label").select(
+        "label", "vec_id", d2
+    )
+    return top_k_per_group(
+        scored,
+        partition_cols=["label"],
+        order_by=[F.col("d2_micro").desc(), F.col("vec_id").asc()],
+        k=OUTLIER_TOP_K,
+    ).orderBy("label", "rank")
