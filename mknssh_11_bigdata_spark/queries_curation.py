@@ -2016,6 +2016,44 @@ ARES_K = 100
 _ARES_RANGE = float(1 << 60)
 
 
+def _ares_key_nano(id_col: str, weight: Column, salt: str) -> Column:
+    """The guarded Efraimidis-Spirakis key as integer nano-units:
+    ``round(ln(u) / w * 1e9)`` with u = (md5_60bit(salt|id)+1)/2^60 and
+    w validated > 0 at execution time (scan-side ``raise_error``). ONE
+    definition shared by :func:`weighted_sample_topk` and the
+    per-stratum draw — the r7 clamp-removal fix must hold in every
+    duplicate of this expression, not just one (review finding)."""
+    w_raw = weight.cast("double")
+    w = F.when(
+        w_raw.isNull() | (w_raw <= 0.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted sampling: weight must be > 0 "
+                    "(NULL/zero/negative at id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("double"),
+    ).otherwise(w_raw)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(_ARES_RANGE)
+    return F.round(F.log(u) / w * 1e9, 0).cast("long")
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str,
@@ -2050,41 +2088,8 @@ def weighted_sample_topk(
     k-row result, not the corpus."""
     from pyspark.sql.window import Window
 
-    w_raw = (
-        F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    ).cast("double")
-    w = F.when(
-        w_raw.isNull() | (w_raw <= 0.0),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "weighted_sample_topk: weight must be > 0 "
-                    "(NULL/zero/negative at id="
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(")"),
-            )
-        ).cast("double"),
-    ).otherwise(w_raw)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.lit(salt), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + 1).cast("double") / F.lit(_ARES_RANGE)
-    key = (
-        F.round(F.log(u) / w * 1e9, 0)
-        .cast("long")
-        .alias("key_nano")
-    )
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = _ares_key_nano(id_col, w, salt).alias("key_nano")
     topk = (
         df.select(F.col(id_col), key)
         .orderBy(F.col("key_nano").desc(), F.col(id_col).asc())
@@ -2190,30 +2195,9 @@ def doc_weighted_sample_by_source(
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.lit(ARES_SALT), F.col("doc_id").cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + 1).cast("double") / F.lit(_ARES_RANGE)
-    key = (
-        F.round(
-            F.log(u)
-            / F.col("n_chars").cast("double")
-            * 1e9,
-            0,
-        )
-        .cast("long")
-        .alias("key_nano")
-    )
+    key = _ares_key_nano(
+        "doc_id", F.col("n_chars"), ARES_SALT
+    ).alias("key_nano")
     w = Window.partitionBy("source").orderBy(
         F.col("key_nano").desc(), F.col("doc_id").asc()
     )
@@ -2385,17 +2369,21 @@ def curation_token_budget_selection(
     from .operators.relational import global_rank_cumsum
 
     d = _t(spark, sf_dir, "documents")
-    t = TX.tokens(F.col("text"))
-    m = d.select(
+    # project the token array ONCE — four textually-different token
+    # trees in one select can each re-split the document (the
+    # shingles_of O(n^2) lesson; review finding, r7)
+    staged = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    m = staged.select(
         "doc_id",
         "source",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.when(F.size(t) == 0, F.lit(0).cast("long"))
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
         .otherwise(
             F.expr(
-                "1000000 * CAST(size(array_distinct("
-                "filter(split(text, ' '), x -> x != ''))) AS BIGINT) "
-                "DIV size(filter(split(text, ' '), x -> x != ''))"
+                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
+                "DIV size(__t)"
             )
         )
         .alias("score_micro"),

@@ -1664,7 +1664,9 @@ def weekend_events_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 64
 KMV_SALT = "kmv-v1"
-_KMV_RANGE = float(1 << 60)
+# the SHARED estimator constant (one definition — the bit-for-bit
+# stream/batch parity must not rest on two literals staying in sync)
+from .operators.sketches import KMV_HASH_RANGE as _KMV_RANGE  # noqa: E402
 
 
 def _kmv_oracle() -> str:

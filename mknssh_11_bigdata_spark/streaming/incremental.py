@@ -182,7 +182,21 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             raise ValueError("compact_every must be >= 1 (or None)")
         self.compact_every = compact_every
 
+    def _geometry_fields(self) -> dict:
+        """Layout-shaping parameters the persisted index slices are a
+        pure function of; subclasses that persist extra geometry-keyed
+        tables (the bloom bitmaps) extend this. Validated against the
+        root's ``_geometry.json`` on every seed/batch — a reopen with
+        different values fails loudly instead of silently mis-probing
+        (review finding, r7)."""
+        return {
+            "num_hashes": self.dedup_kwargs.get("num_hashes", 12),
+            "bands": self.dedup_kwargs.get("bands", 4),
+            "shingle_n": self.dedup_kwargs.get("shingle_n", 3),
+        }
+
     def seed(self, corpus: DataFrame) -> None:
+        self._geometry_guard(**self._geometry_fields())
         super().seed(corpus)
         self._write_index_slices(corpus, -1)
 
@@ -206,37 +220,11 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             f"{self.root}/band_index/batch_id={batch_id}"
         )
 
-    def _compact_epoch(self) -> int | None:
-        """Highest committed compaction epoch, or None."""
-        d = pathlib.Path(self.root) / "_compacted"
-        if not d.is_dir():
-            return None
-        epochs = [
-            int(p.name)
-            for p in d.iterdir()
-            if p.name.lstrip("-").isdigit()
-        ]
-        return max(epochs, default=None)
-
     def _slice_paths(self, name: str) -> list[str]:
         """Committed data paths for ``name`` (corpus / fp_index /
-        band_index): the newest compacted consolidation, if any, plus
-        every committed batch slice AFTER its epoch; otherwise the
-        seed slice plus every committed batch slice."""
-        base = f"{self.root}/{name}"
-        epoch = self._compact_epoch()
-        if epoch is None:
-            cands = [f"{base}/batch_id=-1"] + [
-                f"{base}/batch_id={b}"
-                for b in sorted(self.committed_batches())
-            ]
-        else:
-            cands = [f"{base}/compacted_v={epoch}"] + [
-                f"{base}/batch_id={b}"
-                for b in sorted(self.committed_batches())
-                if b > epoch
-            ]
-        return [p for p in cands if pathlib.Path(p).exists()]
+        band_index) — the shared compaction-aware read rule
+        (``_CommitMarkerLedger._compacted_slice_paths``)."""
+        return self._compacted_slice_paths(name)
 
     def corpus(self, spark: SparkSession) -> DataFrame:
         """The accumulated deduped corpus, compaction-aware."""
@@ -271,17 +259,16 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
         bounds it (the read path is exactly an LSM level-0 merge).
         Returns the compaction epoch (the max committed batch id).
 
-        Crash-safe by the module's marker discipline: consolidated
-        data is written FIRST, the epoch marker second, folded slices
-        are deleted LAST — a crash before the marker leaves readers on
-        the old slices (the half-written consolidation is invisible);
-        a crash after the marker leaves stale slice dirs readers
-        already ignore (``_slice_paths`` reads only slices ABOVE the
-        epoch) and the next ``compact()`` removes. Batch COMMIT
-        markers are kept, so the exactly-once replay drop still
-        recognizes folded batch ids."""
-        import shutil
-
+        Crash-safe by the module's marker discipline (the shared
+        ``_finish_compaction`` tail): consolidated data is written
+        FIRST, the epoch marker second, folded slices are deleted
+        LAST — a crash before the marker leaves readers on the old
+        slices (the half-written consolidation is invisible); a crash
+        after the marker leaves stale slice dirs readers already
+        ignore (``_slice_paths`` reads only slices ABOVE the epoch)
+        and the next ``compact()`` removes. Batch COMMIT markers are
+        kept, so the exactly-once replay drop still recognizes folded
+        batch ids."""
         committed = self.committed_batches()
         if not committed:
             raise RuntimeError("nothing to compact: no committed batches yet")
@@ -304,21 +291,7 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
             df.write.mode("overwrite").parquet(
                 f"{self.root}/{name}/compacted_v={epoch}"
             )
-        marker = pathlib.Path(self.root) / "_compacted"
-        marker.mkdir(parents=True, exist_ok=True)
-        (marker / str(epoch)).touch()
-        for name in self._TABLES:
-            base = pathlib.Path(self.root) / name
-            for b in [-1] + sorted(b for b in committed if b <= epoch):
-                shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
-            if prev_epoch is not None and prev_epoch != epoch:
-                shutil.rmtree(
-                    base / f"compacted_v={prev_epoch}", ignore_errors=True
-                )
-                try:
-                    (marker / str(prev_epoch)).unlink()
-                except OSError:
-                    pass
+        self._finish_compaction(epoch, prev_epoch, self._TABLES)
         return epoch
 
     def _status(self, spark: SparkSession, inc: DataFrame) -> DataFrame:
@@ -340,6 +313,7 @@ class IndexedIncrementalDedupCorpusSink(IncrementalDedupCorpusSink):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._geometry_guard(**self._geometry_fields())
         if batch_id in self.committed_batches():
             return  # replay of a committed batch — exactly-once drop
         spark = batch_df.sparkSession
@@ -441,6 +415,13 @@ class BloomPrefilteredIncrementalDedupSink(
         self.bloom_k = bloom_k
         #: (n_cleared, n_suspect) prefilter telemetry of the last batch
         self.last_prefilter_stats: tuple[int, int] | None = None
+
+    def _geometry_fields(self) -> dict:
+        return {
+            **super()._geometry_fields(),
+            "bloom_m_bits": self.bloom_m_bits,
+            "bloom_k": self.bloom_k,
+        }
 
     def _write_index_slices(self, docs: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bloom_word_frame
@@ -774,49 +755,35 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
             f"{self.root}/band_index/batch_id={batch_id}"
         )
 
+    def _geometry_fields(self) -> dict:
+        """Layout-shaping parameters the persisted SRP band index is a
+        pure function of (threshold only shapes decisions, not the
+        layout); the bloom subclass extends with its bitmap geometry.
+        Validated against ``_geometry.json`` on seed and every batch."""
+        return {
+            "dim": self.dim,
+            "n_bits": self.n_bits,
+            "bands": self.bands,
+        }
+
     def seed(self, corpus: DataFrame) -> None:
         """Write the pre-existing vector corpus + its band index as the
         ``batch_id=-1`` slices (idempotent: overwrite)."""
+        self._geometry_guard(**self._geometry_fields())
         corpus.write.mode("overwrite").parquet(
             f"{self.root}/corpus/batch_id=-1"
         )
         self._write_index_slice(corpus, -1)
 
-    def _compact_epoch(self) -> int | None:
-        """Highest committed compaction epoch, or None."""
-        d = pathlib.Path(self.root) / "_compacted"
-        if not d.is_dir():
-            return None
-        epochs = [
-            int(p.name)
-            for p in d.iterdir()
-            if p.name.lstrip("-").isdigit()
-        ]
-        return max(epochs, default=None)
-
     def _slices(self, name: str) -> list[str]:
-        """Committed data paths for ``name``, compaction-aware: the
-        newest consolidation (if any) plus every committed batch slice
-        after its epoch — same read rule as the text sink."""
-        base = f"{self.root}/{name}"
-        epoch = self._compact_epoch()
-        if epoch is None:
-            cands = [f"{base}/batch_id=-1"] + [
-                f"{base}/batch_id={b}"
-                for b in sorted(self.committed_batches())
-            ]
-        else:
-            cands = [f"{base}/compacted_v={epoch}"] + [
-                f"{base}/batch_id={b}"
-                for b in sorted(self.committed_batches())
-                if b > epoch
-            ]
-        present = [p for p in cands if pathlib.Path(p).exists()]
+        """Committed data paths for ``name`` — the shared compaction-
+        aware read rule, with this sink's raise-on-empty contract."""
+        present = self._compacted_slice_paths(name)
         if not present:
             raise RuntimeError(
                 f"IncrementalEmbeddingDedupSink has no {name} slices "
-                f"under {base}: call seed() with the pre-existing corpus "
-                "before starting the stream."
+                f"under {self.root}/{name}: call seed() with the "
+                "pre-existing corpus before starting the stream."
             )
         return present
 
@@ -832,8 +799,6 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         split slices are untouched — they are read per committed batch
         id, and batch COMMIT markers survive, so the exactly-once
         replay drop still recognizes folded ids."""
-        import shutil
-
         committed = self.committed_batches()
         if not committed:
             raise RuntimeError(
@@ -849,22 +814,7 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
             df.write.mode("overwrite").parquet(
                 f"{self.root}/{name}/compacted_v={epoch}"
             )
-        marker = pathlib.Path(self.root) / "_compacted"
-        marker.mkdir(parents=True, exist_ok=True)
-        (marker / str(epoch)).touch()
-        for name in self._TABLES:
-            base = pathlib.Path(self.root) / name
-            for b in [-1] + sorted(b for b in committed if b <= epoch):
-                shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
-            if prev_epoch is not None and prev_epoch != epoch:
-                shutil.rmtree(
-                    base / f"compacted_v={prev_epoch}",
-                    ignore_errors=True,
-                )
-                try:
-                    (marker / str(prev_epoch)).unlink()
-                except OSError:
-                    pass
+        self._finish_compaction(epoch, prev_epoch, self._TABLES)
         return epoch
 
     def corpus(self, spark: SparkSession) -> DataFrame:
@@ -905,6 +855,7 @@ class IncrementalEmbeddingDedupSink(_CommitMarkerLedger):
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._geometry_guard(**self._geometry_fields())
         if batch_id in self.committed_batches():
             return  # replay of a committed batch — exactly-once drop
         spark = batch_df.sparkSession
@@ -1010,6 +961,13 @@ class BloomPrefilteredEmbeddingDedupSink(IncrementalEmbeddingDedupSink):
         self.bloom_k = bloom_k
         #: (n_cleared, n_suspect) prefilter telemetry of the last batch
         self.last_prefilter_stats: tuple[int, int] | None = None
+
+    def _geometry_fields(self) -> dict:
+        return {
+            **super()._geometry_fields(),
+            "bloom_m_bits": self.bloom_m_bits,
+            "bloom_k": self.bloom_k,
+        }
 
     def _write_index_slice(self, docs: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bloom_word_frame

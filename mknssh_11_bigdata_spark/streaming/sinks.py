@@ -69,6 +69,113 @@ class _CommitMarkerLedger:
         except OSError:
             pass
 
+    def _geometry_guard(self, **fields) -> None:
+        """Persist-or-validate the sink's layout-shaping parameters.
+        Persisted slices are pure functions of geometry (bitmap
+        m_bits/k, band counts, shingle width, bottom-k size):
+        reopening a root with different values silently breaks the
+        guarantee the layout encodes — e.g. a re-sized bloom bitmap
+        probes old slices at the wrong positions, producing false
+        NEGATIVES and inverting the one-sided-error contract. First
+        use records ``_geometry.json`` under the root; a later
+        construction must match it or fail loudly (the same
+        loud-not-silent posture as the bloom slice-coverage check)."""
+        import json
+
+        p = pathlib.Path(self.root) / "_geometry.json"
+        want = {k: fields[k] for k in sorted(fields)}
+        if p.exists():
+            have = json.loads(p.read_text())
+            if have != want:
+                raise RuntimeError(
+                    f"{type(self).__name__} at {self.root}: persisted "
+                    f"geometry {have} does not match constructor "
+                    f"arguments {want}. Slices built under one geometry "
+                    "cannot be probed under another — re-seed a fresh "
+                    "root, or reopen with the recorded parameters."
+                )
+            return
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(want))
+
+    # -- shared compaction machinery (one implementation for the three
+    # -- compacting layouts: text dedup sink, embedding dedup sink,
+    # -- novelty monitor — review finding r7: the read rule and the
+    # -- crash-ordering tail must not be able to drift between copies)
+
+    def _compact_epoch(self) -> int | None:
+        """Highest committed compaction epoch, or None."""
+        d = pathlib.Path(self.root) / "_compacted"
+        if not d.is_dir():
+            return None
+        epochs = [
+            int(p.name)
+            for p in d.iterdir()
+            if p.name.lstrip("-").isdigit()
+        ]
+        return max(epochs, default=None)
+
+    def _compacted_slice_paths(
+        self, name: str, include_seed: bool = True
+    ) -> list[str]:
+        """THE compaction-aware read rule for a per-batch slice table:
+        the newest consolidation (if any) plus every committed batch
+        slice after its epoch — plus the ``batch_id=-1`` seed slice
+        when the layout has one and no consolidation exists yet."""
+        base = f"{self.root}/{name}"
+        epoch = self._compact_epoch()
+        committed = sorted(self.committed_batches())
+        if epoch is None:
+            cands = (
+                [f"{base}/batch_id=-1"] if include_seed else []
+            ) + [f"{base}/batch_id={b}" for b in committed]
+        else:
+            cands = [f"{base}/compacted_v={epoch}"] + [
+                f"{base}/batch_id={b}" for b in committed if b > epoch
+            ]
+        return [p for p in cands if pathlib.Path(p).exists()]
+
+    def _finish_compaction(
+        self,
+        epoch: int,
+        prev_epoch: int | None,
+        tables,
+        include_seed: bool = True,
+    ) -> None:
+        """The crash-ordering TAIL of a compaction — the caller has
+        already written every consolidated ``compacted_v=<epoch>``
+        dir: epoch marker SECOND (a crash before it leaves readers on
+        the old slices; the half-written consolidation is invisible),
+        folded slice dirs deleted LAST (a crash after the marker
+        leaves stale dirs readers already ignore). Batch COMMIT
+        markers are never touched, so exactly-once replay drops still
+        recognize folded batch ids."""
+        import shutil
+
+        marker = pathlib.Path(self.root) / "_compacted"
+        marker.mkdir(parents=True, exist_ok=True)
+        (marker / str(epoch)).touch()
+        committed = self.committed_batches()
+        for name in tables:
+            base = pathlib.Path(self.root) / name
+            ids = sorted(b for b in committed if b <= epoch)
+            if include_seed:
+                ids = [-1] + ids
+            for b in ids:
+                shutil.rmtree(
+                    base / f"batch_id={b}", ignore_errors=True
+                )
+            if prev_epoch is not None and prev_epoch != epoch:
+                shutil.rmtree(
+                    base / f"compacted_v={prev_epoch}",
+                    ignore_errors=True,
+                )
+        if prev_epoch is not None and prev_epoch != epoch:
+            try:
+                (marker / str(prev_epoch)).unlink()
+            except OSError:
+                pass
+
 
 class IdempotentParquetSink(_CommitMarkerLedger):
     """``foreachBatch`` callable with exactly-once parquet semantics.
@@ -844,6 +951,11 @@ class KmvDistinctMonitorSink(_CommitMarkerLedger):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bottom_k_values, kmv_hash
 
+        # persisted state is k+1 hashes under ONE (k, salt): reopening
+        # with a larger k would read short state as the exact arm
+        # (silently wrong estimates), a different salt would merge
+        # incomparable hash spaces — record and validate
+        self._geometry_guard(k=self.k, salt=self.salt)
         if batch_id in self.committed_batches():
             return  # replay of a committed batch — exactly-once drop
         spark = batch_df.sparkSession
@@ -942,48 +1054,26 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         self.k = k
 
     def _gram_frame(self, batch_df: DataFrame) -> DataFrame:
+        # (doc, gram) rows are already unique per doc: shingles_of
+        # dedupes within the document (array_distinct), and cross-doc
+        # rows differ on id — a .distinct() here would full-shuffle the
+        # batch's widest frame every micro-batch for zero effect
+        # (review finding, r7)
         from ..functions import text as TX
 
-        return (
-            batch_df.select(
-                self.id_col,
-                F.explode(
-                    TX.shingles_of(
-                        TX.tokens(F.col(self.text_col)), self.shingle_n
-                    )
-                ).alias("__g"),
-            )
-            .distinct()
+        return batch_df.select(
+            self.id_col,
+            F.explode(
+                TX.shingles_of(
+                    TX.tokens(F.col(self.text_col)), self.shingle_n
+                )
+            ).alias("__g"),
         )
 
-    def _compact_epoch(self) -> int | None:
-        d = pathlib.Path(self.root) / "_compacted"
-        if not d.is_dir():
-            return None
-        epochs = [
-            int(p.name)
-            for p in d.iterdir()
-            if p.name.lstrip("-").isdigit()
-        ]
-        return max(epochs, default=None)
-
     def _bloom_paths(self) -> list[str]:
-        """Committed bitmap slice dirs, compaction-aware: the newest
-        consolidation (if any) plus every committed slice after its
-        epoch — the module's standard read rule."""
-        committed = sorted(self.committed_batches())
-        epoch = self._compact_epoch()
-        if epoch is None:
-            cands = [
-                f"{self.root}/bloom/batch_id={b}" for b in committed
-            ]
-        else:
-            cands = [f"{self.root}/bloom/compacted_v={epoch}"] + [
-                f"{self.root}/bloom/batch_id={b}"
-                for b in committed
-                if b > epoch
-            ]
-        return [p for p in cands if pathlib.Path(p).exists()]
+        """Committed bitmap slice dirs — the shared compaction-aware
+        read rule (no ``batch_id=-1`` seed slice in this layout)."""
+        return self._compacted_slice_paths("bloom", include_seed=False)
 
     def _prior_bloom(self, spark: SparkSession) -> DataFrame | None:
         from ..operators.sketches import bloom_dense_frame
@@ -1005,8 +1095,6 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         markers are untouched (replays of folded ids still drop).
         Equal-epoch re-compaction is a no-op (the only persisted copy
         must never be read-then-overwritten in place)."""
-        import shutil
-
         committed = self.committed_batches()
         if not committed:
             raise RuntimeError("nothing to compact: no committed batches")
@@ -1023,20 +1111,9 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         folded.write.mode("overwrite").parquet(
             f"{self.root}/bloom/compacted_v={epoch}"
         )
-        marker = pathlib.Path(self.root) / "_compacted"
-        marker.mkdir(parents=True, exist_ok=True)
-        (marker / str(epoch)).touch()
-        base = pathlib.Path(self.root) / "bloom"
-        for b in sorted(b for b in committed if b <= epoch):
-            shutil.rmtree(base / f"batch_id={b}", ignore_errors=True)
-        if prev_epoch is not None:
-            shutil.rmtree(
-                base / f"compacted_v={prev_epoch}", ignore_errors=True
-            )
-            try:
-                (marker / str(prev_epoch)).unlink()
-            except OSError:
-                pass
+        self._finish_compaction(
+            epoch, prev_epoch, ["bloom"], include_seed=False
+        )
         return epoch
 
     def novelty(self, spark: SparkSession) -> DataFrame | None:
@@ -1055,6 +1132,13 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bloom_probe, bloom_word_frame
 
+        # reopening with a different m/k/shingle geometry would probe
+        # old slices at the wrong positions — false NEGATIVES, i.e. the
+        # one-sided contract INVERTED (over-reported novelty) — so the
+        # root records its geometry and mismatches fail loudly
+        self._geometry_guard(
+            m_bits=self.m_bits, k=self.k, shingle_n=self.shingle_n
+        )
         if batch_id in self.committed_batches():
             return  # replay of a committed batch — exactly-once drop
         spark = batch_df.sparkSession

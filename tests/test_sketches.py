@@ -283,3 +283,67 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
         with pytest.raises((Py4JJavaError, Exception)) as ei:
             weighted_sample_topk(df, "id", "w", 3).collect()
         assert "weight must be > 0" in str(ei.value)
+
+
+def test_bottom_k_values_merge_invariant_hypothesis(spark):
+    """The KMV monitor's core claim, property-tested: bottom-k over
+    distinct hashes is an associative, commutative set merge — for ANY
+    multiset of (key, hash) rows and ANY partition of it into batches,
+    re-reducing per-batch bottom-k states equals the bottom-k of the
+    whole, and both equal the python model (sorted distinct, first k)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mknssh_11_bigdata_spark.operators.sketches import (
+        bottom_k_values,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        cut=st.integers(min_value=0, max_value=60),
+        k=st.integers(min_value=1, max_value=7),
+    )
+    def run(rows, cut, k):
+        cut = min(cut, len(rows))
+        df_all = spark.createDataFrame(rows, "k string, h long")
+        whole = bottom_k_values(df_all, "k", "h", k)
+        got_whole = {}
+        for r in whole.collect():
+            got_whole.setdefault(r["k"], []).append(r["h"])
+        # split into two batches, reduce each, merge, re-reduce
+        parts = [rows[:cut], rows[cut:]]
+        states = [
+            bottom_k_values(
+                spark.createDataFrame(p, "k string, h long"), "k", "h", k
+            )
+            for p in parts
+            if p
+        ]
+        merged = states[0]
+        for s in states[1:]:
+            merged = merged.unionByName(s)
+        rered = bottom_k_values(merged, "k", "h", k)
+        got_merged = {}
+        for r in rered.collect():
+            got_merged.setdefault(r["k"], []).append(r["h"])
+        # python model
+        want = {}
+        for key in {k0 for k0, _ in rows}:
+            hs = sorted({h for k0, h in rows if k0 == key})[:k]
+            want[key] = hs
+        assert {k0: sorted(v) for k0, v in got_whole.items()} == want
+        assert {k0: sorted(v) for k0, v in got_merged.items()} == want
+
+    run()

@@ -1217,7 +1217,51 @@ def test_bloom_sink_rejects_mixed_root_missing_bloom_slices(
     parent(incs[0].localCheckpoint(eager=True), 0)
 
     # same root re-opened with the Bloom subclass: slices exist for
-    # fp_index/band_index (seed + batch 0) but bloom_* has none
+    # fp_index/band_index (seed + batch 0) but bloom_* has none. Two
+    # independent tripwires now cover this: the geometry ledger (the
+    # parent recorded no bloom fields — fires first) and the bloom
+    # slice-coverage check; either way the failure is LOUD ("not
+    # match" appears in both messages), never silent under-filtering.
     mixed = BloomPrefilteredIncrementalDedupSink(root)
-    with pytest.raises(RuntimeError, match="do not match"):
+    with pytest.raises(RuntimeError, match="not match"):
         mixed(incs[1].localCheckpoint(eager=True), 1)
+
+
+def test_dedup_sink_geometry_guard(spark, tmp_path):
+    """Review finding (r7): the persisted fp/band/bloom slices are pure
+    functions of the sink's geometry — a reopen with different band or
+    bitmap parameters must fail loudly (silently mis-probing an index
+    built under other parameters is the missed-duplicates bug class the
+    ADVICE r6 coverage check already targets)."""
+    import pytest
+
+    from mknssh_11_bigdata_spark.streaming.incremental import (
+        BloomPrefilteredIncrementalDedupSink,
+        IndexedIncrementalDedupCorpusSink,
+    )
+
+    seed, incs = _slices(spark)
+    root = str(tmp_path / "g")
+    sink = BloomPrefilteredIncrementalDedupSink(root, bloom_m_bits=1 << 18)
+    sink.seed(seed)
+    sink(incs[0].localCheckpoint(eager=True), 0)
+
+    # different bloom geometry
+    with pytest.raises(RuntimeError, match="geometry"):
+        BloomPrefilteredIncrementalDedupSink(root, bloom_m_bits=1 << 20)(
+            incs[1].localCheckpoint(eager=True), 1
+        )
+    # different band geometry (the non-bloom fields)
+    with pytest.raises(RuntimeError, match="geometry"):
+        BloomPrefilteredIncrementalDedupSink(
+            root, bloom_m_bits=1 << 18, bands=6, num_hashes=12
+        )(incs[1].localCheckpoint(eager=True), 1)
+    # the parent class on a bloom root records different fields
+    with pytest.raises(RuntimeError, match="geometry"):
+        IndexedIncrementalDedupCorpusSink(root)(
+            incs[1].localCheckpoint(eager=True), 1
+        )
+    # identical geometry reopens fine
+    again = BloomPrefilteredIncrementalDedupSink(root, bloom_m_bits=1 << 18)
+    again(incs[1].localCheckpoint(eager=True), 1)
+    assert again.committed_batches() == {0, 1}

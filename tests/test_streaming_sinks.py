@@ -798,3 +798,45 @@ def test_novelty_monitor_compaction_read_invariant(spark, tmp_path):
         for r in b.novelty(spark).collect()
     }
     assert ga == gb
+
+
+def test_geometry_guard_rejects_mismatched_reopen(spark, tmp_path):
+    """Review finding (r7): persisted slices are pure functions of
+    geometry (bitmap m/k, shingle width, bottom-k size) — reopening a
+    root with different values must fail LOUDLY, because e.g. a
+    re-sized bloom bitmap probes old slices at the wrong positions
+    (false negatives, inverting the one-sided contract) and a larger
+    KMV k reads short state as the exact arm."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        KmvDistinctMonitorSink,
+        NoveltyMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).filter("doc_id < 30").localCheckpoint(eager=True)
+
+    nov = NoveltyMonitorSink(str(tmp_path / "n"), m_bits=1 << 18)
+    nov(docs, 0)
+    reopened = NoveltyMonitorSink(str(tmp_path / "n"), m_bits=1 << 20)
+    with pytest.raises(RuntimeError, match="geometry"):
+        reopened(docs, 1)
+    # same geometry reopens fine
+    ok = NoveltyMonitorSink(str(tmp_path / "n"), m_bits=1 << 18)
+    ok(docs, 1)
+    assert ok.committed_batches() == {0, 1}
+
+    ev = spark.createDataFrame(
+        [("a", i) for i in range(50)], "event_type string, user_id long"
+    )
+    kmv = KmvDistinctMonitorSink(str(tmp_path / "k"), k=16)
+    kmv(ev, 0)
+    for bad in (
+        KmvDistinctMonitorSink(str(tmp_path / "k"), k=32),
+        KmvDistinctMonitorSink(str(tmp_path / "k"), k=16, salt="other"),
+    ):
+        with pytest.raises(RuntimeError, match="geometry"):
+            bad(ev, 1)
