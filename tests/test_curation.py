@@ -286,3 +286,53 @@ def test_pii_scrub_redacts_not_mangles(spark):
         .collect()[0]["red"]
     )
     assert red == "ping <EMAIL> at <IP> or <PHONE> ok"
+
+
+def test_token_budget_selection_greedy_prefix_contract(spark, tmp_path):
+    """Planted-boundary contract for the budget cut: selection is
+    exactly the greedy prefix of the (score DESC, doc_id) order whose
+    INCLUSIVE cumulative token count fits the budget — the cut can
+    land mid-source and partially-selected sources report honest
+    partial counts."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.queries_curation import (
+        BUDGET_DIV,
+        curation_token_budget_selection,
+    )
+
+    # 6 docs, 10 tokens each => total 60, budget 60//4 = 15 tokens =>
+    # exactly one full doc + the cut rejecting the 2nd (10+10 > 15).
+    # Scores: distinct-ratio ladder via repeated tokens.
+    def text(n_distinct):
+        toks = [f"w{i}" for i in range(n_distinct)] + ["w0"] * (
+            10 - n_distinct
+        )
+        return " ".join(toks)
+
+    rows = [
+        (0, "a", text(10)),  # score 1.0  -> rank 1, cum 10 <= 15: SELECTED
+        (1, "a", text(9)),   # score 0.9  -> rank 2, cum 20 > 15: out
+        (2, "b", text(8)),
+        (3, "b", text(7)),
+        (4, "c", text(6)),
+        (5, "c", text(5)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    p = tmp_path / "documents.parquet"
+    d.coalesce(1).write.mode("overwrite").parquet(str(p))
+    # the loader reads <dir>/documents.parquet
+    out = {
+        r["source"]: (r["n_selected"], r["selected_tokens"], r["n_docs"])
+        for r in curation_token_budget_selection(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "a": (1, 10, 2),  # only the rank-1 doc fits the 15-token budget
+        "b": (0, 0, 2),
+        "c": (0, 0, 2),
+    }
+    assert BUDGET_DIV == 4  # the contract the arithmetic above encodes

@@ -1051,3 +1051,33 @@ def test_curation_decontaminated_split_composes_all_three_stages(spark):
     assert {
         r["split"] for r in soft.select("split").distinct().collect()
     } <= {"train", "val", "test"}
+
+
+def test_pair_source_crosstab_counts_unordered_pairs_once(spark):
+    """Contract pins for the source cross-tab: every verified pair
+    contributes exactly one row-count to exactly one NORMALIZED
+    (source_a <= source_b) cell; totals across cells equal the pair
+    count whose docs resolve to sources; jaccard mass sums in exact
+    integer micro-units."""
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.queries_curation import (
+        dedup_pair_source_crosstab,
+    )
+    from mknssh_11_bigdata_spark.queries_llm import minhash_pair_graph
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_pair_source_crosstab(spark, sf).collect()
+    assert out  # non-vacuous at this SF
+    for r in out:
+        assert r["source_a"] <= r["source_b"]  # normalized exactly once
+        assert r["n_pairs"] >= 1
+        # per-pair jaccard is in [threshold, 1] -> micro sums bounded
+        assert (
+            700000 * r["n_pairs"]
+            <= r["sum_jaccard_micro"]
+            <= 1000000 * r["n_pairs"]
+        )
+    assert sum(r["n_pairs"] for r in out) == minhash_pair_graph(
+        spark, sf
+    ).count()
