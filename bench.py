@@ -52,6 +52,21 @@ def main() -> int:
     # over interleaved passes discards a spike that hits one window without
     # letting it bias any single query's figure.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Scale-table runs (BASELINE.md 50x tables) time a SUBSET of the
+    # registry at a big SF dir — sweeping all ~200 queries at 50x data
+    # per rep would take hours for no extra signal. A subset run writes
+    # its sidecar to BENCH_SUBSET.json so the committed full-registry
+    # BENCH_LOCAL.json is never clobbered by a partial sweep.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = [n for n in only_env.split(",") if n] if only_env else None
+    if only:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            print(f"unknown queries in SPARK_GRAFT_BENCH_ONLY: {unknown}")
+            return 2
+    bench_queries = (
+        {n: QUERIES[n] for n in only} if only else dict(QUERIES)
+    )
     spark = get_spark(app_name="mknssh11-bench")
 
     # Warmup: one cheap query end-to-end to absorb JVM/codegen startup,
@@ -75,7 +90,7 @@ def main() -> int:
         ).save()
 
     load_before = _loadavg()
-    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
     # Sweep 0 is the untimed warmup (codegen + any first-run plan cost);
     # sweeps 1..reps are recorded. Skippable for quick local iteration.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
@@ -83,7 +98,7 @@ def main() -> int:
 
     for sweep in range(reps + (1 if warmup else 0)):
         record = not (warmup and sweep == 0)
-        for name, spec in sorted(QUERIES.items()):
+        for name, spec in sorted(bench_queries.items()):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -120,7 +135,8 @@ def main() -> int:
     print(full_line)
     try:
         sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SUBSET.json" if only else "BENCH_LOCAL.json",
         )
         with open(sidecar, "w") as fh:
             fh.write(full_line + "\n")

@@ -1203,6 +1203,13 @@ _RECERTIFY = {
     "event_kmv_distinct": 7,
     "doc_weighted_sample": 7,
     "doc_weighted_sample_by_source": 7,
+    # round 8: centroid-model hint routed through the measured-count
+    # guard (VERDICT r7 watch #1) — output identical, plan differs.
+    "embedding_label_outliers": 8,
+    # round 8: per-doc novelty refactored onto the shared
+    # _doc_novelty_frame substrate (per-source rollup consumes it) —
+    # output bit-identical, code differs from what r6 certified.
+    "doc_novelty_scores": 8,
 }
 
 

@@ -1751,3 +1751,338 @@ def small_quantity_brand_revenue(
             2,
         ).alias("avg_yearly")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part within a region (correlated min-over-join)
+# ---------------------------------------------------------------------------
+
+MIN_COST_REGION = "EUROPE"
+MIN_COST_PART_TYPE = "PROMO"
+MIN_COST_MAX_SIZE = 10
+MIN_COST_TOP_N = 100
+
+
+@register(
+    "min_cost_region_supplier",
+    f"""
+    WITH offers AS (
+        SELECT l.l_partkey AS p_partkey, l.l_suppkey AS suppkey,
+               MIN(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                   AS cost_cents
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE p_type = '{MIN_COST_PART_TYPE}'
+              AND p_size <= {MIN_COST_MAX_SIZE}
+        )
+        GROUP BY 1, 2
+    ),
+    region_offers AS (
+        SELECT o.p_partkey, o.cost_cents,
+               s.s_acctbal, s.s_name, n.n_name AS nation
+        FROM offers o
+        JOIN supplier s ON s.s_suppkey = o.suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = '{MIN_COST_REGION}'
+    ),
+    best AS (
+        SELECT *, MIN(cost_cents) OVER (PARTITION BY p_partkey)
+                      AS min_cents
+        FROM region_offers
+    )
+    SELECT b.s_acctbal, b.s_name, b.nation, b.p_partkey, p.p_name,
+           b.cost_cents / 100.0 AS supply_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.p_partkey
+    WHERE b.cost_cents = b.min_cents
+    ORDER BY b.s_acctbal DESC, b.nation, b.s_name, b.p_partkey
+    LIMIT {MIN_COST_TOP_N}
+    """,
+)
+def min_cost_region_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — for each part in a sliver (type + size), the
+    {MIN_COST_REGION} supplier(s) offering it at the minimum observed
+    unit price; the testdata has no partsupp table, so the supply
+    relation is the distinct (l_partkey, l_suppkey) pairs of lineitem
+    with MIN(l_extendedprice) as the offer cost (exact integer cents —
+    engine-stable MIN and equality).
+
+    The CORRELATED SUBQUERY is the point: TPC-H writes
+    ``ps_supplycost = (SELECT MIN(ps_supplycost) ... WHERE
+    ps_partkey = p_partkey AND <region>)`` — a per-row re-scan if
+    executed naively. Here it DECORRELATES as a window: one
+    (partkey, suppkey) aggregate of the part-pruned fact, the region
+    membership bound BEFORE the min (the min ranges over region
+    suppliers only), then ``MIN(cost) OVER (PARTITION BY p_partkey)``
+    — a single hash-partitioned pass, never a second fact scan, never
+    a per-part loop. Part sliver broadcasts twice (prune + names);
+    supplier stays a shuffle join (per-fact-row wide at warehouse
+    scale — Q7 precedent); ties (supplier matching the min) ALL
+    survive, and the final top-{MIN_COST_TOP_N} carries a total-order
+    tiebreak so LIMIT is deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cost_cents"),
+    )
+    p_sliver = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MIN_COST_PART_TYPE)
+            & (F.col("p_size") <= MIN_COST_MAX_SIZE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    offers = (
+        li.join(
+            p_sliver.select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cost_cents").alias("cost_cents"))
+    )
+    n_region = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == MIN_COST_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+    region_offers = offers.join(s, offers.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    best = region_offers.withColumn(
+        "min_cents", F.min("cost_cents").over(w)
+    ).filter(F.col("cost_cents") == F.col("min_cents"))
+    return (
+        best.join(p_sliver, best.l_partkey == p_sliver.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_cents") / F.lit(100.0)).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "nation",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(MIN_COST_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — per-part value share with a HAVING against a global scalar
+# ---------------------------------------------------------------------------
+
+VALUE_SHARE_REGION = "ASIA"
+VALUE_SHARE_MULTIPLE = 2.0
+
+
+@register(
+    "part_value_concentration",
+    f"""
+    WITH v AS (
+        SELECT l.l_partkey AS p_partkey,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000, 0) AS BIGINT)) AS val4
+        FROM lineitem l
+        WHERE l.l_suppkey IN (
+            SELECT s.s_suppkey FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = '{VALUE_SHARE_REGION}'
+        )
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(val4) AS total4, COUNT(*) AS n_parts FROM v
+    )
+    SELECT v.p_partkey,
+           v.val4 / 10000.0 AS part_value,
+           ROUND((100.0 * CAST(v.val4 AS DOUBLE))
+                 / CAST(t.total4 AS DOUBLE), 6) AS value_share_pct
+    FROM v, tot t
+    WHERE CAST(v.val4 AS DOUBLE)
+          > ({VALUE_SHARE_MULTIPLE} * CAST(t.total4 AS DOUBLE))
+            / CAST(t.n_parts AS DOUBLE)
+    ORDER BY v.val4 DESC, v.p_partkey
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — which parts concentrate the revenue supplied
+    out of {VALUE_SHARE_REGION}: per-part value HAVING > a scalar
+    derived from the GLOBAL aggregate over the same grouped frame
+    (here {VALUE_SHARE_MULTIPLE}× the mean per-part value; TPC-H's
+    ``fraction × SUM`` constant doesn't survive scale-factor changes,
+    the mean-multiple form is SF-invariant so all three test SFs pass
+    non-trivially).
+
+    Physical shape: the per-part rollup computes ONCE
+    (localCheckpoint — the Q15 discipline: the global scalar and the
+    HAVING filter read the same materialized frame, never re-derive
+    the lineage into a second fact scan), its one-row total broadcasts
+    back via a nested-loop join, and the comparison replays the exact
+    same double ops in both engines (integer quarter-cent ledgers cast
+    to double; identical op order, parenthesized). Supplier-region
+    membership is a semi-join BEFORE the rollup so the shuffle carries
+    a fifth of the fact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(_rev() * F.lit(10000.0), 0).cast("long").alias("rev4"),
+    )
+    n_region = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == VALUE_SHARE_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    s_keys = (
+        _t(spark, sf_dir, "supplier")
+        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(s_keys, li.l_suppkey == s_keys.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("rev4").alias("val4"))
+        .localCheckpoint(eager=False)
+    )
+    tot = v.agg(
+        F.sum("val4").alias("total4"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    threshold = (
+        F.lit(VALUE_SHARE_MULTIPLE) * F.col("total4").cast("double")
+    ) / F.col("n_parts").cast("double")
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val4").cast("double") > threshold)
+        .select(
+            "p_partkey",
+            (F.col("val4") / F.lit(10000.0)).alias("part_value"),
+            F.round(
+                (F.lit(100.0) * F.col("val4").cast("double"))
+                / F.col("total4").cast("double"),
+                6,
+            ).alias("value_share_pct"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — nested semi-join chain (IN inside IN), one fact scan
+# ---------------------------------------------------------------------------
+
+ACTIVE_PART_PREFIX = "red"
+ACTIVE_SHIP_LO = "1997-01-01"
+ACTIVE_SHIP_HI = "1998-01-01"
+ACTIVE_QTY_FLOOR = 40.0
+ACTIVE_REGION = "AMERICA"
+
+
+@register(
+    "red_part_active_suppliers",
+    f"""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{ACTIVE_REGION}'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE p_name LIKE '{ACTIVE_PART_PREFIX}%'
+        )
+          AND l.l_shipdate >= TIMESTAMP '{ACTIVE_SHIP_LO}'
+          AND l.l_shipdate <  TIMESTAMP '{ACTIVE_SHIP_HI}'
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING SUM(l.l_quantity) > {ACTIVE_QTY_FLOOR}
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def red_part_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nested semi-join chain: suppliers in
+    {ACTIVE_REGION} who moved more than {ACTIVE_QTY_FLOOR} units of
+    any single '{ACTIVE_PART_PREFIX}…' part during the window (the
+    testdata has no partsupp, so the availqty comparison becomes a
+    window-quantity floor on the same (part, supplier) supply pairs —
+    the nesting is what's pinned: part-name IN inside a
+    per-pair-aggregate IN inside the supplier filter).
+
+    Physical shape: each IN level compiles to a LeftSemi, STACKED —
+    the part sliver broadcasts onto the date-pruned fact scan
+    (innermost IN = semi-reduction before any shuffle), ONE
+    (partkey, suppkey) aggregation applies the HAVING floor, and the
+    surviving pair frame semi-joins supplier directly (a semi-join
+    dedupes by definition — no separate DISTINCT shuffle for the key
+    set). No correlated re-scan anywhere: lineitem is read exactly
+    once. The quantity floor compares exact integral-valued double
+    sums, stable across engines."""
+    p_red = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(ACTIVE_PART_PREFIX))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(ACTIVE_SHIP_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(ACTIVE_SHIP_HI).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    active_pairs = (
+        li.join(p_red, li.l_partkey == p_red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("win_qty"))
+        .filter(F.col("win_qty") > ACTIVE_QTY_FLOOR)
+        .select("l_suppkey")
+    )
+    n_region = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == ACTIVE_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(active_pairs, s.s_suppkey == active_pairs.l_suppkey, "left_semi")
+        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "nation")
+        .orderBy("s_suppkey")
+    )

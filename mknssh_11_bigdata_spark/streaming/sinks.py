@@ -1043,6 +1043,7 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         shingle_n: int = 3,
         m_bits: int = 1 << 20,
         k: int = 2,
+        source_col: str | None = None,
     ):
         super().__init__(root)
         if m_bits < 64 or k < 1:
@@ -1052,6 +1053,12 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         self.shingle_n = shingle_n
         self.m_bits = m_bits
         self.k = k
+        #: when set, telemetry rows carry the document's source and
+        #: :meth:`novelty_by_source` serves the per-source rollup —
+        #: part of the ledger SCHEMA, so it joins the geometry guard
+        #: (mixing sourced and sourceless telemetry slices under one
+        #: root would break every ledger reader).
+        self.source_col = source_col
 
     def _gram_frame(self, batch_df: DataFrame) -> DataFrame:
         # (doc, gram) rows are already unique per doc: shingles_of
@@ -1061,8 +1068,11 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         # (review finding, r7)
         from ..functions import text as TX
 
+        cols = [self.id_col] + (
+            [self.source_col] if self.source_col else []
+        )
         return batch_df.select(
-            self.id_col,
+            *cols,
             F.explode(
                 TX.shingles_of(
                     TX.tokens(F.col(self.text_col)), self.shingle_n
@@ -1117,8 +1127,8 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         return epoch
 
     def novelty(self, spark: SparkSession) -> DataFrame | None:
-        """All committed telemetry rows: (id, batch_id, n_grams,
-        n_seen_prior, novelty_ppm)."""
+        """All committed telemetry rows: (id, [source,] batch_id,
+        n_grams, n_seen_prior, novelty_ppm)."""
         committed = self.committed_batches()
         if not committed:
             return None
@@ -1129,6 +1139,58 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
             ]
         )
 
+    def novelty_by_source(self, spark: SparkSession) -> DataFrame | None:
+        """Per-(batch, source) rollup of the telemetry ledger — the
+        streaming twin of the batch ``source_novelty_rollup`` at BATCH
+        granularity (seen-in-a-prior-batch, not seen-in-an-earlier-
+        doc): (batch_id, source, n_docs, n_grams, n_seen_prior,
+        pooled_novelty_ppm, mean_doc_novelty_ppm, min/max doc ppm).
+        All-integer arithmetic over the already-committed per-doc
+        rows — a ledger-sized agg, never a corpus rescan; inherits the
+        ledger's one-sided error (pooled/mean/min/max can only
+        UNDER-report novelty)."""
+        if not self.source_col:
+            raise ValueError(
+                "novelty_by_source requires the sink to be constructed "
+                "with source_col (telemetry rows carry no source "
+                "otherwise)"
+            )
+        tele = self.novelty(spark)
+        if tele is None:
+            return None
+        return (
+            tele.groupBy("batch_id", self.source_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_grams").cast("long").alias("n_grams"),
+                F.sum("n_seen_prior").cast("long").alias("n_seen_prior"),
+                F.sum("novelty_ppm").cast("long").alias("__ppm_sum"),
+                F.min("novelty_ppm")
+                .cast("long")
+                .alias("min_doc_novelty_ppm"),
+                F.max("novelty_ppm")
+                .cast("long")
+                .alias("max_doc_novelty_ppm"),
+            )
+            .select(
+                "batch_id",
+                self.source_col,
+                "n_docs",
+                "n_grams",
+                "n_seen_prior",
+                F.expr(
+                    "(n_grams - n_seen_prior) * 1000000 DIV n_grams"
+                )
+                .cast("long")
+                .alias("pooled_novelty_ppm"),
+                F.expr("__ppm_sum DIV n_docs")
+                .cast("long")
+                .alias("mean_doc_novelty_ppm"),
+                "min_doc_novelty_ppm",
+                "max_doc_novelty_ppm",
+            )
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bloom_probe, bloom_word_frame
 
@@ -1137,7 +1199,10 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         # one-sided contract INVERTED (over-reported novelty) — so the
         # root records its geometry and mismatches fail loudly
         self._geometry_guard(
-            m_bits=self.m_bits, k=self.k, shingle_n=self.shingle_n
+            m_bits=self.m_bits,
+            k=self.k,
+            shingle_n=self.shingle_n,
+            source_col=self.source_col or "",
         )
         if batch_id in self.committed_batches():
             return  # replay of a committed batch — exactly-once drop
@@ -1152,8 +1217,11 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
             probed = bloom_probe(
                 grams, "__g", prior, self.m_bits, self.k, "__seen"
             )
+        tele_keys = [self.id_col] + (
+            [self.source_col] if self.source_col else []
+        )
         tele = (
-            probed.groupBy(self.id_col)
+            probed.groupBy(*tele_keys)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_grams"),
                 F.sum(F.col("__seen").cast("long"))
@@ -1161,7 +1229,7 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
                 .alias("n_seen_prior"),
             )
             .select(
-                self.id_col,
+                *tele_keys,
                 "n_grams",
                 "n_seen_prior",
                 F.expr(

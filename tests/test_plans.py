@@ -698,6 +698,7 @@ def test_split_queries_carry_no_unconditional_component_broadcast():
         queries_llm.dedup_keep_list,
         queries_curation.curation_leakage_split,
         queries_curation.corpus_curation_pipeline,
+        queries_curation.embedding_label_outliers,
         queries_analytics.dedup_component_label_consensus,
         ml.leakage_safe_assignments,
     ]:
@@ -756,3 +757,43 @@ def test_heavy_hitters_rescore_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     # the MG stage is the single declared Arrow stage
     assert plan.count("MapInPandas") == 1
+
+
+def test_q2_min_decorrelates_as_partitioned_window(spark):
+    """Q2 shape: the correlated per-part MIN must decorrelate — ONE
+    lineitem scan feeding a partkey-PARTITIONED window (never a second
+    fact scan or per-part re-scan), the part sliver arriving as a
+    LeftSemi prune before any shuffle, and the deterministic top-N
+    compiling to TakeOrderedAndProject."""
+    plan = _plan(spark, "min_cost_region_supplier")
+    assert _fact_scans(plan, "lineitem") == 1
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_global_scalar_rides_one_row_broadcast(spark):
+    """Q11 shape: the HAVING-against-global-share scalar must be a
+    one-row broadcast (BroadcastNestedLoopJoin) against the SAME
+    materialized per-part frame — the localCheckpoint means the plan
+    contains NO second lineitem scan (the rollup lineage is not
+    re-derived for the total)."""
+    plan = _plan(spark, "part_value_concentration")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert _fact_scans(plan, "lineitem") == 0  # checkpointed rollup
+
+
+def test_q20_semi_join_chain_stacked_no_distinct(spark):
+    """Q20 shape: both IN levels must compile to LeftSemi joins —
+    stacked, over exactly ONE date-pruned lineitem scan — and the
+    supplier-key set must ride the semi-join itself (no separate
+    HashAggregate-for-distinct between the pair filter and the
+    supplier join)."""
+    plan = _plan(spark, "red_part_active_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert _fact_scans(plan, "lineitem") == 1
+    assert "CartesianProduct" not in plan
+    # the date range must reach the fact scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
