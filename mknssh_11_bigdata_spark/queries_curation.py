@@ -2707,3 +2707,270 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("d2_micro").desc(), F.col("vec_id").asc()],
         k=OUTLIER_TOP_K,
     ).orderBy("label", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration + source-capped budget selection (round 8)
+# ---------------------------------------------------------------------------
+
+#: Shared quality-density score: 1e6 * distinct-token count DIV token
+#: count — the integer ppm form the budget-selection family ranks on.
+_SCORE_SQL = (
+    "CAST(CASE WHEN len({t}) = 0 THEN 0 "
+    "ELSE (1000000 * len(list_distinct({t}))) // len({t}) END AS BIGINT)"
+)
+
+
+def _calibrated_quality_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    score = _SCORE_SQL.format(t=toks)
+    return f"""
+    WITH m AS (
+        SELECT doc_id, source, {score} AS score_micro FROM documents
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY score_micro DESC, doc_id
+               ) AS src_rank,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM m
+    )
+    SELECT doc_id, source, score_micro,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(CASE WHEN n_src <= 1 THEN 0
+                ELSE ((src_rank - 1) * 1000000) // (n_src - 1)
+                END AS BIGINT) AS calib_ppm
+    FROM r
+    ORDER BY doc_id
+    """
+
+
+@register("quality_source_calibrated", _calibrated_quality_oracle())
+def quality_source_calibrated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source RANK-calibrated quality — the cross-source fairness
+    step a mixing pipeline runs before any global quality cut: raw
+    quality scores are not comparable across sources (a verbose source
+    scores systematically lower on token-diversity than a terse one),
+    so each document gets its percentile WITHIN its source
+    (``calib_ppm``: 0 = the source's best, 1e6 = its worst). A global
+    threshold on the calibrated score then takes the same top share of
+    EVERY source, where the same threshold on the raw score would let
+    one source's register dominate the mix. Complements
+    ``doc_quality_deciles`` (global ntile machinery) with the
+    partitioned normalization.
+
+    Exactness: score is integer ppm; ranks are a total order (score
+    DESC, doc_id); calibration is ((rank-1)*1e6) DIV (n-1) — integers
+    end to end, single-doc sources pinned to 0.
+
+    Scale shape: ONE tokenization projection, then a window
+    partitioned by source (hash-partitioned — never the
+    single-partition global sort; within-source ordering is the
+    per-partition sort of the window exchange)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    m = staged.select(
+        "doc_id",
+        "source",
+        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
+                "DIV size(__t)"
+            )
+        )
+        .alias("score_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("source")
+    return (
+        m.withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .withColumn("__n_src", F.count(F.lit(1)).over(wn))
+        .select(
+            "doc_id",
+            "source",
+            "score_micro",
+            "src_rank",
+            F.when(F.col("__n_src") <= 1, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("((src_rank - 1) * 1000000) DIV (__n_src - 1)")
+            )
+            .cast("long")
+            .alias("calib_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Per-source ceiling as a fraction of the GLOBAL budget (DIV 8 =
+#: 12.5%): with ~20 roughly-equal sources each holding ~5% of corpus
+#: tokens and a 25% global budget, a 12.5%-of-budget ceiling (~3.1% of
+#: corpus tokens) binds for quality-dense sources while the global cut
+#: still bites — both constraints are active at every test SF.
+SRC_CAP_DIV = 8
+
+
+def _capped_budget_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    score = _SCORE_SQL.format(t=toks)
+    return f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               {score} AS score_micro
+        FROM documents
+    ),
+    b AS (
+        SELECT SUM(n_tokens) // {BUDGET_DIV} AS budget,
+               SUM(n_tokens) // {BUDGET_DIV} // {SRC_CAP_DIV}
+                   AS src_cap
+        FROM m
+    ),
+    pool AS (
+        SELECT m.* FROM (
+            SELECT *,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY score_micro DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW
+                   ) AS cum_src
+            FROM m
+        ) m, b
+        WHERE m.cum_src <= b.src_cap
+    ),
+    sel AS (
+        SELECT p.* FROM (
+            SELECT *,
+                   SUM(n_tokens) OVER (
+                       ORDER BY score_micro DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM pool
+        ) p, b
+        WHERE p.cum_tokens <= b.budget
+    )
+    SELECT m.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_pool,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT)
+               AS selected_tokens
+    FROM m
+    LEFT JOIN pool p USING (doc_id)
+    LEFT JOIN sel s USING (doc_id)
+    GROUP BY m.source
+    ORDER BY m.source
+    """
+
+
+@register("curation_capped_budget_selection", _capped_budget_oracle())
+def curation_capped_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget selection with a PER-SOURCE CEILING — the
+    domain-mixing form of ``curation_token_budget_selection``: no
+    single source may fill more than 1/{SRC_CAP_DIV} of the global
+    budget, so a quality-dense source cannot crowd the mix (the cap
+    every production mixing recipe applies before the global cut).
+    Two-stage greedy, both stages deterministic: (1) within each
+    source, keep the best documents until the source's running token
+    sum reaches the cap — a window PARTITIONED by source; (2) across
+    the capped pool, keep the best documents until the global budget
+    — the same distributed rank/prefix-sum machinery as the uncapped
+    query. Output is the per-source profile: pool size (cap survivors)
+    vs final selection, so the report shows WHICH constraint bound
+    each source.
+
+    Exactness: integer ppm scores, total-order ranking (score DESC,
+    doc_id), exact bigint prefix sums at both stages — the cap and
+    budget cuts land on the same documents in any engine.
+
+    Scale shape: stage 1 is a hash-partitioned window (source
+    partitions); stage 2 runs through
+    :func:`operators.relational.global_rank_cumsum` (range-partition
+    sort + driver-folded offsets — never a single-partition window);
+    the two scalars ride one sliver agg."""
+    from pyspark.sql.window import Window
+
+    from .operators.relational import global_rank_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    m = staged.select(
+        "doc_id",
+        "source",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
+                "DIV size(__t)"
+            )
+        )
+        .alias("score_micro"),
+    ).localCheckpoint(eager=True)  # feeds scalars + both stages + totals
+    total_tokens = m.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
+    budget = total_tokens // BUDGET_DIV
+    src_cap = budget // SRC_CAP_DIV
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    pool = (
+        m.withColumn("cum_src", F.sum("n_tokens").over(w_src))
+        .filter(F.col("cum_src") <= src_cap)
+        .drop("cum_src")
+        .localCheckpoint(eager=True)  # feeds stage 2 + pool profile
+    )
+    sel = (
+        global_rank_cumsum(
+            pool,
+            [F.col("score_micro").desc(), F.col("doc_id").asc()],
+            "n_tokens",
+            cum_out="cum_tokens",
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("selected_tokens"),
+        )
+    )
+    pool_prof = pool.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pool")
+    )
+    tot = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        tot.join(pool_prof, "source", "left")
+        .join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.coalesce("n_pool", F.lit(0)).cast("long").alias("n_pool"),
+            F.coalesce("n_selected", F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce("selected_tokens", F.lit(0))
+            .cast("long")
+            .alias("selected_tokens"),
+        )
+        .orderBy("source")
+    )

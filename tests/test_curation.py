@@ -336,3 +336,98 @@ def test_token_budget_selection_greedy_prefix_contract(spark, tmp_path):
         "c": (0, 0, 2),
     }
     assert BUDGET_DIV == 4  # the contract the arithmetic above encodes
+
+
+def test_source_calibrated_quality_rank_contract(spark, tmp_path):
+    """Planted contract for the per-source calibration: ranks are the
+    (score DESC, doc_id) total order WITHIN each source, calib_ppm is
+    the exact integer percentile ((rank-1)*1e6 DIV (n-1)), a
+    single-doc source pins to 0, and ties break on doc_id."""
+    from mknssh_11_bigdata_spark.queries_curation import (
+        quality_source_calibrated,
+    )
+
+    def text(n_distinct):
+        toks = [f"w{i}" for i in range(n_distinct)] + ["w0"] * (
+            10 - n_distinct
+        )
+        return " ".join(toks)
+
+    rows = [
+        (0, "a", text(10)),  # a: rank 1 -> calib 0
+        (1, "a", text(5)),   # a: rank 2 -> calib 500000
+        (2, "a", text(1)),   # a: rank 3 -> calib 1000000
+        (3, "b", text(7)),   # b: tie on score with doc 4 ...
+        (4, "b", text(7)),   # ... broken by doc_id: 3 -> rank 1
+        (5, "c", text(4)),   # singleton source -> calib 0
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["src_rank"], r["calib_ppm"])
+        for r in quality_source_calibrated(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (1, 0),
+        1: (2, 500000),
+        2: (3, 1000000),
+        3: (1, 0),
+        4: (2, 1000000),
+        5: (1, 0),
+    }
+
+
+def test_capped_budget_selection_both_constraints_bind(spark, tmp_path):
+    """Planted contract for the two-stage cut: the per-source cap
+    truncates every source to its best doc (stage 1), then the global
+    budget keeps only the best capped docs (stage 2) — partially
+    capped AND budget-rejected sources both report honest profiles."""
+    from mknssh_11_bigdata_spark.queries_curation import (
+        BUDGET_DIV,
+        SRC_CAP_DIV,
+        curation_capped_budget_selection,
+    )
+
+    def text(n_distinct):
+        toks = [f"w{i}" for i in range(n_distinct)] + ["w0"] * (
+            10 - n_distinct
+        )
+        return " ".join(toks)
+
+    # 16 sources x 2 docs x 10 tokens = 320 total
+    # budget = 320//4 = 80; src_cap = 80//8 = 10 => ONE doc per source
+    # best docs: sources 0-7 score 1e6 (ids 0..7), sources 8-15 score
+    # 5e5 (ids 8..15); second docs score 1e5 (ids 16+i).
+    rows = []
+    for i in range(16):
+        src = f"s{i:02d}"
+        rows.append((i, src, text(10 if i < 8 else 5)))
+        rows.append((16 + i, src, text(1)))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_tokens"],
+            r["n_pool"],
+            r["n_selected"],
+            r["selected_tokens"],
+        )
+        for r in curation_capped_budget_selection(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # stage 1: every source pools exactly its best doc (cap 10 tokens);
+    # stage 2: global cum of the 8 score-1e6 docs reaches exactly 80
+    # (inclusive boundary) — the score-5e5 pool docs are rejected.
+    for i in range(16):
+        src = f"s{i:02d}"
+        if i < 8:
+            assert got[src] == (2, 20, 1, 1, 10), (src, got[src])
+        else:
+            assert got[src] == (2, 20, 1, 0, 0), (src, got[src])
+    assert BUDGET_DIV == 4 and SRC_CAP_DIV == 8  # the planted arithmetic
