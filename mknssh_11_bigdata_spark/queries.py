@@ -1210,6 +1210,10 @@ _RECERTIFY = {
     # _doc_novelty_frame substrate (per-source rollup consumes it) —
     # output bit-identical, code differs from what r6 certified.
     "doc_novelty_scores": 8,
+    # round 8 review pass: oracle + Spark side moved onto the shared
+    # _SCORE_SQL/_quality_frame definitions (whitespace-level oracle
+    # change, identical results) — the r7 row certified older text.
+    "curation_token_budget_selection": 8,
 }
 
 

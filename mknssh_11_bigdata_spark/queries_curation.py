@@ -2376,11 +2376,7 @@ def source_novelty_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_grams",
             "n_seen_before",
-            F.expr(
-                "(n_grams - n_seen_before) * 1000000 DIV n_grams"
-            )
-            .cast("long")
-            .alias("pooled_novelty_ppm"),
+            F.expr(_PPM_EXPR).cast("long").alias("pooled_novelty_ppm"),
             F.expr("__ppm_sum DIV n_docs")
             .cast("long")
             .alias("mean_doc_novelty_ppm"),
@@ -2400,15 +2396,50 @@ def source_novelty_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUDGET_DIV = 4
 
 
+#: Shared quality-density score: 1e6 * distinct-token count DIV token
+#: count — the integer ppm form the whole budget-selection/calibration
+#: family ranks on (ONE definition; review finding r8: the oracles and
+#: the Spark frames must not carry drifting private copies).
+_SCORE_SQL = (
+    "CAST(CASE WHEN len({t}) = 0 THEN 0 "
+    "ELSE (1000000 * len(list_distinct({t}))) // len({t}) END AS BIGINT)"
+)
+
+
+def _quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, score_micro) — ONE tokenization
+    projection feeding the shared quality-density score; the Spark
+    twin of ``_SCORE_SQL``, consumed by the budget-selection pair and
+    the per-source calibration so the score definition cannot drift
+    between them (the ``_doc_novelty_frame`` discipline). Callers
+    decide checkpointing."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    return staged.select(
+        "doc_id",
+        "source",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
+                "DIV size(__t)"
+            )
+        )
+        .alias("score_micro"),
+    )
+
+
 def _token_budget_oracle() -> str:
     toks = SQL_TOKS.format(col="text")
+    score = _SCORE_SQL.format(t=toks)
     return f"""
     WITH m AS (
         SELECT doc_id, source,
                CAST(len({toks}) AS BIGINT) AS n_tokens,
-               CAST(CASE WHEN len({toks}) = 0 THEN 0
-                    ELSE (1000000 * len(list_distinct({toks})))
-                         // len({toks}) END AS BIGINT) AS score_micro
+               {score} AS score_micro
         FROM documents
     ),
     c AS (
@@ -2463,26 +2494,9 @@ def curation_token_budget_selection(
     the k-selected sliver back to per-source totals."""
     from .operators.relational import global_rank_cumsum
 
-    d = _t(spark, sf_dir, "documents")
-    # project the token array ONCE — four textually-different token
-    # trees in one select can each re-split the document (the
-    # shingles_of O(n^2) lesson; review finding, r7)
-    staged = d.select(
-        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
-    )
-    m = staged.select(
-        "doc_id",
-        "source",
-        F.size("__t").cast("long").alias("n_tokens"),
-        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.expr(
-                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
-                "DIV size(__t)"
-            )
-        )
-        .alias("score_micro"),
-    ).localCheckpoint(eager=True)  # feeds budget agg + rank + totals
+    m = _quality_frame(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # feeds budget agg + rank + totals
     budget = (
         m.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
         // BUDGET_DIV
@@ -2713,14 +2727,6 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-source quality calibration + source-capped budget selection (round 8)
 # ---------------------------------------------------------------------------
 
-#: Shared quality-density score: 1e6 * distinct-token count DIV token
-#: count — the integer ppm form the budget-selection family ranks on.
-_SCORE_SQL = (
-    "CAST(CASE WHEN len({t}) = 0 THEN 0 "
-    "ELSE (1000000 * len(list_distinct({t}))) // len({t}) END AS BIGINT)"
-)
-
-
 def _calibrated_quality_oracle() -> str:
     toks = SQL_TOKS.format(col="text")
     score = _SCORE_SQL.format(t=toks)
@@ -2773,22 +2779,7 @@ def quality_source_calibrated(
     per-partition sort of the window exchange)."""
     from pyspark.sql.window import Window
 
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
-    )
-    m = staged.select(
-        "doc_id",
-        "source",
-        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.expr(
-                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
-                "DIV size(__t)"
-            )
-        )
-        .alias("score_micro"),
-    )
+    m = _quality_frame(spark, sf_dir).drop("n_tokens")
     w = Window.partitionBy("source").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     )
@@ -2907,23 +2898,9 @@ def curation_capped_budget_selection(
 
     from .operators.relational import global_rank_cumsum
 
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
-    )
-    m = staged.select(
-        "doc_id",
-        "source",
-        F.size("__t").cast("long").alias("n_tokens"),
-        F.when(F.size("__t") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.expr(
-                "1000000 * CAST(size(array_distinct(__t)) AS BIGINT) "
-                "DIV size(__t)"
-            )
-        )
-        .alias("score_micro"),
-    ).localCheckpoint(eager=True)  # feeds scalars + both stages + totals
+    m = _quality_frame(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # feeds scalars + both stages + totals
     total_tokens = m.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
     budget = total_tokens // BUDGET_DIV
     src_cap = budget // SRC_CAP_DIV

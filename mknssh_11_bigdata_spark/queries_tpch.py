@@ -1753,6 +1753,31 @@ def small_quantity_brand_revenue(
     )
 
 
+def _region_nations(
+    spark: SparkSession, sf_dir: str, region: str, with_name: bool = False
+):
+    """Broadcast sliver of the nations inside one region — the shared
+    region-membership frame of the Q2/Q11/Q20 family (review finding
+    r8: three drifting copies of the same join topology become one).
+    Both sides are literal dimension slivers (≤25 nations, 1 region
+    row), so the double broadcast hint is bounded by construction."""
+    cols = ["n_nationkey"] + (
+        [F.col("n_name").alias("nation")] if with_name else []
+    )
+    return F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == region
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(*cols)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q2 — min-cost supplier per part within a region (correlated min-over-join)
 # ---------------------------------------------------------------------------
@@ -1846,17 +1871,8 @@ def min_cost_region_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("cost_cents").alias("cost_cents"))
     )
-    n_region = F.broadcast(
-        _t(spark, sf_dir, "nation")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "region").filter(
-                    F.col("r_name") == MIN_COST_REGION
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey", F.col("n_name").alias("nation"))
+    n_region = _region_nations(
+        spark, sf_dir, MIN_COST_REGION, with_name=True
     )
     s = (
         _t(spark, sf_dir, "supplier")
@@ -1949,18 +1965,7 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.round(_rev() * F.lit(10000.0), 0).cast("long").alias("rev4"),
     )
-    n_region = F.broadcast(
-        _t(spark, sf_dir, "nation")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "region").filter(
-                    F.col("r_name") == VALUE_SHARE_REGION
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey")
-    )
+    n_region = _region_nations(spark, sf_dir, VALUE_SHARE_REGION)
     s_keys = (
         _t(spark, sf_dir, "supplier")
         .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
@@ -2067,17 +2072,8 @@ def red_part_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("win_qty") > ACTIVE_QTY_FLOOR)
         .select("l_suppkey")
     )
-    n_region = F.broadcast(
-        _t(spark, sf_dir, "nation")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "region").filter(
-                    F.col("r_name") == ACTIVE_REGION
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey", F.col("n_name").alias("nation"))
+    n_region = _region_nations(
+        spark, sf_dir, ACTIVE_REGION, with_name=True
     )
     s = _t(spark, sf_dir, "supplier")
     return (

@@ -69,7 +69,7 @@ class _CommitMarkerLedger:
         except OSError:
             pass
 
-    def _geometry_guard(self, **fields) -> None:
+    def _geometry_guard(self, _defaults: dict | None = None, **fields) -> None:
         """Persist-or-validate the sink's layout-shaping parameters.
         Persisted slices are pure functions of geometry (bitmap
         m_bits/k, band counts, shingle width, bottom-k size):
@@ -79,13 +79,23 @@ class _CommitMarkerLedger:
         NEGATIVES and inverting the one-sided-error contract. First
         use records ``_geometry.json`` under the root; a later
         construction must match it or fail loudly (the same
-        loud-not-silent posture as the bloom slice-coverage check)."""
+        loud-not-silent posture as the bloom slice-coverage check).
+
+        ``_defaults`` maps LATER-ADDED geometry keys to the value that
+        pre-addition roots implicitly had: a persisted dict missing
+        such a key is compared as if it recorded the default, so
+        growing the geometry never bricks an old root whose layout is
+        genuinely unchanged — only a REAL mismatch stays loud (review
+        finding, r8: adding ``source_col`` must not make every
+        pre-r8 sourceless novelty root permanently unwritable)."""
         import json
 
         p = pathlib.Path(self.root) / "_geometry.json"
         want = {k: fields[k] for k in sorted(fields)}
         if p.exists():
             have = json.loads(p.read_text())
+            for k, v in (_defaults or {}).items():
+                have.setdefault(k, v)
             if have != want:
                 raise RuntimeError(
                     f"{type(self).__name__} at {self.root}: persisted "
@@ -996,6 +1006,12 @@ class KmvDistinctMonitorSink(_CommitMarkerLedger):
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
 
 
+#: Integer ppm novelty share — the ONE expression the novelty
+#: monitor's telemetry and its per-source rollup both evaluate (the
+#: batch queries' _PPM_EXPR twin, on the ledger's n_seen_prior name).
+_NOVELTY_PPM_EXPR = "(n_grams - n_seen_prior) * 1000000 DIV n_grams"
+
+
 class NoveltyMonitorSink(_CommitMarkerLedger):
     """Bounded-state streaming novelty monitor — "how much of today's
     crawl is genuinely new text": per micro-batch, each document's
@@ -1178,9 +1194,7 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
                 "n_docs",
                 "n_grams",
                 "n_seen_prior",
-                F.expr(
-                    "(n_grams - n_seen_prior) * 1000000 DIV n_grams"
-                )
+                F.expr(_NOVELTY_PPM_EXPR)
                 .cast("long")
                 .alias("pooled_novelty_ppm"),
                 F.expr("__ppm_sum DIV n_docs")
@@ -1198,7 +1212,11 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
         # old slices at the wrong positions — false NEGATIVES, i.e. the
         # one-sided contract INVERTED (over-reported novelty) — so the
         # root records its geometry and mismatches fail loudly
+        # source_col joined the geometry in r8: sourceless roots
+        # recorded before then compare as source_col="" (their actual
+        # layout), so only a real sourced/sourceless flip is a mismatch
         self._geometry_guard(
+            _defaults={"source_col": ""},
             m_bits=self.m_bits,
             k=self.k,
             shingle_n=self.shingle_n,
@@ -1232,9 +1250,7 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
                 *tele_keys,
                 "n_grams",
                 "n_seen_prior",
-                F.expr(
-                    "(n_grams - n_seen_prior) * 1000000 DIV n_grams"
-                )
+                F.expr(_NOVELTY_PPM_EXPR)
                 .cast("long")
                 .alias("novelty_ppm"),
             )

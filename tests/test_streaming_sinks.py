@@ -681,10 +681,14 @@ def test_novelty_monitor_one_sided_and_matches_exact_replay(
 
     # exact batch-granular replay in plain python
     def grams_of(text):
+        # mirrors TX.shingles_of exactly, INCLUDING the short-doc
+        # branch: < n tokens emits ONE whole-text gram, not nothing
+        # (review finding r8 — a fixture with a short doc would
+        # silently drop it from the exact replay otherwise)
         t = [x for x in text.split(" ") if x]
         n = 3
         if len(t) < n:
-            return set()
+            return {" ".join(t)}
         return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
 
     seen: set = set()
@@ -874,10 +878,14 @@ def test_novelty_by_source_matches_exact_replay(spark, tmp_path):
 
     # exact batch-granular replay, rolled up per (batch, source)
     def grams_of(text):
+        # mirrors TX.shingles_of exactly, INCLUDING the short-doc
+        # branch: < n tokens emits ONE whole-text gram, not nothing
+        # (review finding r8 — a fixture with a short doc would
+        # silently drop it from the exact replay otherwise)
         t = [x for x in text.split(" ") if x]
         n = 3
         if len(t) < n:
-            return set()
+            return {" ".join(t)}
         return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
 
     seen: set = set()
@@ -950,3 +958,45 @@ def test_novelty_by_source_matches_exact_replay(spark, tmp_path):
     bad = NoveltyMonitorSink(str(tmp_path / "nov"))
     with pytest.raises(RuntimeError, match="geometry"):
         bad(batches[0], 99)
+
+
+def test_novelty_geometry_backcompat_sourceless_roots(spark, tmp_path):
+    """Review finding r8: growing the geometry (source_col joined it)
+    must not brick roots recorded BEFORE the key existed. A root whose
+    _geometry.json carries only the r7 keys reopens cleanly as a
+    sourceless sink (its layout truly is source_col="") — and still
+    fails loudly for a SOURCED reopen (a real schema flip)."""
+    import json
+    import pathlib
+
+    import pytest
+
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        NoveltyMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    b0 = docs.filter("doc_id < 30").localCheckpoint(eager=True)
+    root = tmp_path / "nov"
+    sink = NoveltyMonitorSink(str(root))
+    sink(b0, 0)
+    # rewrite the geometry file to the pre-r8 3-key form
+    p = pathlib.Path(root) / "_geometry.json"
+    g = json.loads(p.read_text())
+    assert g.pop("source_col") == ""
+    p.write_text(json.dumps(g))
+    # sourceless reopen: the missing key defaults to "" — writes work
+    again = NoveltyMonitorSink(str(root))
+    again(
+        docs.filter("doc_id >= 30 AND doc_id < 60").localCheckpoint(
+            eager=True
+        ),
+        1,
+    )
+    assert again.committed_batches() == {0, 1}
+    # sourced reopen of the same old root: a REAL mismatch, still loud
+    bad = NoveltyMonitorSink(str(root), source_col="source")
+    with pytest.raises(RuntimeError, match="geometry"):
+        bad(b0, 99)
