@@ -1788,9 +1788,10 @@ MIN_COST_MAX_SIZE = 10
 MIN_COST_TOP_N = 100
 
 
-@register(
-    "min_cost_region_supplier",
-    f"""
+#: The Q2 oracle, shared VERBATIM by both registered physical
+#: strategies (window decorrelation and agg-then-rejoin) — the Q17
+#: twin-registration precedent: one logical query, two plans pinned.
+_MIN_COST_ORACLE = f"""
     WITH offers AS (
         SELECT l.l_partkey AS p_partkey, l.l_suppkey AS suppkey,
                MIN(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
@@ -1824,8 +1825,10 @@ MIN_COST_TOP_N = 100
     WHERE b.cost_cents = b.min_cents
     ORDER BY b.s_acctbal DESC, b.nation, b.s_name, b.p_partkey
     LIMIT {MIN_COST_TOP_N}
-    """,
-)
+    """
+
+
+@register("min_cost_region_supplier", _MIN_COST_ORACLE)
 def min_cost_region_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — for each part in a sliver (type + size), the
     {MIN_COST_REGION} supplier(s) offering it at the minimum observed
@@ -2081,4 +2084,84 @@ def red_part_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "nation")
         .orderBy("s_suppkey")
+    )
+
+
+@register("min_cost_region_supplier_rejoin", _MIN_COST_ORACLE)
+def min_cost_region_supplier_rejoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2, AGG-THEN-REJOIN variant — the other canonical
+    decorrelation of the correlated min, registered against the SAME
+    oracle as ``min_cost_region_supplier`` (the Q17 twin precedent:
+    one logical query, both physical strategies pinned and benched
+    side by side). Instead of a partkey window over the region offers,
+    the per-part minimum is a separate aggregate REJOINED on
+    (partkey, min): two exchanges of the offers sliver (agg + join —
+    at demo scale AQE broadcasts the min table and the second exchange
+    disappears; at warehouse scale both are offer-sized, which is why
+    the window form is the default) versus the window's one
+    exchange-and-sort. All exactness properties are shared with the
+    window variant: integer-cent MIN, all ties kept, total-order
+    top-{MIN_COST_TOP_N}."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cost_cents"),
+    )
+    p_sliver = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MIN_COST_PART_TYPE)
+            & (F.col("p_size") <= MIN_COST_MAX_SIZE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    offers = (
+        li.join(
+            p_sliver.select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cost_cents").alias("cost_cents"))
+    )
+    n_region = _region_nations(
+        spark, sf_dir, MIN_COST_REGION, with_name=True
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+    region_offers = offers.join(
+        s, offers.l_suppkey == s.s_suppkey
+    ).localCheckpoint(eager=False)  # min table + rejoin read ONE frame
+    mins = region_offers.groupBy(
+        F.col("l_partkey").alias("__pk")
+    ).agg(F.min("cost_cents").alias("min_cents"))
+    best = region_offers.join(
+        mins,
+        (region_offers.l_partkey == mins.__pk)
+        & (region_offers.cost_cents == mins.min_cents),
+    )
+    return (
+        best.join(p_sliver, best.l_partkey == p_sliver.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_cents") / F.lit(100.0)).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "nation",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(MIN_COST_TOP_N)
     )

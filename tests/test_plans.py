@@ -797,3 +797,17 @@ def test_q20_semi_join_chain_stacked_no_distinct(spark):
     assert "CartesianProduct" not in plan
     # the date range must reach the fact scan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q2_variants_window_vs_rejoin(spark):
+    """The two registered Q2 strategies must actually differ the way
+    their docstrings claim: the default decorrelates the per-part min
+    as a partitioned Window; the rejoin twin carries NO Window — its
+    min is a separate aggregate joined back (equi-join family, never
+    a cartesian), reading the ONE checkpointed offers frame."""
+    window = _plan(spark, "min_cost_region_supplier")
+    rejoin = _plan(spark, "min_cost_region_supplier_rejoin")
+    assert "Window" in window
+    assert "Window" not in rejoin
+    assert "CartesianProduct" not in rejoin
+    assert "TakeOrderedAndProject" in rejoin
