@@ -2951,3 +2951,74 @@ def curation_capped_budget_selection(
         )
         .orderBy("source")
     )
+
+
+def _copy_direction_oracle() -> str:
+    from .queries_llm import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    s AS (
+        SELECT da.source AS source_orig, db.source AS source_dup,
+               CAST(ROUND(p.jaccard * 1000000, 0) AS BIGINT)
+                   AS j_micro
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT source_orig, source_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_micro) AS BIGINT) AS sum_jaccard_micro
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("dedup_copy_direction_matrix", _copy_direction_oracle())
+def dedup_copy_direction_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHO COPIES WHOM: the near-dup pair graph as a DIRECTED
+    provenance matrix. The graph's pairs are normalized id_a < id_b
+    and doc_id order stands in for crawl time (the
+    ``doc_novelty_scores`` convention), so id_a's source published
+    first — each pair attributes as (source_orig → source_dup). The
+    directional dual of ``dedup_pair_source_crosstab``: the crosstab
+    says two sources SHARE near-dup mass, this says which way it
+    flows (a scraper/mirror shows up as a heavy off-diagonal row
+    pointing AT it; the diagonal is within-source recycling over
+    time). Same exact-integer accounting (6-dp jaccard → micro
+    units).
+
+    Scale: the twelfth consumer of the persisted pair-graph artifact
+    (:func:`queries_llm.minhash_pair_graph`) — no corpus rescan; two
+    narrow (doc_id, source) joins onto the pair sliver, then a
+    sources²-bounded aggregation."""
+    from .queries_llm import minhash_pair_graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_pair_graph(spark, sf_dir)
+    sa = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_orig"),
+    )
+    sb = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_dup"),
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "source_orig",
+            "source_dup",
+            F.round(F.col("jaccard") * 1000000, 0)
+            .cast("long")
+            .alias("j_micro"),
+        )
+        .groupBy("source_orig", "source_dup")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("j_micro").cast("long").alias("sum_jaccard_micro"),
+        )
+        .orderBy("source_orig", "source_dup")
+    )
