@@ -1214,6 +1214,10 @@ _RECERTIFY = {
     # _SCORE_SQL/_quality_frame definitions (whitespace-level oracle
     # change, identical results) — the r7 row certified older text.
     "curation_token_budget_selection": 8,
+    # round 8 review pass 2: Spark body moved onto the shared
+    # _pair_source_frame (oracle byte-identical via the template) —
+    # output unchanged, code differs from what r7 certified.
+    "dedup_pair_source_crosstab": 8,
 }
 
 

@@ -2542,25 +2542,68 @@ def curation_token_budget_selection(
     )
 
 
-def _pair_crosstab_oracle() -> str:
+def _pair_source_matrix_oracle(expr_a: str, expr_b: str, col_a: str, col_b: str) -> str:
+    """ONE template for both pair-graph source matrices (symmetric
+    crosstab and directed copy attribution) — the two differ ONLY in
+    how a pair's two sources map to the output columns, so the join
+    scaffold and the micro-unit accounting cannot drift between them
+    (review finding r8 #2)."""
     from .queries_llm import _minhash_oracle
 
     return f"""
     WITH pairs AS ({_minhash_oracle()}),
     s AS (
-        SELECT LEAST(da.source, db.source) AS source_a,
-               GREATEST(da.source, db.source) AS source_b,
+        SELECT {expr_a} AS {col_a},
+               {expr_b} AS {col_b},
                CAST(ROUND(p.jaccard * 1000000, 0) AS BIGINT)
                    AS j_micro
         FROM pairs p
         JOIN documents da ON da.doc_id = p.id_a
         JOIN documents db ON db.doc_id = p.id_b
     )
-    SELECT source_a, source_b,
+    SELECT {col_a}, {col_b},
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(j_micro) AS BIGINT) AS sum_jaccard_micro
     FROM s GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def _pair_source_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the template's ``s`` CTE: every verified pair
+    with BOTH endpoint sources (``__sa`` = earlier doc's source, ``__sb``
+    = later doc's source — pairs are id_a < id_b) and the exact
+    micro-jaccard. Both matrix queries select/group over this one
+    frame."""
+    from .queries_llm import minhash_pair_graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_pair_graph(spark, sf_dir)
+    sa = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    )
+    sb = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "__sa",
+            "__sb",
+            F.round(F.col("jaccard") * 1000000, 0)
+            .cast("long")
+            .alias("j_micro"),
+        )
+    )
+
+
+def _pair_crosstab_oracle() -> str:
+    return _pair_source_matrix_oracle(
+        """LEAST(da.source, db.source)""",
+        """GREATEST(da.source, db.source)""",
+        "source_a",
+        "source_b",
+    )
 
 
 @register("dedup_pair_source_crosstab", _pair_crosstab_oracle())
@@ -2580,26 +2623,14 @@ def dedup_pair_source_crosstab(
     Scale: the eleventh consumer of the PERSISTED pair-graph artifact
     (:func:`queries_llm.minhash_pair_graph`) — no corpus rescan, no
     shingle work; two narrow (doc_id, source) joins onto the
-    pair-count-sized sliver, then a sources²-bounded aggregation."""
-    from .queries_llm import minhash_pair_graph
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = minhash_pair_graph(spark, sf_dir)
-    sa = d.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
-    )
-    sb = d.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
-    )
+    pair-count-sized sliver (the shared ``_pair_source_frame``), then
+    a sources²-bounded aggregation."""
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        _pair_source_frame(spark, sf_dir)
         .select(
             F.least("__sa", "__sb").alias("source_a"),
             F.greatest("__sa", "__sb").alias("source_b"),
-            F.round(F.col("jaccard") * 1000000, 0)
-            .cast("long")
-            .alias("j_micro"),
+            "j_micro",
         )
         .groupBy("source_a", "source_b")
         .agg(
@@ -2954,23 +2985,9 @@ def curation_capped_budget_selection(
 
 
 def _copy_direction_oracle() -> str:
-    from .queries_llm import _minhash_oracle
-
-    return f"""
-    WITH pairs AS ({_minhash_oracle()}),
-    s AS (
-        SELECT da.source AS source_orig, db.source AS source_dup,
-               CAST(ROUND(p.jaccard * 1000000, 0) AS BIGINT)
-                   AS j_micro
-        FROM pairs p
-        JOIN documents da ON da.doc_id = p.id_a
-        JOIN documents db ON db.doc_id = p.id_b
+    return _pair_source_matrix_oracle(
+        "da.source", "db.source", "source_orig", "source_dup"
     )
-    SELECT source_orig, source_dup,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(j_micro) AS BIGINT) AS sum_jaccard_micro
-    FROM s GROUP BY 1, 2 ORDER BY 1, 2
-    """
 
 
 @register("dedup_copy_direction_matrix", _copy_direction_oracle())
@@ -2990,30 +3007,15 @@ def dedup_copy_direction_matrix(
     units).
 
     Scale: the twelfth consumer of the persisted pair-graph artifact
-    (:func:`queries_llm.minhash_pair_graph`) — no corpus rescan; two
-    narrow (doc_id, source) joins onto the pair sliver, then a
-    sources²-bounded aggregation."""
-    from .queries_llm import minhash_pair_graph
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = minhash_pair_graph(spark, sf_dir)
-    sa = d.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("source").alias("source_orig"),
-    )
-    sb = d.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("source").alias("source_dup"),
-    )
+    (:func:`queries_llm.minhash_pair_graph`) — no corpus rescan; the
+    shared ``_pair_source_frame`` sliver, then a sources²-bounded
+    aggregation."""
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        _pair_source_frame(spark, sf_dir)
         .select(
-            "source_orig",
-            "source_dup",
-            F.round(F.col("jaccard") * 1000000, 0)
-            .cast("long")
-            .alias("j_micro"),
+            F.col("__sa").alias("source_orig"),
+            F.col("__sb").alias("source_dup"),
+            "j_micro",
         )
         .groupBy("source_orig", "source_dup")
         .agg(

@@ -1828,6 +1828,52 @@ _MIN_COST_ORACLE = f"""
     """
 
 
+def _q2_part_sliver(spark: SparkSession, sf_dir: str):
+    return F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MIN_COST_PART_TYPE)
+            & (F.col("p_size") <= MIN_COST_MAX_SIZE)
+        )
+        .select("p_partkey", "p_name")
+    )
+
+
+def _q2_region_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The construction BOTH Q2 variants share: (partkey, suppkey)
+    min-cent offers of the part-pruned fact, joined to the
+    {region}-filtered supplier details. One definition so the twins
+    cannot drift on the sliver they decorrelate over (review finding
+    r8 #2) — and so the window variant's full-lineage plan test
+    (1 fact scan, LeftSemi prune, no cartesian) certifies the subtree
+    the rejoin variant hides behind its checkpoint."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cost_cents"),
+    )
+    offers = (
+        li.join(
+            _q2_part_sliver(spark, sf_dir).select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cost_cents").alias("cost_cents"))
+    )
+    n_region = _region_nations(
+        spark, sf_dir, MIN_COST_REGION, with_name=True
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+    return offers.join(s, offers.l_suppkey == s.s_suppkey)
+
+
 @register("min_cost_region_supplier", _MIN_COST_ORACLE)
 def min_cost_region_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — for each part in a sliver (type + size), the
@@ -1850,39 +1896,8 @@ def min_cost_region_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — Q7 precedent); ties (supplier matching the min) ALL
     survive, and the final top-{MIN_COST_TOP_N} carries a total-order
     tiebreak so LIMIT is deterministic across engines."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("cost_cents"),
-    )
-    p_sliver = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .filter(
-            (F.col("p_type") == MIN_COST_PART_TYPE)
-            & (F.col("p_size") <= MIN_COST_MAX_SIZE)
-        )
-        .select("p_partkey", "p_name")
-    )
-    offers = (
-        li.join(
-            p_sliver.select("p_partkey"),
-            li.l_partkey == F.col("p_partkey"),
-            "left_semi",
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("cost_cents").alias("cost_cents"))
-    )
-    n_region = _region_nations(
-        spark, sf_dir, MIN_COST_REGION, with_name=True
-    )
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "nation")
-    )
-    region_offers = offers.join(s, offers.l_suppkey == s.s_suppkey)
+    p_sliver = _q2_part_sliver(spark, sf_dir)
+    region_offers = _q2_region_offers(spark, sf_dir)
     w = Window.partitionBy("l_partkey")
     best = region_offers.withColumn(
         "min_cents", F.min("cost_cents").over(w)
@@ -2104,41 +2119,10 @@ def min_cost_region_supplier_rejoin(
     exchange-and-sort. All exactness properties are shared with the
     window variant: integer-cent MIN, all ties kept, total-order
     top-{MIN_COST_TOP_N}."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("cost_cents"),
-    )
-    p_sliver = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .filter(
-            (F.col("p_type") == MIN_COST_PART_TYPE)
-            & (F.col("p_size") <= MIN_COST_MAX_SIZE)
-        )
-        .select("p_partkey", "p_name")
-    )
-    offers = (
-        li.join(
-            p_sliver.select("p_partkey"),
-            li.l_partkey == F.col("p_partkey"),
-            "left_semi",
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("cost_cents").alias("cost_cents"))
-    )
-    n_region = _region_nations(
-        spark, sf_dir, MIN_COST_REGION, with_name=True
-    )
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(n_region, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "nation")
-    )
-    region_offers = offers.join(
-        s, offers.l_suppkey == s.s_suppkey
-    ).localCheckpoint(eager=False)  # min table + rejoin read ONE frame
+    p_sliver = _q2_part_sliver(spark, sf_dir)
+    region_offers = _q2_region_offers(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # min table + rejoin read ONE frame
     mins = region_offers.groupBy(
         F.col("l_partkey").alias("__pk")
     ).agg(F.min("cost_cents").alias("min_cents"))

@@ -804,7 +804,13 @@ def test_q2_variants_window_vs_rejoin(spark):
     their docstrings claim: the default decorrelates the per-part min
     as a partitioned Window; the rejoin twin carries NO Window — its
     min is a separate aggregate joined back (equi-join family, never
-    a cartesian), reading the ONE checkpointed offers frame."""
+    a cartesian), reading the ONE checkpointed offers frame. The
+    rejoin plan string only shows the POST-checkpoint half (the
+    offers lineage compiles to a Scan ExistingRDD); the shared
+    pre-checkpoint subtree is the SAME ``_q2_region_offers`` call the
+    window variant runs uncheckpointed, so the window test's
+    full-lineage assertions (1 fact scan, LeftSemi, no cartesian)
+    certify it for both twins."""
     window = _plan(spark, "min_cost_region_supplier")
     rejoin = _plan(spark, "min_cost_region_supplier_rejoin")
     assert "Window" in window
