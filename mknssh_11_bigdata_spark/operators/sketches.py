@@ -51,6 +51,9 @@ __all__ = [
     "kmv_hash",
     "bottom_k_values",
     "KMV_HASH_RANGE",
+    "cms_bucket_columns",
+    "cms_build",
+    "cms_estimate",
 ]
 
 #: Range of the portable 60-bit md5 hash (first 15 hex chars), as the
@@ -417,4 +420,101 @@ def bottom_k_stats(
             ),
             k - 1,
         ).alias("hk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket_columns(
+    item: Column, depth: int, width: int, salt: str
+) -> list[Column]:
+    """The item's ``depth`` bucket positions: row ``j``'s bucket is the
+    portable 60-bit md5 hash of ``'{salt}-{j}|item'`` mod ``width`` —
+    one independent hash row per depth, same convention as the Bloom
+    positions (``bloom_bit_positions``), reproducible in any SQL
+    engine. The 60-bit hash is non-negative, so ``%`` agrees across
+    engines without a sign fix."""
+    return [
+        (kmv_hash(item, f"{salt}-{j}") % width).cast("int")
+        for j in range(depth)
+    ]
+
+
+def cms_build(
+    items: DataFrame, item_col: str, depth: int, width: int, salt: str
+) -> DataFrame:
+    """Build the Count-Min counter matrix over an item stream:
+    ``(d, bucket, cnt)`` rows, at most ``depth x width`` of them.
+
+    THE scale property is in the shuffle volume: the groupBy's key
+    space is the ``depth x width`` GEOMETRY, not the item domain, so
+    map-side partial aggregation collapses every partition to at most
+    ``depth x width`` rows and the exchange moves O(P x depth x width)
+    counters no matter how many distinct items the corpus holds — the
+    same constant-state-per-partition shape as Misra-Gries, but
+    answering point-frequency queries instead of proposing a top set.
+    (An exact ``groupBy(item)`` on an adversarial domain — n-grams,
+    URLs — shuffles nearly the whole input; see
+    ``misra_gries_candidates``.) Counters are additive, so sketches
+    over disjoint batches merge by summing aligned cells — the
+    mergeable-summaries property the streaming twin
+    (``streaming/sinks.py CmsFrequencyMonitorSink``) rides."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    pairs = items.select(
+        F.posexplode(
+            F.array(
+                *cms_bucket_columns(F.col(item_col), depth, width, salt)
+            )
+        ).alias("d", "bucket")
+    )
+    return pairs.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    universe: DataFrame,
+    item_col: str,
+    sketch: DataFrame,
+    depth: int,
+    width: int,
+    salt: str,
+) -> DataFrame:
+    """Point-frequency estimates for every item in ``universe``:
+    ``(item, cms_estimate)`` where the estimate is the MIN over the
+    ``depth`` rows of the item's bucket counters — the Count-Min
+    guarantee is one-sided (estimate >= true count always; collisions
+    only ADD), so a downstream consumer can trust the estimate as an
+    upper bound and rescore exactly only where it matters, the same
+    sketch-proposes / exact-disposes division of labor as the
+    Misra-Gries pair.
+
+    The sketch side of the probe join is geometry-bounded (at most
+    ``depth x width`` rows) but still routed through the measured
+    ``broadcast_if_small`` guard — fleet discipline since VERDICT r5.
+    Absent cells (possible when the probe universe is disjoint from the
+    build stream) coalesce to 0, the sketch's honest answer for a
+    bucket nothing hashed into."""
+    from ..plans.layout import broadcast_if_small
+
+    probes = universe.select(
+        F.col(item_col),
+        F.posexplode(
+            F.array(
+                *cms_bucket_columns(F.col(item_col), depth, width, salt)
+            )
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(broadcast_if_small(sketch), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
     )

@@ -1937,6 +1937,107 @@ def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min geometry. DELIBERATELY tight (4 rows x 16 buckets over a
+#: ~31-token vocabulary) so hash collisions land at every test SF and
+#: the overestimate-audit arm is exercised with real nonzero values —
+#: the Bloom query's loose-geometry precedent. A production sketch over
+#: an n-gram/URL domain runs width ~ 2/eps (e.g. 2^20 buckets for
+#: eps ~ 2e-6 of stream mass) at the same depth; the plan shape is
+#: geometry-invariant because the shuffle key space IS the geometry.
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+CMS_SALT = "cms-v1"
+
+
+def _cms_oracle() -> str:
+    toks = SQL_TOKS.format(col="text")
+    bucket = (
+        "CAST(('0x' || substr(md5('{salt}-{j}|' || token), 1, 15)) "
+        f"AS BIGINT) % {CMS_WIDTH}"
+    )
+    pair_rows = " UNION ALL ".join(
+        f"SELECT token, n_exact, {j} AS d, "
+        + bucket.format(salt=CMS_SALT, j=j)
+        + " AS bucket FROM exact"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH t AS (SELECT {toks} AS t FROM documents),
+    tok AS (SELECT unnest(t) AS token FROM t),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM tok GROUP BY token
+    ),
+    pairs AS ({pair_rows}),
+    sk AS (
+        SELECT d, bucket, CAST(SUM(n_exact) AS BIGINT) AS cnt
+        FROM pairs GROUP BY d, bucket
+    ),
+    est AS (
+        SELECT token, CAST(MIN(cnt) AS BIGINT) AS cms_estimate
+        FROM pairs JOIN sk USING (d, bucket) GROUP BY token
+    )
+    SELECT token, n_exact, cms_estimate,
+           CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
+    FROM exact JOIN est USING (token)
+    ORDER BY token
+    """
+
+
+@register("corpus_cms_frequency", _cms_oracle())
+def corpus_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimation via the Count-Min sketch, audited
+    against the exact count per token — the fourth mergeable
+    bounded-memory sketch beside Bloom (membership), Misra-Gries
+    (top-set proposal), and KMV (cardinality), and the one a 100 TB
+    pipeline uses when it needs "how often does THIS item occur"
+    without a corpus-scale groupBy: the counter matrix is depth x width
+    CELLS regardless of item-domain size, partial aggregation collapses
+    each partition to that constant before the exchange, and counters
+    are additive so per-batch sketches merge by cell-wise sum (the
+    streaming twin, ``CmsFrequencyMonitorSink``, is bit-equivalent by
+    that property — e2e-tested).
+
+    The exact arm is the self-audit: Count-Min error is ONE-SIDED
+    (collisions only add), so ``overestimate = cms_estimate - n_exact``
+    is >= 0 on every row (property-tested) — the guarantee that lets a
+    consumer treat the estimate as a trustworthy upper bound and
+    exact-rescore only the sliver that matters. The deliberately tight
+    4 x 16 geometry forces real collisions at every SF so the audit arm
+    measures nonzero overestimates, not a vacuous zero column. All
+    arithmetic integer; buckets are the repo's portable md5 hash, so
+    the oracle replays the counter matrix bit-for-bit."""
+    from .operators.sketches import cms_build, cms_estimate
+
+    items = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    sketch = cms_build(items, "token", CMS_DEPTH, CMS_WIDTH, CMS_SALT)
+    exact = items.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = cms_estimate(
+        exact.select("token"),
+        "token",
+        sketch,
+        CMS_DEPTH,
+        CMS_WIDTH,
+        CMS_SALT,
+    )
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("token")
+    )
+
+
 def _kcenter_oracle() -> str:
     dist = (
         "CAST(ROUND(list_sum(list_transform(range(1, len({a}.v) + 1), "

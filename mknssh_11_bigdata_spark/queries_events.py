@@ -1752,3 +1752,171 @@ def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog distinct-count sketch with exact audit (round 8)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6 index bits off the 60-bit portable hash)
+HLL_SALT = "hll-v1"
+#: Rank cap. The remainder field is 54 bits so true ranks run 1..55;
+#: capping at 50 keeps the integer harmonic fold in BIGINT (sum of
+#: 2^(50-rank) over 64 registers <= 2^56) and is unreachable noise in
+#: practice — rank 50 needs ~2^49 distinct values PER REGISTER. The cap
+#: also absorbs the rem=0 corner (bin('0') has length 1) without a
+#: special case: LEAST(55 - 1, 50) = 50.
+_HLL_RANK_CAP = 50
+#: alpha_64 * m^2 * 2^cap as ONE Python-computed literal, so both
+#: engines' estimate is a single double division + ROUND — the KMV
+#: estimator's cross-engine-determinism recipe.
+_HLL_NUM = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(
+    1 << _HLL_RANK_CAP
+)
+#: Linear-counting lookup m*ln(m/V) for V=1..64, precomputed to INTEGERS
+#: at import so neither engine evaluates ln() at query time (cross-engine
+#: libm ULP drift is the one nondeterminism this family must not admit).
+import math as _math  # noqa: E402
+
+_HLL_LC = tuple(
+    int(round(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M + 1)
+)
+
+
+def _hll_oracle() -> str:
+    lc_list = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    est = (
+        f"CASE WHEN raw <= {5 * HLL_M // 2} AND v > 0 "
+        f"THEN list_extract({lc_list}, v) ELSE raw END"
+    )
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('{HLL_SALT}|'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h % {HLL_M} AS reg,
+               LEAST(55 - length(bin(h // {HLL_M})), {_HLL_RANK_CAP})
+                   AS rank
+        FROM h
+    ),
+    m AS (
+        SELECT event_type, reg, MAX(rank) AS mreg
+        FROM r GROUP BY event_type, reg
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_CAP} - mreg))
+                   AS BIGINT) AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS n_regs
+        FROM m GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               {HLL_M} - n_regs AS v,
+               CAST(ROUND({_HLL_NUM!r} / (s_present
+                    + ({HLL_M} - n_regs)
+                      * (CAST(1 AS BIGINT) << {_HLL_RANK_CAP})), 0)
+                   AS BIGINT) AS raw
+        FROM s
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT est.event_type,
+           ex.n_exact AS n_exact_distinct,
+           CAST({est} AS BIGINT) AS hll_estimate,
+           CAST(v AS BIGINT) AS n_empty_registers,
+           ROUND((CAST({est} AS DOUBLE) - ex.n_exact) / ex.n_exact, 6)
+               AS rel_err
+    FROM est JOIN ex USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register("event_hll_distinct", _hll_oracle())
+def event_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality via a PORTABLE HyperLogLog,
+    audited against the exact count in the same row. The repo's HLL row
+    (``event_type_sketch_stats``, Spark ``approx_count_distinct``) is
+    rows-only by nature — engine-internal register layouts can't be
+    replayed in SQL — so this query rebuilds the ALGORITHM on the
+    portable 60-bit md5 hash where every step is engine-exact: register
+    = h mod 64, rank = leading-zero count of the 54-bit remainder via
+    LENGTH(BIN(rem)) (both engines print minimal binary), per-register
+    MAX, then an INTEGER harmonic fold sum(2^(cap-rank)) — each term a
+    power of two summed in BIGINT, so partition/summation order cannot
+    drift — and ONE double division + ROUND for the alpha*m^2/Z
+    estimate (the KMV estimator's determinism recipe). The small-range
+    arm is classic linear counting m*ln(m/V), but ln() is PRECOMPUTED
+    to a 64-entry integer table at import — neither engine evaluates a
+    transcendental at query time, killing the cross-libm ULP risk.
+
+    Scale shape: this is the sketch that wins when the KEY SPACE is
+    what explodes — state is exactly m=64 registers per group (vs KMV's
+    k=64 hashes but with a distinct() pre-shuffle): no distinct, no
+    window, map-side partial MAX collapses each partition to
+    (groups x 64) rows before the exchange, and registers merge by MAX
+    (associative/commutative), the same mergeable-summaries property as
+    the module's other sketches. Estimator error ~1.04/sqrt(64) = 13%;
+    rel_err audits it per group. Groups small enough for the
+    linear-counting arm report near-exactly."""
+    from .operators.sketches import kmv_hash
+
+    cap = _HLL_RANK_CAP
+    d = _t(spark, sf_dir, "events")
+    h = d.select(
+        "event_type", kmv_hash(F.col("user_id"), HLL_SALT).alias("h")
+    )
+    r = h.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.least(
+            F.lit(55) - F.length(F.bin(F.expr(f"h DIV {HLL_M}"))),
+            F.lit(cap),
+        ).alias("rank"),
+    )
+    m = r.groupBy("event_type", "reg").agg(F.max("rank").alias("mreg"))
+    s = m.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - mreg)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    v = (F.lit(HLL_M) - F.col("n_regs")).cast("int")
+    s_total = F.col("s_present") + v.cast("long") * F.lit(
+        1 << cap
+    ).cast("long")
+    raw = F.round(F.lit(_HLL_NUM) / s_total, 0).cast("long")
+    lc = F.array(*[F.lit(x).cast("long") for x in _HLL_LC])
+    est = F.when(
+        (raw <= F.lit(5 * HLL_M // 2)) & (v > F.lit(0)),
+        F.element_at(lc, v),
+    ).otherwise(raw)
+    ex = d.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        s.select(
+            "event_type",
+            est.alias("hll_estimate"),
+            v.cast("long").alias("n_empty_registers"),
+        )
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").alias("n_exact_distinct"),
+            "hll_estimate",
+            "n_empty_registers",
+            F.round(
+                (F.col("hll_estimate").cast("double") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

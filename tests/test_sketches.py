@@ -347,3 +347,194 @@ def test_bottom_k_values_merge_invariant_hypothesis(spark):
         assert {k0: sorted(v) for k0, v in got_merged.items()} == want
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_and_geometry_bounded(spark):
+    """Count-Min guarantees under adversarial skew: (1) the counter
+    matrix never exceeds depth x width rows no matter the item domain;
+    (2) every estimate >= the exact count (collisions only ADD — the
+    one-sided error the query's overestimate audit column rests on);
+    (3) the deliberately tight geometry actually collides (a vacuously
+    exact run would certify nothing)."""
+    from mknssh_11_bigdata_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = _skewed_items(20000, seed=11)
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(8)
+    depth, width = 4, 32
+    sk = cms_build(df, "item", depth, width, "cms-test")
+    assert sk.count() <= depth * width
+    exact: dict[str, int] = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    uni = spark.createDataFrame(
+        [(x,) for x in exact], "item string"
+    )
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_estimate(
+            uni, "item", sk, depth, width, "cms-test"
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[x] >= exact[x] for x in exact)
+    # 5000-item tail into 32 buckets MUST collide somewhere
+    assert any(est[x] > exact[x] for x in exact)
+
+
+def test_cms_sketches_merge_additively(spark):
+    """The mergeable-summaries property the streaming twin rides:
+    the sketch of A ++ B equals the CELL-WISE SUM of the sketches of A
+    and B, bit-for-bit — counters are plain counts, so disjoint-batch
+    sketches merge by aligned addition with no error growth beyond the
+    union sketch's own."""
+    from mknssh_11_bigdata_spark.operators.sketches import cms_build
+
+    a = _skewed_items(3000, seed=3)
+    b = _skewed_items(4000, seed=4)
+    depth, width = 4, 16
+    fa = spark.createDataFrame([(x,) for x in a], "item string")
+    fb = spark.createDataFrame([(x,) for x in b], "item string")
+    fu = spark.createDataFrame([(x,) for x in a + b], "item string")
+    sa = cms_build(fa, "item", depth, width, "cms-merge")
+    sb = cms_build(fb, "item", depth, width, "cms-merge")
+    su = cms_build(fu, "item", depth, width, "cms-merge")
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["d"], r["bucket"], r["cnt"]) for r in df.collect()
+    )
+    assert as_rows(merged) == as_rows(su)
+
+
+def test_cms_unseen_item_estimate_is_bucket_noise(spark):
+    """Probing an item that was never inserted returns the collision
+    mass of its buckets (>= 0, possibly 0 on a sparse sketch) — the
+    coalesce-to-0 path for empty cells must not NULL out the min."""
+    from mknssh_11_bigdata_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("only",)], "item string")
+    sk = cms_build(df, "item", 4, 1024, "cms-sparse")
+    probe = spark.createDataFrame(
+        [("never-seen-item",)], "item string"
+    )
+    rows = cms_estimate(
+        probe, "item", sk, 4, 1024, "cms-sparse"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["cms_estimate"] is not None
+    assert rows[0]["cms_estimate"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_portable_hll_matches_pure_python_replay(spark):
+    """The Spark expression chain (register slice, BIN-length rank,
+    per-register MAX, integer harmonic fold, one-division estimate,
+    linear-counting table) must implement the INTENDED algorithm — a
+    pure-Python replay of the same spec on the same hashes, so a bug
+    shared with the SQL oracle (both derived from the same expressions)
+    cannot hide behind cross-engine agreement."""
+    import hashlib
+
+    from mknssh_11_bigdata_spark.queries_events import (
+        HLL_M,
+        HLL_SALT,
+        _HLL_LC,
+        _HLL_NUM,
+        _HLL_RANK_CAP,
+    )
+    from mknssh_11_bigdata_spark.queries import QUERIES
+
+    # python replay on the sf0.001 events table
+    import duckdb
+
+    con = duckdb.connect()
+    uids = [
+        r[0]
+        for r in con.execute(
+            "SELECT user_id FROM read_parquet("
+            "'/root/testdata/sf0.001/events.parquet') "
+            "WHERE event_type = 'click'"
+        ).fetchall()
+    ]
+    regs: dict[int, int] = {}
+    for u in uids:
+        h = int(
+            hashlib.md5(f"{HLL_SALT}|{u}".encode()).hexdigest()[:15], 16
+        )
+        reg = h % HLL_M
+        rem = h // HLL_M
+        rank = min(55 - len(bin(rem)[2:]) if rem else 50, _HLL_RANK_CAP)
+        regs[reg] = max(regs.get(reg, 0), rank)
+    s = sum(1 << (_HLL_RANK_CAP - m) for m in regs.values())
+    v = HLL_M - len(regs)
+    s_total = s + v * (1 << _HLL_RANK_CAP)
+    raw = int(round(_HLL_NUM / s_total))
+    expect = (
+        _HLL_LC[v - 1] if (raw <= 5 * HLL_M // 2 and v > 0) else raw
+    )
+    row = [
+        r
+        for r in QUERIES["event_hll_distinct"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+        if r["event_type"] == "click"
+    ][0]
+    assert row["hll_estimate"] == expect
+    assert row["n_empty_registers"] == v
+
+
+def test_portable_hll_error_within_bound_on_synthetic_cardinalities(
+    spark,
+):
+    """At cardinalities well past the linear-counting arm, the raw
+    estimator must land within ~5 standard errors (5 * 1.04/sqrt(64) =
+    65%) of truth — loose on purpose: this pins 'the estimator is
+    wired correctly', not its statistical luck."""
+    from mknssh_11_bigdata_spark.queries_events import (
+        HLL_M,
+        HLL_SALT,
+        _HLL_NUM,
+        _HLL_RANK_CAP,
+    )
+    import hashlib
+
+    for n in (2000, 20000):
+        regs: dict[int, int] = {}
+        for i in range(n):
+            h = int(
+                hashlib.md5(f"{HLL_SALT}|u{i}".encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            reg, rem = h % HLL_M, h // HLL_M
+            rank = min(
+                55 - len(bin(rem)[2:]) if rem else 50, _HLL_RANK_CAP
+            )
+            regs[reg] = max(regs.get(reg, 0), rank)
+        v = HLL_M - len(regs)
+        s_total = sum(
+            1 << (_HLL_RANK_CAP - m) for m in regs.values()
+        ) + v * (1 << _HLL_RANK_CAP)
+        raw = int(round(_HLL_NUM / s_total))
+        assert abs(raw - n) / n < 0.65, (n, raw)
