@@ -1006,6 +1006,119 @@ class KmvDistinctMonitorSink(_CommitMarkerLedger):
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
 
 
+class CmsFrequencyMonitorSink(_CommitMarkerLedger):
+    """Streaming twin of ``corpus_cms_frequency``'s sketch stage: a
+    Count-Min counter matrix over the document stream's tokens,
+    maintained incrementally — the point-frequency monitor ("how often
+    has THIS n-gram / URL / token occurred so far") a crawl pipeline
+    keeps running without ever materializing the full (item, count)
+    table.
+
+    Counters are plain additive counts, so the merge is the simplest
+    in the monitor family: per batch, build the batch's own sketch
+    (``operators/sketches.cms_build`` — the same bucket hashes the
+    batch query evaluates) and SUM aligned cells into the persisted
+    matrix. No truncation step, no error growth across batches: the
+    streamed sketch is bit-for-bit the sketch of the concatenated
+    stream (e2e-tested against the batch query), and the Count-Min
+    guarantee (estimate >= true count, one-sided) holds at every
+    prefix.
+
+    State is EXACTLY <= depth x width rows regardless of corpus,
+    vocabulary, and batch count — like the Misra-Gries monitor's
+    capacity bound but answering point queries instead of proposing a
+    top set. Probes (:meth:`estimates`) are a broadcast join of the
+    geometry-sized matrix, never a corpus rescan.
+
+    Same exactly-once discipline as the module's other monitors:
+    versioned ``v=<batchId>`` snapshots, marker after data, replayed
+    batch ids dropped, pruning keeps markers. Geometry (depth, width,
+    salt) is persisted and validated on reopen — cells summed under
+    one bucket layout cannot be probed under another.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        depth: int = 4,
+        width: int = 16,
+        salt: str = "cms-v1",
+        keep_versions: int = 2,
+    ):
+        super().__init__(root)
+        if depth < 1 or width < 1:
+            raise ValueError("depth and width must be >= 1")
+        self.depth = depth
+        self.width = width
+        self.salt = salt
+        self.keep_versions = keep_versions
+
+    def sketch(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED counter matrix: (d, bucket, cnt)."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def estimates(
+        self, universe: DataFrame, item_col: str
+    ) -> DataFrame | None:
+        """Point-frequency upper bounds for every item in ``universe``
+        against the latest committed matrix — the same min-over-depths
+        arithmetic as the batch query (``cms_estimate``), so streamed
+        estimates equal the batch query's bit-for-bit on the same
+        data."""
+        from ..operators.sketches import cms_estimate
+
+        s = self.sketch(universe.sparkSession)
+        if s is None:
+            return None
+        return cms_estimate(
+            universe, item_col, s, self.depth, self.width, self.salt
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions import text as TX
+        from ..operators.sketches import cms_build
+
+        # persisted cells are sums under ONE (depth, width, salt)
+        # bucket layout: a mismatched reopen would add incomparable
+        # matrices or probe at wrong positions — record and validate
+        self._geometry_guard(
+            depth=self.depth, width=self.width, salt=self.salt
+        )
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        items = batch_df.select(
+            F.explode(TX.tokens(F.col("text"))).alias("item")
+        )
+        part = cms_build(
+            items, "item", self.depth, self.width, self.salt
+        )
+        prev = self.sketch(spark)
+        merged = part if prev is None else (
+            prev.unionByName(part)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        # geometry-sized (<= depth x width rows) — sliver work
+        merged.write.mode("overwrite").parquet(
+            f"{self.root}/v={batch_id}"
+        )
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Keep commit markers (additive merge) — see
+        ``SourceQualityDriftSink._prune``."""
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+
+
 #: Integer ppm novelty share — the ONE expression the novelty
 #: monitor's telemetry and its per-source rollup both evaluate (the
 #: batch queries' _PPM_EXPR twin, on the ledger's n_seen_prior name).

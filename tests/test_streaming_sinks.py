@@ -1000,3 +1000,97 @@ def test_novelty_geometry_backcompat_sourceless_roots(spark, tmp_path):
     bad = NoveltyMonitorSink(str(root), source_col="source")
     with pytest.raises(RuntimeError, match="geometry"):
         bad(b0, 99)
+
+
+def test_cms_monitor_sink_matches_batch_query(spark, tmp_path):
+    """Round 8: the streaming Count-Min monitor's estimates must equal
+    the batch ``corpus_cms_frequency`` estimates bit-for-bit after
+    streaming the same documents in micro-batches (additive cells =>
+    the streamed matrix IS the whole-stream matrix), its state must
+    stay geometry-bounded, replayed batch ids must drop, and a
+    geometry-mismatched reopen must fail loudly."""
+    import pathlib
+
+    import pytest
+
+    from mknssh_11_bigdata_spark.functions import text as TX
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.queries_curation import (
+        CMS_DEPTH,
+        CMS_SALT,
+        CMS_WIDTH,
+    )
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        CmsFrequencyMonitorSink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        sl = docs.filter(f"doc_id % 3 = {i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    sink = CmsFrequencyMonitorSink(
+        str(tmp_path / "cms"),
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        salt=CMS_SALT,
+    )
+    vocab = docs.select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    assert sink.estimates(vocab, "token") is None
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    batch = {
+        r["token"]: r["cms_estimate"]
+        for r in QUERIES["corpus_cms_frequency"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    got = {
+        r["token"]: r["cms_estimate"]
+        for r in sink.estimates(vocab, "token").collect()
+    }
+    assert got == batch
+
+    # state bounded by the geometry, never the vocabulary
+    assert sink.sketch(spark).count() <= CMS_DEPTH * CMS_WIDTH
+
+    # replay drop: re-delivering a committed id is a no-op
+    sink(docs, 1)
+    after = {
+        r["token"]: r["cms_estimate"]
+        for r in sink.estimates(vocab, "token").collect()
+    }
+    assert after == batch
+
+    # geometry guard: a reopen with a different width must be loud
+    bad = CmsFrequencyMonitorSink(
+        str(tmp_path / "cms"),
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH * 2,
+        salt=CMS_SALT,
+    )
+    with pytest.raises(RuntimeError, match="geometry"):
+        bad(docs, 99)
