@@ -1744,6 +1744,155 @@ def embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SUB = 4  # subspaces (EMB_DIM/PQ_SUB dims each)
+PQ_CODES = 8  # codes per subspace codebook
+PQ_ITERS = 2  # Lloyd iterations per codebook (the KM_ITERS contract)
+
+
+def _pq_oracle() -> str:
+    """Full product-quantization replay in SQL: per subspace, the same
+    unrolled deterministic Lloyd fit as :func:`_ivf_kmeans_oracle` on
+    the SLICED subvectors, then argmax-cosine encoding, ADC lookup
+    dots, and the left-associated reconstructed-cosine score."""
+    sub_dim = EMB_DIM // PQ_SUB
+    ctes = []
+    for s in range(PQ_SUB):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sv = f"v[{lo}:{hi}]"
+        cos = (
+            f"ROUND(list_dot_product(f.sv, c.emb) / "
+            f"(sqrt(list_dot_product(f.sv, f.sv)) * "
+            f"sqrt(list_dot_product(c.emb, c.emb))), 6)"
+        )
+        ctes.append(f"""
+    e{s} AS (SELECT vec_id, {sv} AS sv FROM e),
+    s{s}c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
+                    AS INTEGER) AS cid, sv AS emb
+        FROM (SELECT vec_id, sv FROM e{s}
+              ORDER BY vec_id ASC LIMIT {PQ_CODES})
+    )""")
+        for it in range(1, PQ_ITERS + 1):
+            p = it - 1
+            ctes.append(f"""
+    s{s}a{it} AS (
+        SELECT vec_id, sv, cid FROM (
+            SELECT f.vec_id, f.sv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                        ORDER BY {cos} DESC NULLS LAST,
+                                 c.cid ASC) AS rn
+            FROM e{s} f CROSS JOIN s{s}c{p} c
+        ) WHERE rn = 1
+    ),
+    s{s}m{it} AS (
+        SELECT cid, dim, ROUND(AVG(x), 9) AS m
+        FROM (SELECT cid, unnest(sv) AS x,
+                     generate_subscripts(sv, 1) AS dim
+              FROM s{s}a{it})
+        GROUP BY cid, dim
+    ),
+    s{s}c{it} AS (
+        SELECT c.cid,
+               COALESCE((SELECT list(m ORDER BY dim)
+                         FROM s{s}m{it} WHERE s{s}m{it}.cid = c.cid),
+                        c.emb) AS emb
+        FROM s{s}c{p} c
+    )""")
+        # encode the corpus against the fitted codebook
+        cos_e = (
+            f"ROUND(list_dot_product(f.sv, c.emb) / "
+            f"(sqrt(list_dot_product(f.sv, f.sv)) * "
+            f"sqrt(list_dot_product(c.emb, c.emb))), 6)"
+        )
+        ctes.append(f"""
+    enc{s} AS (
+        SELECT vec_id, cid AS code{s}, n{s} FROM (
+            SELECT f.vec_id, c.cid,
+                   list_dot_product(c.emb, c.emb) AS n{s},
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                        ORDER BY {cos_e} DESC NULLS LAST,
+                                 c.cid ASC) AS rn
+            FROM e{s} f CROSS JOIN s{s}c{PQ_ITERS} c
+        ) WHERE rn = 1
+    )""")
+    lut_terms = " + ".join(
+        f"list_dot_product(q.v[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"cb{s}.emb)"
+        for s in range(PQ_SUB)
+    )
+    n_terms = " + ".join(f"enc{s}.n{s}" for s in range(PQ_SUB))
+    enc_joins = "\n        ".join(
+        f"JOIN enc{s} ON enc{s}.vec_id = enc0.vec_id"
+        for s in range(1, PQ_SUB)
+    )
+    cb_joins = "\n        ".join(
+        f"JOIN s{s}c{PQ_ITERS} cb{s} ON cb{s}.cid = enc{s}.code{s}"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),{",".join(ctes)},
+    q AS (
+        SELECT vec_id AS query_id, v,
+               sqrt(list_dot_product(v, v)) AS qn
+        FROM e WHERE vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+        SELECT q.query_id, enc0.vec_id AS neighbor_id,
+               ROUND(({lut_terms})
+                     / (q.qn * sqrt({n_terms})), 6) AS cosine
+        FROM q CROSS JOIN enc0
+        {enc_joins}
+        {cb_joins}
+        WHERE q.query_id <> enc0.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+@register("embedding_topk_pq", _pq_oracle())
+def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (``operators/similarity.pq_topk``): the
+    MEMORY lever of the quantization family — the corpus collapses to
+    ``PQ_SUB`` small-int codes per vector (4 bytes vs 256 of float32 at
+    this geometry, the footprint class a 100 TB embedding store needs
+    to keep its index RAM-resident), the per-subspace codebooks ride
+    the closure as literals, and scoring is asymmetric-distance: per
+    (query, corpus) pair, ``PQ_SUB`` lookup-table reads + adds replace
+    the 64-wide dot. Complements ``embedding_int8_topk`` (bandwidth,
+    full precision kept per dim) and ``embedding_topk_ivf*`` (scan
+    reduction) — a production index composes all three (IVF-PQ).
+
+    Deterministic end-to-end: the per-subspace fit is the repo's
+    deterministic Lloyd contract, encodes are rounded-cosine argmax
+    with min-id tie-breaks, sums are left-associated, and the score
+    rounds to 6 digits before ranking — the oracle unrolls fit +
+    encode + ADC in SQL and the driver hash-certifies the whole
+    pipeline. Recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=EMB_DIM,
+        k=TOPK,
+        n_sub=PQ_SUB,
+        n_codes=PQ_CODES,
+        iters=PQ_ITERS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

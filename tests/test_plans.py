@@ -817,3 +817,15 @@ def test_q2_variants_window_vs_rejoin(spark):
     assert "Window" not in rejoin
     assert "CartesianProduct" not in rejoin
     assert "TakeOrderedAndProject" in rejoin
+
+
+def test_pq_topk_broadcasts_query_side_and_scan_shapes(spark):
+    """Round 8: PQ ANN must broadcast the (small) query+LUT side over
+    the encoded corpus — encode is a map-only projection against the
+    literal codebooks (no join), so the only join in the scoring scan
+    is the broadcast pair-scan and the only shuffle the per-query
+    rank."""
+    plan = _plan(spark, "embedding_topk_pq")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

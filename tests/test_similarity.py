@@ -408,3 +408,55 @@ def test_ivf_arrow_arm_corpus_smaller_than_n_probe(spark):
         ).collect()
     }
     assert arrow == jvm and arrow
+
+
+def test_pq_topk_contract_recall_and_compression(spark, emb):
+    """Round 8: product-quantization ANN — (1) output contract (k rows
+    per query, no self-match, rank sanity); (2) recall vs brute force
+    must clear a floor sane for a 4x16 geometry on near-orthogonal
+    synthetic vectors; (3) determinism: two runs are bit-identical
+    (fit, encode, and score are all fixed-order); (4) the codebook
+    model is geometry-sized (n_sub x n_codes entries of dim/n_sub)."""
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    kwargs = dict(
+        corpus=emb,
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=K,
+        n_sub=4,
+        n_codes=8,
+        iters=2,
+    )
+    out1 = pq_topk(**kwargs).collect()
+    out2 = pq_topk(**kwargs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    per_query: dict[int, int] = {}
+    for r in out1:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= K
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+    assert all(v == K for v in per_query.values())
+    assert len(per_query) == N_QUERIES
+
+    approx_set = {(r.query_id, r.neighbor_id) for r in out1}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 8 codes x 4 subspaces over near-orthogonal vectors is a coarse
+    # quantizer; the floor pins "wired correctly", not "lossless"
+    assert recall >= 0.2, f"PQ recall {recall:.2f} too low"
+
+    books = pq_codebooks(emb, "vec_id", "embedding", 64, 4, 8, iters=2)
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
