@@ -54,6 +54,7 @@ __all__ = [
     "cms_bucket_columns",
     "cms_build",
     "cms_estimate",
+    "bottom_k_sample",
 ]
 
 #: Range of the portable 60-bit md5 hash (first 15 hex chars), as the
@@ -517,4 +518,50 @@ def cms_estimate(
             .cast("long")
             .alias("cms_estimate")
         )
+    )
+
+
+def bottom_k_sample(
+    df: DataFrame, key_col: str, hash_col: str, val_col: str, k: int
+) -> DataFrame:
+    """Deterministic uniform-without-replacement row sample per key:
+    ``(key, n_exact, sample)`` where ``sample`` is the ``val_col``
+    values of the k rows with the smallest ``(hash, val)`` pairs — the
+    KMV idea applied to ROWS instead of distinct values, which makes
+    the bottom-k set a uniform random sample of the key's rows under
+    the portable hash (each row's inclusion depends only on its own
+    hash rank). Mergeable exactly like :func:`bottom_k_stats`: bottom-k
+    is an associative, commutative multiset merge, so per-partition
+    slices (phase 1) re-reduce in phase 2 and per-batch samples union
+    and re-reduce in a streaming twin — never a window, state bounded
+    at k structs per key.
+
+    This is the repo's bounded-memory QUANTILE architecture: the
+    p-quantile of the sample (order statistic at ceil(p*k)) estimates
+    the population quantile with error O(sqrt(p(1-p)/k)) — the
+    classical sample-quantile bound — while the exact arm needs a full
+    per-key sort. Both are deterministic functions of the data through
+    the portable hash, so a SQL oracle replays the SAMPLE bit-for-bit
+    (unlike t-digest/KLL whose compaction layouts are engine-internal
+    — the same portability gap the HLL/KMV pair closes for
+    cardinality)."""
+    pair = F.struct(
+        F.col(hash_col).alias("h"), F.col(val_col).alias("v")
+    )
+    s1 = df.groupBy(
+        F.col(key_col), F.spark_partition_id().alias("__p")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias(
+            "__mins"
+        ),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return s1.groupBy(key_col).agg(
+        F.sum("__n").cast("long").alias("n_exact"),
+        F.transform(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__mins"))), 1, k
+            ),
+            lambda x: x["v"],
+        ).alias("sample"),
     )

@@ -1006,6 +1006,147 @@ class KmvDistinctMonitorSink(_CommitMarkerLedger):
             shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
 
 
+class HllDistinctMonitorSink(_CommitMarkerLedger):
+    """Streaming twin of ``event_hll_distinct``'s portable HyperLogLog:
+    a per-key distinct-cardinality monitor whose state is EXACTLY m=64
+    register maxima per key — beside ``KmvDistinctMonitorSink`` this is
+    the second cardinality monitor, and the one whose per-batch work
+    needs NO distinct() pre-shuffle: registers fold under plain MAX, so
+    each micro-batch contributes its own (key, reg, mreg) maxima
+    (map-side partial agg, geometry-sized exchange) and the persisted
+    state re-reduces with the same MAX — associative, commutative,
+    idempotent, the strongest merge in the monitor family (even
+    re-delivered ROWS, not just replayed batches, cannot corrupt it).
+
+    :meth:`estimates` reproduces the batch query's arithmetic exactly —
+    same integer harmonic fold, same one-division estimator literal,
+    same precomputed linear-counting table — so streamed estimates are
+    the batch query's bit-for-bit on the same data (e2e-tested).
+    Unlike the KMV twin there is no exact-arm discriminator to emulate:
+    the batch HLL query's arm switch depends only on (raw, V), both
+    derivable from bounded state.
+
+    Same exactly-once discipline as the module's other monitors:
+    versioned ``v=<batchId>`` snapshots, marker after data, replayed
+    batch ids dropped, pruning keeps markers; geometry (m, rank cap,
+    salt) persisted and validated on reopen.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        key_col: str = "event_type",
+        id_col: str = "user_id",
+        salt: str = "hll-v1",
+        keep_versions: int = 2,
+    ):
+        super().__init__(root)
+        self.key_col = key_col
+        self.id_col = id_col
+        self.salt = salt
+        self.keep_versions = keep_versions
+
+    def state(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED state: (key, reg, mreg), <= 64 rows/key."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def _register_maxima(self, batch_df: DataFrame) -> DataFrame:
+        from ..queries_events import HLL_M, _HLL_RANK_CAP
+        from ..operators.sketches import kmv_hash
+
+        h = batch_df.select(
+            F.col(self.key_col),
+            kmv_hash(F.col(self.id_col), self.salt).alias("h"),
+        )
+        r = h.select(
+            self.key_col,
+            (F.col("h") % HLL_M).alias("reg"),
+            F.least(
+                F.lit(55) - F.length(F.bin(F.expr(f"h DIV {HLL_M}"))),
+                F.lit(_HLL_RANK_CAP),
+            ).alias("rank"),
+        )
+        return r.groupBy(self.key_col, "reg").agg(
+            F.max("rank").alias("mreg")
+        )
+
+    def estimates(self, spark: SparkSession) -> DataFrame | None:
+        """Per-key cardinality view ``(key, hll_estimate,
+        n_empty_registers)`` — the batch query's estimate/arm
+        arithmetic, evaluated over the persisted register maxima."""
+        from ..queries_events import (
+            HLL_M,
+            _HLL_LC,
+            _HLL_NUM,
+            _HLL_RANK_CAP,
+        )
+
+        s = self.state(spark)
+        if s is None:
+            return None
+        cap = _HLL_RANK_CAP
+        agg = s.groupBy(self.key_col).agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - mreg)")
+            )
+            .cast("long")
+            .alias("s_present"),
+            F.count(F.lit(1)).cast("long").alias("n_regs"),
+        )
+        v = (F.lit(HLL_M) - F.col("n_regs")).cast("int")
+        s_total = F.col("s_present") + v.cast("long") * F.lit(
+            1 << cap
+        ).cast("long")
+        raw = F.round(F.lit(_HLL_NUM) / s_total, 0).cast("long")
+        lc = F.array(*[F.lit(x).cast("long") for x in _HLL_LC])
+        est = F.when(
+            (raw <= F.lit(5 * HLL_M // 2)) & (v > F.lit(0)),
+            F.element_at(lc, v),
+        ).otherwise(raw)
+        return agg.select(
+            self.key_col,
+            est.alias("hll_estimate"),
+            v.cast("long").alias("n_empty_registers"),
+        ).orderBy(self.key_col)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..queries_events import HLL_M, _HLL_RANK_CAP
+
+        # register maxima are comparable only under ONE (m, cap, salt):
+        # a mismatched reopen would fold incomparable registers
+        self._geometry_guard(
+            m=HLL_M, rank_cap=_HLL_RANK_CAP, salt=self.salt
+        )
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        part = self._register_maxima(batch_df)
+        prev = self.state(spark)
+        merged = part if prev is None else (
+            prev.unionByName(part)
+            .groupBy(self.key_col, "reg")
+            .agg(F.max("mreg").alias("mreg"))
+        )
+        # (keys x 64)-sized — sliver work
+        merged.write.mode("overwrite").parquet(
+            f"{self.root}/v={batch_id}"
+        )
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Keep commit markers (idempotent MAX merge) — see
+        ``SourceQualityDriftSink._prune``."""
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+
+
 class CmsFrequencyMonitorSink(_CommitMarkerLedger):
     """Streaming twin of ``corpus_cms_frequency``'s sketch stage: a
     Count-Min counter matrix over the document stream's tokens,

@@ -538,3 +538,107 @@ def test_portable_hll_error_within_bound_on_synthetic_cardinalities(
         ) + v * (1 << _HLL_RANK_CAP)
         raw = int(round(_HLL_NUM / s_total))
         assert abs(raw - n) / n < 0.65, (n, raw)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform row sample / quantile sketch (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_bottom_k_sample_merge_invariant_and_exact_when_small(spark):
+    """Bottom-k over rows is an associative multiset merge: sampling
+    the whole stream equals merging per-slice samples, bit-for-bit —
+    the property a streaming twin would ride. And a group with n <= k
+    rows reports its ENTIRE value multiset (the sample is the group)."""
+    from mknssh_11_bigdata_spark.operators.sketches import (
+        bottom_k_sample,
+        kmv_hash,
+    )
+
+    rng = random.Random(5)
+    rows = [(f"k{i % 3}", i, rng.gauss(0, 1)) for i in range(9000)]
+    df = spark.createDataFrame(
+        rows, "key string, rid long, value double"
+    ).repartition(8)
+    base = df.select(
+        "key", kmv_hash(F.col("rid"), "t").alias("h"), "value"
+    )
+    whole = bottom_k_sample(base, "key", "h", "value", 64)
+
+    parts = [
+        bottom_k_sample(
+            base.filter(F.col("h") % 2 == i), "key", "h", "value", 64
+        )
+        for i in range(2)
+    ]
+    remerged = (
+        parts[0]
+        .unionByName(parts[1])
+        .select("key", F.explode("sample").alias("value"))
+        .join(base, ["key", "value"])  # recover hashes for re-reduce
+        .select("key", "h", "value")
+    )
+    remerged = bottom_k_sample(remerged, "key", "h", "value", 64)
+
+    def as_map(df_):
+        return {
+            r["key"]: (r["n_exact"], sorted(r["sample"]))
+            for r in df_.collect()
+        }
+
+    wm, rm = as_map(whole), as_map(remerged)
+    assert set(wm) == set(rm)
+    for k in wm:
+        assert wm[k][1] == rm[k][1], k  # identical sample multisets
+
+    # n <= k: the sample IS the group
+    tiny = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)],
+        "key string, rid long, value double",
+    )
+    tb = tiny.select(
+        "key", kmv_hash(F.col("rid"), "t").alias("h"), "value"
+    )
+    out = bottom_k_sample(tb, "key", "h", "value", 64).collect()[0]
+    assert out["n_exact"] == 10
+    assert sorted(out["sample"]) == [float(i) for i in range(10)]
+
+
+def test_quantile_sketch_rank_error_within_bound(spark):
+    """On a skewed (lognormal-ish) distribution the sample p-quantile's
+    RANK in the full data must sit within ~5 standard errors of the
+    target rank (5*sqrt(p(1-p)/k)) — pins that the sample is genuinely
+    uniform under the portable hash and the order-statistic indexing
+    is wired right, loose enough to not gamble on sampling luck."""
+    import math
+
+    from mknssh_11_bigdata_spark.operators.sketches import (
+        bottom_k_sample,
+        kmv_hash,
+    )
+
+    rng = random.Random(17)
+    vals = [math.exp(rng.gauss(0, 2)) for _ in range(50000)]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "key string, rid long, value double",
+    ).repartition(16)
+    base = df.select(
+        "key", kmv_hash(F.col("rid"), "q").alias("h"), "value"
+    )
+    k = 256
+    sample = sorted(
+        bottom_k_sample(base, "key", "h", "value", k).collect()[0][
+            "sample"
+        ]
+    )
+    svals = sorted(vals)
+    n = len(svals)
+    for p in (0.5, 0.9, 0.99):
+        est = sample[math.ceil(p * k) - 1]
+        # rank of est within the full data
+        import bisect
+
+        rank = bisect.bisect_right(svals, est) / n
+        tol = 5 * math.sqrt(p * (1 - p) / k)
+        assert abs(rank - p) <= tol, (p, rank, tol)

@@ -1094,3 +1094,79 @@ def test_cms_monitor_sink_matches_batch_query(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="geometry"):
         bad(docs, 99)
+
+
+def test_hll_monitor_sink_matches_batch_query(spark, tmp_path):
+    """Round 8: the streaming HLL monitor's estimates must equal the
+    batch ``event_hll_distinct`` columns bit-for-bit after streaming
+    the same events in micro-batches (register MAX-merge => the
+    streamed registers ARE the whole-stream registers), state must
+    stay at <= 64 rows per key, replays must drop, and — the merge
+    being idempotent — even re-delivering the WHOLE stream as a new
+    batch id must not move any estimate."""
+    import pathlib
+
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        HllDistinctMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        sl = events.filter(f"user_id % 3 = {i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    sink = HllDistinctMonitorSink(str(tmp_path / "hll"))
+    assert sink.estimates(spark) is None
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    batch = {
+        r["event_type"]: (r["hll_estimate"], r["n_empty_registers"])
+        for r in QUERIES["event_hll_distinct"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r["hll_estimate"], r["n_empty_registers"])
+        for r in sink.estimates(spark).collect()
+    }
+    assert got == batch
+
+    # state bounded at m rows per key
+    per_key = (
+        sink.state(spark).groupBy("event_type").count().collect()
+    )
+    assert all(r["count"] <= 64 for r in per_key)
+
+    # replay drop (committed id) AND idempotent-merge row re-delivery
+    sink(events, 1)
+    assert {
+        r["event_type"]: (r["hll_estimate"], r["n_empty_registers"])
+        for r in sink.estimates(spark).collect()
+    } == batch
+    sink(events, 7)  # whole stream again under a NEW id: max-merge no-op
+    assert {
+        r["event_type"]: (r["hll_estimate"], r["n_empty_registers"])
+        for r in sink.estimates(spark).collect()
+    } == batch
