@@ -1749,11 +1749,12 @@ PQ_CODES = 8  # codes per subspace codebook
 PQ_ITERS = 2  # Lloyd iterations per codebook (the KM_ITERS contract)
 
 
-def _pq_oracle() -> str:
-    """Full product-quantization replay in SQL: per subspace, the same
-    unrolled deterministic Lloyd fit as :func:`_ivf_kmeans_oracle` on
-    the SLICED subvectors, then argmax-cosine encoding, ADC lookup
-    dots, and the left-associated reconstructed-cosine score."""
+def _pq_subspace_ctes() -> list[str]:
+    """The per-subspace SQL blocks shared by ``_pq_oracle`` and
+    ``_ivf_pq_oracle``: for each subspace, the unrolled deterministic
+    Lloyd fit (same contract as :func:`_ivf_kmeans_oracle`) on the
+    SLICED subvectors, then the argmax-cosine corpus encode. Assumes a
+    CTE ``e(vec_id, v DOUBLE[])`` is in scope."""
     sub_dim = EMB_DIM // PQ_SUB
     ctes = []
     for s in range(PQ_SUB):
@@ -1815,6 +1816,14 @@ def _pq_oracle() -> str:
             FROM e{s} f CROSS JOIN s{s}c{PQ_ITERS} c
         ) WHERE rn = 1
     )""")
+    return ctes
+
+
+def _pq_score_fragments() -> tuple[str, str, str, str]:
+    """(lut_terms, n_terms, enc_joins, cb_joins) — the ADC scoring SQL
+    fragments shared by both PQ oracles; sums left-associated to match
+    the Spark side exactly."""
+    sub_dim = EMB_DIM // PQ_SUB
     lut_terms = " + ".join(
         f"list_dot_product(q.v[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
         f"cb{s}.emb)"
@@ -1829,6 +1838,16 @@ def _pq_oracle() -> str:
         f"JOIN s{s}c{PQ_ITERS} cb{s} ON cb{s}.cid = enc{s}.code{s}"
         for s in range(PQ_SUB)
     )
+    return lut_terms, n_terms, enc_joins, cb_joins
+
+
+def _pq_oracle() -> str:
+    """Full product-quantization replay in SQL: per subspace, the
+    unrolled deterministic Lloyd fit on the SLICED subvectors, then
+    argmax-cosine encoding, ADC lookup dots, and the left-associated
+    reconstructed-cosine score."""
+    ctes = _pq_subspace_ctes()
+    lut_terms, n_terms, enc_joins, cb_joins = _pq_score_fragments()
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1843,6 +1862,114 @@ def _pq_oracle() -> str:
                ROUND(({lut_terms})
                      / (q.qn * sqrt({n_terms})), 6) AS cosine
         FROM q CROSS JOIN enc0
+        {enc_joins}
+        {cb_joins}
+        WHERE q.query_id <> enc0.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF-PQ replay in SQL: the coarse full-vector Lloyd fit +
+    assignment + probe of :func:`_ivf_kmeans_oracle` (KM_CENTROIDS
+    cells, IVF_PROBE probed), composed with the per-subspace PQ fit +
+    encode + ADC score of :func:`_pq_oracle` — scoring only pairs
+    whose corpus cell is among the query's probed cells."""
+    cos_fc = (
+        "ROUND(list_dot_product(f.v, c.emb) / "
+        "(sqrt(list_dot_product(f.v, f.v)) * "
+        "sqrt(list_dot_product(c.emb, c.emb))), 6)"
+    )
+    coarse = [f"""
+    gc0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
+                    AS INTEGER) AS cid, v AS emb
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY vec_id ASC LIMIT {KM_CENTROIDS})
+    )"""]
+    for it in range(1, KM_ITERS + 1):
+        p = it - 1
+        coarse.append(f"""
+    ga{it} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT f.vec_id, f.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                        ORDER BY {cos_fc} DESC NULLS LAST,
+                                 c.cid ASC) AS rn
+            FROM e f CROSS JOIN gc{p} c
+        ) WHERE rn = 1
+    ),
+    gm{it} AS (
+        SELECT cid, dim, ROUND(AVG(x), 9) AS m
+        FROM (SELECT cid, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS dim
+              FROM ga{it})
+        GROUP BY cid, dim
+    ),
+    gc{it} AS (
+        SELECT c.cid,
+               COALESCE((SELECT list(m ORDER BY dim)
+                         FROM gm{it} WHERE gm{it}.cid = c.cid),
+                        c.emb) AS emb
+        FROM gc{p} c
+    )""")
+    cos_ac = (
+        "ROUND(list_dot_product(f.v, cent.cent) / "
+        "(sqrt(list_dot_product(f.v, f.v)) * "
+        "sqrt(list_dot_product(cent.cent, cent.cent))), 6)"
+    )
+    cos_qc = (
+        "ROUND(list_dot_product(q.v, cent.cent) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(cent.cent, cent.cent))), 6)"
+    )
+    sub_ctes = _pq_subspace_ctes()
+    lut_terms, n_terms, enc_joins, cb_joins = _pq_score_fragments()
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),{",".join(coarse)},
+    cent AS (
+        SELECT cid AS centroid_id, emb AS cent FROM gc{KM_ITERS}
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id AS cell FROM (
+            SELECT f.vec_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                        ORDER BY {cos_ac} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM e f CROSS JOIN cent
+        ) WHERE rn = 1
+    ),{",".join(sub_ctes)},
+    q AS (
+        SELECT vec_id AS query_id, v,
+               sqrt(list_dot_product(v, v)) AS qn
+        FROM e WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probed AS (
+        SELECT query_id, centroid_id AS cell FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY {cos_qc} DESC NULLS LAST,
+                                 cent.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+        SELECT q.query_id, enc0.vec_id AS neighbor_id,
+               ROUND(({lut_terms})
+                     / (q.qn * sqrt({n_terms})), 6) AS cosine
+        FROM probed p
+        JOIN q ON q.query_id = p.query_id
+        JOIN assigned a ON a.cell = p.cell
+        JOIN enc0 ON enc0.vec_id = a.vec_id
         {enc_joins}
         {cb_joins}
         WHERE q.query_id <> enc0.vec_id
@@ -1887,6 +2014,43 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         dim=EMB_DIM,
         k=TOPK,
+        n_sub=PQ_SUB,
+        n_codes=PQ_CODES,
+        iters=PQ_ITERS,
+    )
+
+
+@register("embedding_topk_ivf_pq", _ivf_pq_oracle())
+def embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the COMPOSED production ANN index
+    (``operators/similarity.ivf_pq_topk``): coarse k-means cells prune
+    the scan to ~IVF_PROBE/KM_CENTROIDS of the corpus per query (the
+    ``embedding_topk_ivf_kmeans`` lever) while PQ codes shrink both
+    what each scanned row stores (~8 bytes: one cell id + PQ_SUB
+    codes, vs 256 of float32) and what it costs to score (PQ_SUB
+    lookups, the ``embedding_topk_pq`` lever). This is FAISS
+    IndexIVFPQ's shape as DataFrame ops: every stage map-side against
+    literal models until the per-query rank, the probe join an
+    equi-join on the cell id with the (queries x n_probe)-row side
+    broadcast.
+
+    Raw-vector (by_residual=False) encoding — the residual trade-off
+    is documented on the operator; the recall deltas PQ-alone vs
+    IVF-alone vs composed are pinned in tests/test_similarity.py. The
+    oracle composes the coarse-fit/assign/probe SQL with the
+    per-subspace PQ SQL, both already certified standalone."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=EMB_DIM,
+        k=TOPK,
+        n_centroids=KM_CENTROIDS,
+        n_probe=IVF_PROBE,
         n_sub=PQ_SUB,
         n_codes=PQ_CODES,
         iters=PQ_ITERS,

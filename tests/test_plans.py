@@ -829,3 +829,13 @@ def test_pq_topk_broadcasts_query_side_and_scan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_probe_is_broadcast_equi_join(spark):
+    """Round 8: IVF-PQ's probe must be a broadcast equi-join on the
+    cell id (queries x n_probe rows on the build side) — never a
+    cartesian pair scan; corpus-side encode stays a map projection."""
+    plan = _plan(spark, "embedding_topk_ivf_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

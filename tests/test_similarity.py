@@ -460,3 +460,49 @@ def test_pq_topk_contract_recall_and_compression(spark, emb):
     assert len(books) == 4
     assert all(len(b) == 8 for b in books)
     assert all(len(c) == 16 for b in books for c in b)
+
+
+def test_ivf_pq_contract_and_recall_vs_parents(spark, emb):
+    """Round 8: the composed IVF-PQ index — output contract holds, runs
+    are bit-identical, and recall is measured against BOTH parents:
+    composing scan-pruning on top of quantization can only drop
+    candidates, so IVF-PQ recall <= PQ recall must hold structurally;
+    the floor pins the composition still finds signal."""
+    from mknssh_11_bigdata_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(rows):
+        s = {(r.query_id, r.neighbor_id) for r in rows}
+        return len(exact_set & s) / len(exact_set)
+
+    kwargs = dict(
+        corpus=emb,
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=K,
+        n_sub=4,
+        n_codes=8,
+        iters=2,
+    )
+    pq_rows = pq_topk(**kwargs).collect()
+    out1 = ivf_pq_topk(n_centroids=8, n_probe=4, **kwargs).collect()
+    out2 = ivf_pq_topk(n_centroids=8, n_probe=4, **kwargs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    for r in out1:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= K
+    r_pq, r_ivfpq = recall(pq_rows), recall(out1)
+    assert r_ivfpq >= 0.15, f"IVF-PQ recall {r_ivfpq:.2f} too low"
+    # probing 4/8 cells of a PQ-scored corpus cannot beat full-scan PQ
+    # on the same codes by more than rank-tie noise
+    assert r_ivfpq <= r_pq + 1e-9, (r_ivfpq, r_pq)
