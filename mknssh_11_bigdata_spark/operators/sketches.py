@@ -55,6 +55,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "bottom_k_sample",
+    "bottom_k_rows",
 ]
 
 #: Range of the portable 60-bit md5 hash (first 15 hex chars), as the
@@ -545,6 +546,22 @@ def bottom_k_sample(
     (unlike t-digest/KLL whose compaction layouts are engine-internal
     — the same portability gap the HLL/KMV pair closes for
     cardinality)."""
+    agg = _bottom_k_pair_arrays(df, key_col, hash_col, val_col, k)
+    return agg.select(
+        key_col,
+        "n_exact",
+        F.transform(F.col("__mins"), lambda x: x["v"]).alias("sample"),
+    )
+
+
+def _bottom_k_pair_arrays(
+    df: DataFrame, key_col: str, hash_col: str, val_col: str, k: int
+) -> DataFrame:
+    """Shared two-phase core of :func:`bottom_k_sample` /
+    :func:`bottom_k_rows`: ``(key, n_exact, __mins)`` where ``__mins``
+    is the sorted array of the k smallest ``(hash, val)`` structs per
+    key (phase 1 bounded by partition size, phase 2 a sliver merge —
+    the :func:`bottom_k_stats` shape)."""
     pair = F.struct(
         F.col(hash_col).alias("h"), F.col(val_col).alias("v")
     )
@@ -558,10 +575,30 @@ def bottom_k_sample(
     )
     return s1.groupBy(key_col).agg(
         F.sum("__n").cast("long").alias("n_exact"),
-        F.transform(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("__mins"))), 1, k
-            ),
-            lambda x: x["v"],
-        ).alias("sample"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__mins"))), 1, k
+        ).alias("__mins"),
+    )
+
+
+def bottom_k_rows(
+    df: DataFrame, key_col: str, hash_col: str, val_col: str, k: int
+) -> DataFrame:
+    """The persisted/mergeable ROW form of :func:`bottom_k_sample`:
+    ``(key, hash, val)`` rows of the k smallest ``(hash, val)`` pairs
+    per key, hashes KEPT so the slice re-reduces — union any number of
+    such slices (per-batch samples in a streaming twin, per-epoch
+    slices in a compacting index) and one more ``bottom_k_rows`` pass
+    over the union is the bottom-k of the combined multiset, because
+    bottom-k is an associative, commutative multiset merge.
+    ``bottom_k_sample`` drops the hashes for presentation; this form
+    exists for STATE (``streaming/sinks.QuantileSketchMonitorSink``),
+    where dropping them would make the sample unmergeable."""
+    agg = _bottom_k_pair_arrays(df, key_col, hash_col, val_col, k)
+    return agg.select(
+        key_col, F.explode("__mins").alias("__pair")
+    ).select(
+        key_col,
+        F.col("__pair.h").alias(hash_col),
+        F.col("__pair.v").alias(val_col),
     )

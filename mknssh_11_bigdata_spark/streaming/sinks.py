@@ -1521,3 +1521,184 @@ class NoveltyMonitorSink(_CommitMarkerLedger):
             f"{self.root}/bloom/batch_id={batch_id}"
         )
         self._mark_committed(batch_id)
+
+
+class QuantileSketchMonitorSink(_CommitMarkerLedger):
+    """Streaming twin of ``event_value_quantile_sketch``'s bottom-k
+    uniform row sample — the DISTRIBUTION member of the monitor family
+    (MG: top-set, KMV/HLL: cardinality, CMS: frequency, novelty:
+    freshness; this sink completes the symmetry: every batch sketch
+    query now has a bounded-state streaming twin or a documented
+    reason not to).
+
+    State per key = the k smallest ``(portable_hash(id), value)``
+    pairs over ALL rows seen (``operators/sketches.bottom_k_rows`` —
+    hashes KEPT, which is what makes the persisted sample mergeable),
+    plus one additive row-count sidecar (``n/v=<batchId>``, the
+    HeavyHitters discipline: a count must survive independently of the
+    sample rows). Bottom-k over row multisets is an associative,
+    commutative merge, so each micro-batch contributes its own
+    bottom-k and the union re-reduces with the same operator — batch
+    arrival order cannot change the state, and the streamed sample IS
+    the batch query's sample bit-for-bit on the same rows
+    (e2e-tested: estimates equal ``event_value_quantile_sketch``'s
+    sketch-arm columns exactly).
+
+    Unlike the HLL twin's idempotent register MAX, a ROW sample is
+    multiset-semantics: re-delivered rows would double-count (both in
+    the sample multiset and in n) — the exactly-once batch-id ledger
+    is the correctness boundary, same honesty note as the KMV twin's
+    hash-collision caveat.
+
+    :meth:`estimates` reproduces the batch arithmetic exactly: sorted
+    sample values, order statistic at the pure-integer
+    ``ceil(p * n_sample)`` index, n_sample = min(n_rows, k) by
+    construction. Groups with n_rows <= k report exact quantiles (the
+    sample is the whole group).
+
+    Same exactly-once discipline as the module's other monitors:
+    versioned ``v=<batchId>`` snapshots, marker after data, replayed
+    batch ids dropped, pruning keeps markers; geometry (k, salt, the
+    hashed id column, the value column) persisted and validated on
+    reopen — state hashed from one id column is incomparable with
+    another's even though the schema matches.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        key_col: str = "event_type",
+        id_col: str = "event_id",
+        val_col: str = "value",
+        k: int = 256,
+        salt: str = "qsk-v1",
+        keep_versions: int = 2,
+    ):
+        super().__init__(root)
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.key_col = key_col
+        self.id_col = id_col
+        self.val_col = val_col
+        self.k = k
+        self.salt = salt
+        self.keep_versions = keep_versions
+
+    def state(self, spark: SparkSession) -> DataFrame | None:
+        """Latest COMMITTED state: (key, h, val) rows, <= k per key."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(f"{self.root}/v={max(committed)}")
+
+    def n_rows(self, spark: SparkSession) -> DataFrame | None:
+        """Per-key running row totals from the additive sidecar."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        return spark.read.parquet(
+            f"{self.root}/n/v={max(committed)}"
+        )
+
+    def estimates(self, spark: SparkSession) -> DataFrame | None:
+        """Per-key quantile view ``(key, n_rows, n_sample, p50_est,
+        p90_est, p99_est)`` — the batch query's sketch-arm arithmetic
+        (same probed quantiles, same integer ceil-rank) evaluated over
+        the persisted sample."""
+        from ..queries_events import _QSK_PS
+
+        s = self.state(spark)
+        if s is None:
+            return None
+        agg = s.groupBy(self.key_col).agg(
+            F.array_sort(F.collect_list(self.val_col)).alias("__vals")
+        )
+        ns = F.size("__vals")
+        est_cols = [
+            F.element_at(
+                F.col("__vals"),
+                ((F.lit(num) * ns + F.lit(den) - 1) / F.lit(den))
+                .cast("int"),
+            ).alias(f"{name}_est")
+            for name, num, den in _QSK_PS
+        ]
+        return (
+            agg.select(
+                self.key_col,
+                ns.cast("long").alias("n_sample"),
+                *est_cols,
+            )
+            .join(self.n_rows(spark), self.key_col)
+            .select(
+                self.key_col,
+                "n_rows",
+                "n_sample",
+                *[f"{name}_est" for name, _, _ in _QSK_PS],
+            )
+            .orderBy(self.key_col)
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import bottom_k_rows, kmv_hash
+
+        # one sample multiset is comparable only under ONE
+        # (k, salt, hashed id column, sampled value column)
+        self._geometry_guard(
+            k=self.k,
+            salt=self.salt,
+            id_col=self.id_col,
+            val_col=self.val_col,
+        )
+        if batch_id in self.committed_batches():
+            return  # replay of a committed batch — exactly-once drop
+        spark = batch_df.sparkSession
+        part = batch_df.select(
+            self.key_col,
+            kmv_hash(F.col(self.id_col), self.salt).alias("__h"),
+            F.col(self.val_col),
+        )
+        batch_mins = bottom_k_rows(
+            part, self.key_col, "__h", self.val_col, self.k
+        )
+        batch_n = part.groupBy(self.key_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        )
+        prev = self.state(spark)
+        merged = (
+            batch_mins
+            if prev is None
+            else prev.unionByName(batch_mins)
+        )
+        # state re-reduces with the same bottom-k operator it was
+        # built with; (key x k)-sized, so this merge is sliver work
+        state = bottom_k_rows(
+            merged, self.key_col, "__h", self.val_col, self.k
+        )
+        state.write.mode("overwrite").parquet(
+            f"{self.root}/v={batch_id}"
+        )
+        prev_n = self.n_rows(spark)
+        n_now = (
+            batch_n
+            if prev_n is None
+            else prev_n.unionByName(batch_n)
+            .groupBy(self.key_col)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        )
+        n_now.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.root}/n/v={batch_id}"
+        )
+        self._mark_committed(batch_id)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Keep commit markers (additive merge) — see
+        ``SourceQualityDriftSink._prune``."""
+        import shutil
+
+        committed = sorted(self.committed_batches())
+        for old in committed[: -self.keep_versions]:
+            shutil.rmtree(f"{self.root}/v={old}", ignore_errors=True)
+            shutil.rmtree(
+                f"{self.root}/n/v={old}", ignore_errors=True
+            )

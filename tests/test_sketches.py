@@ -642,3 +642,55 @@ def test_quantile_sketch_rank_error_within_bound(spark):
         rank = bisect.bisect_right(svals, est) / n
         tol = 5 * math.sqrt(p * (1 - p) / k)
         assert abs(rank - p) <= tol, (p, rank, tol)
+
+
+def test_bottom_k_rows_merge_invariant_and_matches_sample(spark):
+    """Round 8: the ROW (state) form of the bottom-k sample — per-slice
+    ``bottom_k_rows`` outputs union and re-reduce to the whole
+    multiset's bottom-k WITHOUT the hash-recovery join the value form
+    needs (that is its reason to exist), and projecting its values
+    reproduces ``bottom_k_sample``'s sample exactly."""
+    from mknssh_11_bigdata_spark.operators.sketches import (
+        bottom_k_rows,
+        bottom_k_sample,
+        kmv_hash,
+    )
+
+    rng = random.Random(11)
+    rows = [(f"k{i % 3}", i, rng.gauss(0, 1)) for i in range(9000)]
+    df = spark.createDataFrame(
+        rows, "key string, rid long, value double"
+    ).repartition(8)
+    base = df.select(
+        "key", kmv_hash(F.col("rid"), "t").alias("h"), "value"
+    )
+    whole = bottom_k_rows(base, "key", "h", "value", 64)
+
+    parts = [
+        bottom_k_rows(
+            base.filter(F.col("h") % 2 == i), "key", "h", "value", 64
+        )
+        for i in range(2)
+    ]
+    remerged = bottom_k_rows(
+        parts[0].unionByName(parts[1]), "key", "h", "value", 64
+    )
+
+    def as_map(df_):
+        out = {}
+        for r in df_.collect():
+            out.setdefault(r["key"], []).append((r["h"], r["value"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    wm, rm = as_map(whole), as_map(remerged)
+    assert wm == rm
+    assert all(len(v) == 64 for v in wm.values())
+
+    # values projection == bottom_k_sample's sample multiset
+    samp = {
+        r["key"]: sorted(r["sample"])
+        for r in bottom_k_sample(
+            base, "key", "h", "value", 64
+        ).collect()
+    }
+    assert {k: sorted(x[1] for x in v) for k, v in wm.items()} == samp

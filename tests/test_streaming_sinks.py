@@ -1170,3 +1170,89 @@ def test_hll_monitor_sink_matches_batch_query(spark, tmp_path):
         r["event_type"]: (r["hll_estimate"], r["n_empty_registers"])
         for r in sink.estimates(spark).collect()
     } == batch
+
+
+def test_quantile_monitor_sink_matches_batch_query(spark, tmp_path):
+    """Round 8: the streaming quantile monitor's estimates must equal
+    the batch ``event_value_quantile_sketch`` sketch-arm columns
+    bit-for-bit after streaming the same events in micro-batches
+    (bottom-k over rows is an associative multiset merge => the
+    streamed sample IS the whole-stream sample), state must stay at
+    <= k rows per key, n must ride the additive sidecar, replayed
+    batch ids must drop, and a geometry-mismatched reopen must fail
+    loudly (a row sample is NOT idempotent under re-delivered rows —
+    the batch-id ledger is the correctness boundary)."""
+    import pathlib
+
+    import pytest
+
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.queries_events import QSK_K, QSK_SALT
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        QuantileSketchMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "value"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        sl = events.filter(f"event_id % 3 = {i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    sink = QuantileSketchMonitorSink(
+        str(tmp_path / "qsk"), k=QSK_K, salt=QSK_SALT
+    )
+    assert sink.estimates(spark) is None
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    cols = ["n_rows", "n_sample", "p50_est", "p90_est", "p99_est"]
+    batch = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in QUERIES["event_value_quantile_sketch"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    got = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in sink.estimates(spark).collect()
+    }
+    assert got == batch
+
+    # state bounded at k rows per key
+    per_key = (
+        sink.state(spark).groupBy("event_type").count().collect()
+    )
+    assert all(r["count"] <= QSK_K for r in per_key)
+
+    # replay of a committed id: dropped, nothing moves
+    sink(events, 1)
+    assert {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in sink.estimates(spark).collect()
+    } == batch
+
+    # geometry-mismatched reopen fails loudly
+    bad = QuantileSketchMonitorSink(
+        str(tmp_path / "qsk"), k=QSK_K * 2, salt=QSK_SALT
+    )
+    with pytest.raises(RuntimeError, match="geometry"):
+        bad(events, 99)
