@@ -1754,6 +1754,215 @@ def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _kmv_overlap_oracle() -> str:
+    k = KMV_K
+    return f"""
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5('{KMV_SALT}|'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM m
+    ),
+    sk AS (
+        SELECT event_type, list(h ORDER BY h) AS hs FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {k + 1}
+        GROUP BY event_type
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.hs AS hsa, b.hs AS hsb,
+               list_slice(list_sort(list_distinct(
+                   list_concat(a.hs, b.hs))), 1, {k + 1}) AS un
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    calc AS (
+        SELECT type_a, type_b,
+               len(un) AS ku1,
+               CAST(len(list_filter(list_slice(un, 1, {k}),
+                    x -> list_contains(hsa, x)
+                         AND list_contains(hsb, x))) AS BIGINT)
+                   AS shared,
+               un[{k}] AS hk,
+               LEAST({k}, len(un)) AS den
+        FROM p
+    ),
+    est AS (
+        SELECT type_a, type_b, shared, den,
+               CASE WHEN ku1 <= {k} THEN CAST(ku1 AS BIGINT)
+                    ELSE CAST(ROUND({k - 1} * {_KMV_RANGE!r} / hk, 0)
+                              AS BIGINT) END AS u_est
+        FROM calc
+    ),
+    cnt AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY event_type
+    ),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+               COALESCE(o.n_overlap, 0) AS n_exact_overlap,
+               ca.n + cb.n - COALESCE(o.n_overlap, 0) AS n_exact_union
+        FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+        LEFT JOIN ov o ON o.type_a = ca.event_type
+                      AND o.type_b = cb.event_type
+    )
+    SELECT ex.type_a, ex.type_b,
+           ex.n_exact_union, ex.n_exact_overlap,
+           est.u_est AS kmv_union_estimate,
+           CAST(ROUND(CAST(est.shared AS DOUBLE) * est.u_est
+                      / est.den, 0) AS BIGINT) AS kmv_overlap_estimate,
+           ROUND(CAST(est.shared AS DOUBLE) / est.den, 6) AS jaccard_est,
+           ROUND(CAST(ex.n_exact_overlap AS DOUBLE)
+                 / ex.n_exact_union, 6) AS jaccard_exact
+    FROM ex JOIN est USING (type_a, type_b)
+    ORDER BY ex.type_a, ex.type_b
+    """
+
+
+@register("event_kmv_type_overlap", _kmv_overlap_oracle())
+def event_kmv_type_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-user OVERLAP between every event-type pair estimated
+    from the per-type KMV sketches alone — the SET-OPERATION algebra
+    that makes bounded sketches composable (Beyer et al. / the
+    theta-sketch idea): union = bottom-k of the two sketches' merged
+    hash sets (the same k+1-discriminated exact-vs-estimator arm as
+    ``KmvDistinctMonitorSink``), Jaccard = the fraction of the union's
+    bottom-k present in BOTH sketches (each union survivor is a
+    uniform random distinct member, so the shared fraction is an
+    unbiased Jaccard estimate with the usual O(1/sqrt(k)) error), and
+    intersection = Jaccard x union-estimate. Exact overlap/union audit
+    in the same row.
+
+    Why it matters at 100 TB: pairwise audience overlap across T
+    segments exactly costs T^2 self-joins of the full (type, user)
+    table; from persisted sketches it costs ONE scan to build (T x
+    (k+1) rows of state — the same state the streaming monitor
+    already maintains) and sketch-sized arithmetic for all T^2 pairs.
+    The exact arm here IS that full self-join, present as the audit.
+    "Distinct" means distinct 60-bit HASHES (the KMV honesty note).
+    The pair spine is a type-cardinality sliver (T^2 rows), built by
+    an inequality join of the per-type sketch arrays — nested-loop on
+    a frame of T rows, never on data."""
+    from .operators.sketches import bottom_k_values, kmv_hash
+
+    k = KMV_K
+    d = _t(spark, sf_dir, "events")
+    # the distinct (type, user) frame is the shared substrate of the
+    # sketch arm AND both exact-audit arms — checkpoint it once (Q15
+    # discipline) or every consumer re-scans and re-distincts the
+    # fact table (measured: 6 parquet scans without this, 1 with)
+    m = (
+        d.select("event_type", "user_id").distinct().localCheckpoint()
+    )
+    h = m.select(
+        "event_type", kmv_hash(F.col("user_id"), KMV_SALT).alias("h")
+    )
+    sk = (
+        bottom_k_values(h, "event_type", "h", k + 1)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("hs").alias("hsa")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("hs").alias("hsb")
+    )
+    p = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(
+        "un",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("hsa", "hsb"))),
+            1,
+            k + 1,
+        ),
+    )
+    ku1 = F.size("un")
+    shared = F.size(
+        F.filter(
+            F.slice(F.col("un"), 1, k),
+            lambda x: F.array_contains(F.col("hsa"), x)
+            & F.array_contains(F.col("hsb"), x),
+        )
+    ).cast("long")
+    den = F.least(F.lit(k), ku1)
+    u_est = F.when(ku1 <= F.lit(k), ku1.cast("long")).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            * F.lit(_KMV_RANGE)
+            / F.element_at("un", k),
+            0,
+        ).cast("long")
+    )
+    est = p.select(
+        "type_a",
+        "type_b",
+        shared.alias("shared"),
+        den.alias("den"),
+        u_est.alias("u_est"),
+    )
+    cnt = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mx = m.select(F.col("event_type").alias("type_a"), "user_id")
+    my = m.select(F.col("event_type").alias("type_b"), "user_id")
+    ov = (
+        mx.join(my, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    spine = ca.join(cb, F.col("type_a") < F.col("type_b"))
+    ex = spine.join(ov, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias(
+            "n_exact_overlap"
+        ),
+        (
+            F.col("na") + F.col("nb") - F.coalesce("n_overlap", F.lit(0))
+        ).cast("long").alias("n_exact_union"),
+    )
+    return (
+        ex.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_exact_union",
+            "n_exact_overlap",
+            F.col("u_est").alias("kmv_union_estimate"),
+            F.round(
+                F.col("shared").cast("double") * F.col("u_est")
+                / F.col("den"),
+                0,
+            ).cast("long").alias("kmv_overlap_estimate"),
+            F.round(
+                F.col("shared").cast("double") / F.col("den"), 6
+            ).alias("jaccard_est"),
+            F.round(
+                F.col("n_exact_overlap").cast("double")
+                / F.col("n_exact_union"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable HyperLogLog distinct-count sketch with exact audit (round 8)
 # ---------------------------------------------------------------------------
@@ -1783,45 +1992,64 @@ _HLL_LC = tuple(
 )
 
 
-def _hll_oracle() -> str:
-    lc_list = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
-    est = (
-        f"CASE WHEN raw <= {5 * HLL_M // 2} AND v > 0 "
-        f"THEN list_extract({lc_list}, v) ELSE raw END"
-    )
-    return f"""
-    WITH h AS (
-        SELECT event_type,
+def _hll_reg_cte(key_sql: str, key: str) -> str:
+    """h/r/m CTE text parametrized on the grouping-key expression —
+    shared by :func:`_hll_oracle` and :func:`_hll_sliding_oracle` so
+    the register construction cannot drift between the two replays."""
+    return f"""h AS (
+        SELECT {key_sql} AS {key},
                CAST(('0x' || substr(md5('{HLL_SALT}|'
                     || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM events
     ),
     r AS (
-        SELECT event_type, h % {HLL_M} AS reg,
+        SELECT {key}, h % {HLL_M} AS reg,
                LEAST(55 - length(bin(h // {HLL_M})), {_HLL_RANK_CAP})
                    AS rank
         FROM h
     ),
     m AS (
-        SELECT event_type, reg, MAX(rank) AS mreg
-        FROM r GROUP BY event_type, reg
-    ),
-    s AS (
-        SELECT event_type,
+        SELECT {key}, reg, MAX(rank) AS mreg
+        FROM r GROUP BY {key}, reg
+    )"""
+
+
+def _hll_fold_cte(key: str, src: str) -> str:
+    """s/est CTE text: the integer harmonic fold + one-division raw
+    estimate over a ``(key, reg, mreg)`` register frame ``src``."""
+    return f"""s AS (
+        SELECT {key},
                CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_CAP} - mreg))
                    AS BIGINT) AS s_present,
                CAST(COUNT(*) AS BIGINT) AS n_regs
-        FROM m GROUP BY event_type
+        FROM {src} GROUP BY {key}
     ),
     est AS (
-        SELECT event_type,
+        SELECT {key},
                {HLL_M} - n_regs AS v,
                CAST(ROUND({_HLL_NUM!r} / (s_present
                     + ({HLL_M} - n_regs)
                       * (CAST(1 AS BIGINT) << {_HLL_RANK_CAP})), 0)
                    AS BIGINT) AS raw
         FROM s
-    ),
+    )"""
+
+
+def _hll_est_case() -> str:
+    """The linear-counting-vs-raw arm selection expression, over the
+    ``est`` CTE's (v, raw) columns."""
+    lc_list = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    return (
+        f"CASE WHEN raw <= {5 * HLL_M // 2} AND v > 0 "
+        f"THEN list_extract({lc_list}, v) ELSE raw END"
+    )
+
+
+def _hll_oracle() -> str:
+    est = _hll_est_case()
+    return f"""
+    WITH {_hll_reg_cte("event_type", "event_type")},
+    {_hll_fold_cte("event_type", "m")},
     ex AS (
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
@@ -1867,21 +2095,55 @@ def event_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-counting arm report near-exactly."""
     from .operators.sketches import kmv_hash
 
-    cap = _HLL_RANK_CAP
     d = _t(spark, sf_dir, "events")
     h = d.select(
         "event_type", kmv_hash(F.col("user_id"), HLL_SALT).alias("h")
     )
+    m = _hll_registers(h, "event_type")
+    ex = d.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        _hll_estimate_frame(m, "event_type")
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").alias("n_exact_distinct"),
+            "hll_estimate",
+            "n_empty_registers",
+            F.round(
+                (F.col("hll_estimate").cast("double") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_registers(h: DataFrame, key: str) -> DataFrame:
+    """``(key, reg, mreg)`` register maxima from a ``(key, h)`` frame —
+    the Spark twin of :func:`_hll_reg_cte`'s r/m stages, shared by the
+    per-type and sliding-window HLL queries so the register
+    construction cannot drift between them."""
     r = h.select(
-        "event_type",
+        key,
         (F.col("h") % HLL_M).alias("reg"),
         F.least(
             F.lit(55) - F.length(F.bin(F.expr(f"h DIV {HLL_M}"))),
-            F.lit(cap),
+            F.lit(_HLL_RANK_CAP),
         ).alias("rank"),
     )
-    m = r.groupBy("event_type", "reg").agg(F.max("rank").alias("mreg"))
-    s = m.groupBy("event_type").agg(
+    return r.groupBy(key, "reg").agg(F.max("rank").alias("mreg"))
+
+
+def _hll_estimate_frame(m: DataFrame, key: str) -> DataFrame:
+    """``(key, hll_estimate, n_empty_registers)`` from a register
+    frame — the integer harmonic fold, one-division raw estimate, and
+    linear-counting arm of :func:`_hll_fold_cte`/:func:`_hll_est_case`,
+    as one shared Spark implementation."""
+    cap = _HLL_RANK_CAP
+    s = m.groupBy(key).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - mreg)"))
         .cast("long")
         .alias("s_present"),
@@ -1897,18 +2159,133 @@ def event_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(5 * HLL_M // 2)) & (v > F.lit(0)),
         F.element_at(lc, v),
     ).otherwise(raw)
-    ex = d.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("n_exact")
+    return s.select(
+        key,
+        est.alias("hll_estimate"),
+        v.cast("long").alias("n_empty_registers"),
+    )
+
+
+#: Sliding-window length in days for the HLL bucket-merge query.
+HLL_WIN_DAYS = 7
+
+
+def _hll_sliding_oracle() -> str:
+    est = _hll_est_case()
+    w = HLL_WIN_DAYS
+    return f"""
+    WITH {_hll_reg_cte("CAST(ts AS DATE)", "day")},
+    days AS (SELECT DISTINCT day FROM h),
+    contrib AS (
+        SELECT m.day + CAST(r.i AS INTEGER) AS wday, reg, mreg
+        FROM m CROSS JOIN range({w}) r(i)
+    ),
+    wm AS (
+        SELECT c.wday AS day, c.reg, MAX(c.mreg) AS mreg
+        FROM contrib c JOIN days d ON d.day = c.wday
+        GROUP BY c.wday, c.reg
+    ),
+    nd AS (
+        SELECT t.wday AS day, CAST(COUNT(*) AS INTEGER) AS n_days
+        FROM (SELECT d.day + CAST(r.i AS INTEGER) AS wday
+              FROM days d CROSS JOIN range({w}) r(i)) t
+        JOIN days dd ON dd.day = t.wday
+        GROUP BY t.wday
+    ),
+    {_hll_fold_cte("day", "wm")},
+    pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    ex AS (
+        SELECT e.wday AS day,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_exact
+        FROM (SELECT p.day + CAST(r.i AS INTEGER) AS wday, p.user_id
+              FROM pairs p CROSS JOIN range({w}) r(i)) e
+        JOIN days d ON d.day = e.wday
+        GROUP BY e.wday
+    )
+    SELECT est.day, nd.n_days AS n_days_in_window,
+           ex.n_exact AS n_exact_distinct,
+           CAST({est} AS BIGINT) AS hll_estimate,
+           CAST(v AS BIGINT) AS n_empty_registers,
+           ROUND((CAST({est} AS DOUBLE) - ex.n_exact) / ex.n_exact, 6)
+               AS rel_err
+    FROM est JOIN ex USING (day) JOIN nd USING (day)
+    ORDER BY est.day
+    """
+
+
+@register("event_hll_sliding_distinct", _hll_sliding_oracle())
+def event_hll_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-{HLL_WIN_DAYS}-day distinct-user counts per day via
+    MAX-MERGED daily HLL buckets — the sketch-composition-over-time
+    shape that makes windowed distincts tractable at 100 TB: the raw
+    stream is scanned ONCE to build (day x 64) register maxima, and
+    every sliding window is then a merge of {HLL_WIN_DAYS} bucket
+    slices (registers fold under MAX — associative, commutative,
+    idempotent), never a re-scan. The naive exact form re-reads every
+    event {HLL_WIN_DAYS} times and pays a COUNT(DISTINCT) shuffle of
+    the full (window, user) pair explosion per window — that arm
+    exists here as the in-row audit (n_exact_distinct / rel_err) and
+    is the cost the bucket merge avoids; the day-grain bucket table is
+    also what a streaming twin persists (``HllDistinctMonitorSink``'s
+    state keyed by day instead of type — same register arithmetic,
+    shared via ``_hll_registers``/``_hll_estimate_frame``).
+
+    Windows at the head of the range merge fewer than {HLL_WIN_DAYS}
+    buckets (there is no day -6 before the first day);
+    ``n_days_in_window`` states each row's actual bucket count rather
+    than hiding the partial-window head. Only days OBSERVED in the
+    data emit rows (the bucket explode is joined back to the day set,
+    broadcast — a sliver frame of distinct days)."""
+    from .operators.sketches import kmv_hash
+    from .plans.layout import broadcast_if_small
+
+    d = _t(spark, sf_dir, "events")
+    h = d.select(
+        F.to_date("ts").alias("day"),
+        kmv_hash(F.col("user_id"), HLL_SALT).alias("h"),
+    )
+    m = _hll_registers(h, "day")
+    days = broadcast_if_small(
+        h.select("day").distinct()
+    )
+    wdays = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), HLL_WIN_DAYS - 1))
+    ).alias("wday")
+    contrib = m.select(wdays, "reg", "mreg")
+    wm = (
+        contrib.join(days, contrib["wday"] == days["day"])
+        .select(F.col("wday").alias("day"), "reg", "mreg")
+        .groupBy("day", "reg")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    nd = (
+        days.select(wdays)
+        .join(days, F.col("wday") == days["day"])
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_days"))
+        .select(F.col("wday").alias("day"), "n_days")
+    )
+    pairs = d.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    ex = (
+        pairs.select(wdays, "user_id")
+        .join(days, F.col("wday") == days["day"])
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+        .select(F.col("wday").alias("day"), "n_exact")
     )
     return (
-        s.select(
-            "event_type",
-            est.alias("hll_estimate"),
-            v.cast("long").alias("n_empty_registers"),
-        )
-        .join(ex, "event_type")
+        _hll_estimate_frame(wm, "day")
+        .join(ex, "day")
+        .join(nd, "day")
         .select(
-            "event_type",
+            "day",
+            F.col("n_days").alias("n_days_in_window"),
             F.col("n_exact").alias("n_exact_distinct"),
             "hll_estimate",
             "n_empty_registers",
@@ -1918,7 +2295,7 @@ def event_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rel_err"),
         )
-        .orderBy("event_type")
+        .orderBy("day")
     )
 
 

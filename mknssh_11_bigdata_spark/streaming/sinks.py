@@ -1054,63 +1054,30 @@ class HllDistinctMonitorSink(_CommitMarkerLedger):
         return spark.read.parquet(f"{self.root}/v={max(committed)}")
 
     def _register_maxima(self, batch_df: DataFrame) -> DataFrame:
-        from ..queries_events import HLL_M, _HLL_RANK_CAP
         from ..operators.sketches import kmv_hash
+        from ..queries_events import _hll_registers
 
         h = batch_df.select(
             F.col(self.key_col),
             kmv_hash(F.col(self.id_col), self.salt).alias("h"),
         )
-        r = h.select(
-            self.key_col,
-            (F.col("h") % HLL_M).alias("reg"),
-            F.least(
-                F.lit(55) - F.length(F.bin(F.expr(f"h DIV {HLL_M}"))),
-                F.lit(_HLL_RANK_CAP),
-            ).alias("rank"),
-        )
-        return r.groupBy(self.key_col, "reg").agg(
-            F.max("rank").alias("mreg")
-        )
+        # the SHARED register construction (queries_events._hll_registers)
+        # — streamed registers are the batch query's bit-for-bit
+        return _hll_registers(h, self.key_col)
 
     def estimates(self, spark: SparkSession) -> DataFrame | None:
         """Per-key cardinality view ``(key, hll_estimate,
         n_empty_registers)`` — the batch query's estimate/arm
-        arithmetic, evaluated over the persisted register maxima."""
-        from ..queries_events import (
-            HLL_M,
-            _HLL_LC,
-            _HLL_NUM,
-            _HLL_RANK_CAP,
-        )
+        arithmetic (the SHARED ``_hll_estimate_frame``), evaluated
+        over the persisted register maxima."""
+        from ..queries_events import _hll_estimate_frame
 
         s = self.state(spark)
         if s is None:
             return None
-        cap = _HLL_RANK_CAP
-        agg = s.groupBy(self.key_col).agg(
-            F.sum(
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - mreg)")
-            )
-            .cast("long")
-            .alias("s_present"),
-            F.count(F.lit(1)).cast("long").alias("n_regs"),
+        return _hll_estimate_frame(s, self.key_col).orderBy(
+            self.key_col
         )
-        v = (F.lit(HLL_M) - F.col("n_regs")).cast("int")
-        s_total = F.col("s_present") + v.cast("long") * F.lit(
-            1 << cap
-        ).cast("long")
-        raw = F.round(F.lit(_HLL_NUM) / s_total, 0).cast("long")
-        lc = F.array(*[F.lit(x).cast("long") for x in _HLL_LC])
-        est = F.when(
-            (raw <= F.lit(5 * HLL_M // 2)) & (v > F.lit(0)),
-            F.element_at(lc, v),
-        ).otherwise(raw)
-        return agg.select(
-            self.key_col,
-            est.alias("hll_estimate"),
-            v.cast("long").alias("n_empty_registers"),
-        ).orderBy(self.key_col)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..queries_events import HLL_M, _HLL_RANK_CAP

@@ -839,3 +839,27 @@ def test_ivf_pq_probe_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_sliding_merges_buckets_not_rescans(spark):
+    """Round 8: the sliding-HLL query's window merge must operate on
+    the (day x 64) register frame — the events fact table appears in
+    the executed plan exactly twice (sketch-arm scan + the exact-audit
+    arm), NOT once per window; the observed-day joins ride broadcasts
+    of the sliver day set; no cartesian anywhere."""
+    plan = _plan(spark, "event_hll_sliding_distinct")
+    assert plan.count("events.parquet") <= 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_overlap_scans_once_via_checkpoint(spark):
+    """Round 8: the overlap query's shared distinct (type, user)
+    substrate must be checkpointed — without it the sketch arm and
+    both exact-audit arms re-scan and re-distinct the fact table
+    (measured: 6 parquet scans); with it the executed plan reads
+    cached blocks (0 scans). The pair spine's inequality join rides
+    type-cardinality slivers, never data (no cartesian)."""
+    plan = _plan(spark, "event_kmv_type_overlap")
+    assert "events.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
