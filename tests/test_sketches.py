@@ -694,3 +694,49 @@ def test_bottom_k_rows_merge_invariant_and_matches_sample(spark):
         ).collect()
     }
     assert {k: sorted(x[1] for x in v) for k, v in wm.items()} == samp
+
+
+def test_kmv_overlap_planted_jaccard_within_bound(spark, tmp_path):
+    """Round 8: KMV set-operation algebra on a PLANTED overlap — types
+    A/B share exactly 5000 of 15000-user union (J = 1/3): the sketch
+    Jaccard must land within 5 standard errors (5 * sqrt(J(1-J)/k))
+    of truth, the union estimate within the usual KMV band, and the
+    exact columns must be exact — pins that the estimator is genuinely
+    informative, which the fixture parity rows (near-total overlap)
+    cannot."""
+    import math
+
+    from mknssh_11_bigdata_spark.queries_events import (
+        KMV_K,
+        event_kmv_type_overlap,
+    )
+
+    rows = [("A", u, i) for i, u in enumerate(range(10000))] + [
+        ("B", u, i + 10**6) for i, u in enumerate(range(5000, 15000))
+    ]
+    d = spark.createDataFrame(
+        [
+            (eid, f"2024-01-01 00:00:0{eid % 10 % 6}", u, t, 1.0, "{}")
+            for t, u, eid in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d.coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = event_kmv_type_overlap(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert r["n_exact_overlap"] == 5000
+    assert r["n_exact_union"] == 15000
+    assert abs(r["jaccard_exact"] - 1 / 3) < 1e-6
+    se = math.sqrt((1 / 3) * (2 / 3) / KMV_K)
+    assert abs(r["jaccard_est"] - 1 / 3) <= 5 * se, r["jaccard_est"]
+    # union estimator: ~1/sqrt(k-1) relative error, 5-sigma slack
+    assert abs(r["kmv_union_estimate"] - 15000) / 15000 <= 5 / math.sqrt(
+        KMV_K - 1
+    )
+    # intersection estimate composes the two: give it the summed slack
+    assert abs(r["kmv_overlap_estimate"] - 5000) / 5000 <= 0.75
