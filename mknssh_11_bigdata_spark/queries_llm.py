@@ -2057,6 +2057,143 @@ def embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_distortion_oracle() -> str:
+    sub_dim = EMB_DIM // PQ_SUB
+    ctes = _pq_subspace_ctes()
+    pers = []
+    for s in range(PQ_SUB):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sv = f"f.v[{lo}:{hi}]"
+        denom = (
+            f"sqrt(list_dot_product({sv}, {sv}))"
+            f" * sqrt(list_dot_product(c.emb, c.emb))"
+        )
+        pers.append(f"""
+        SELECT {s} AS subspace, f.vec_id, enc{s}.code{s} AS code,
+               CASE WHEN {denom} > 0
+                    THEN CAST(ROUND(1e6 * ROUND(
+                         list_dot_product({sv}, c.emb) / ({denom}), 6),
+                         0) AS BIGINT)
+               END AS cos_ppm
+        FROM e f
+        JOIN enc{s} ON enc{s}.vec_id = f.vec_id
+        JOIN s{s}c{PQ_ITERS} c ON c.cid = enc{s}.code{s}""")
+    union = "\n        UNION ALL\n".join(pers)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),{",".join(ctes)},
+    allrows AS ({union}),
+    cc AS (
+        SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM allrows GROUP BY subspace, code
+    ),
+    agg AS (
+        SELECT subspace,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(cos_ppm) AS BIGINT) AS sum_ppm,
+               CAST(COUNT(cos_ppm) AS BIGINT) AS n_cos,
+               CAST(MIN(cos_ppm) AS BIGINT) AS min_cosine_ppm
+        FROM allrows GROUP BY subspace
+    ),
+    u AS (
+        SELECT subspace, CAST(COUNT(*) AS INTEGER) AS n_codes_used,
+               MAX(cnt) AS maxc
+        FROM cc GROUP BY subspace
+    )
+    SELECT agg.subspace, u.n_codes_used,
+           CAST(ROUND(1e6 * maxc / n_vectors, 0) AS BIGINT)
+               AS max_code_share_ppm,
+           CAST(ROUND(CAST(sum_ppm AS DOUBLE) / n_cos, 0) AS BIGINT)
+               AS mean_cosine_ppm,
+           min_cosine_ppm
+    FROM agg JOIN u USING (subspace)
+    ORDER BY agg.subspace
+    """
+
+
+@register("embedding_pq_distortion", _pq_distortion_oracle())
+def embedding_pq_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantization-quality audit for the PQ tier the ANN ladder rides
+    (``embedding_topk_pq`` / ``embedding_topk_ivf_pq``): per subspace,
+    the distribution of subvector-to-assigned-codeword cosine (mean
+    and worst case) and codebook UTILIZATION (codes actually used, and
+    the heaviest code's corpus share) — dead codes and a dominant
+    code are the two classic PQ-fit failure modes (a collapsed Lloyd
+    fit quantizes everything onto few codewords and ANN recall
+    silently craters; this query is the drift monitor a production
+    index re-fit pipeline gates on). All-integer output (ppm) on the
+    repo's exact-oracle discipline: per-row cosines round to 6 before
+    the 1e6 scale, sums run over BIGINTs, so cross-engine summation
+    order cannot drift.
+
+    Scale shape: encode is ONE map-side projection against the
+    literal codebooks (no join — the ``pq_topk`` plan); the stats are
+    (n_sub x n_codes)-sized. The fit itself is the same
+    action-bounded Lloyd as the ANN queries (shared
+    ``pq_codebooks``)."""
+    from .operators.similarity import (
+        nearest_centroid_expr,
+        pq_codebooks,
+    )
+    from .functions.vectors import cosine_similarity as _cos
+
+    sub_dim = EMB_DIM // PQ_SUB
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", EMB_DIM, PQ_SUB, PQ_CODES,
+        iters=PQ_ITERS,
+    )
+    structs = []
+    for s in range(PQ_SUB):
+        sub = F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim)
+        code = nearest_centroid_expr(
+            sub, list(enumerate(books[s])), id_type="int"
+        )
+        cw = F.element_at(F.lit(books[s]), code + 1)
+        ppm = F.round(
+            F.lit(1e6) * F.round(_cos(sub, cw), 6), 0
+        ).cast("long")
+        structs.append(
+            F.struct(code.alias("code"), ppm.alias("cos_ppm"))
+        )
+    rows = emb.select(
+        F.posexplode(F.array(*structs)).alias("subspace", "x")
+    ).select("subspace", F.col("x.code").alias("code"), "x.cos_ppm")
+    cc = rows.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agg = rows.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("cos_ppm").cast("long").alias("sum_ppm"),
+        F.count("cos_ppm").cast("long").alias("n_cos"),
+        F.min("cos_ppm").cast("long").alias("min_cosine_ppm"),
+    )
+    u = cc.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("int").alias("n_codes_used"),
+        F.max("cnt").alias("maxc"),
+    )
+    return (
+        agg.join(u, "subspace")
+        .select(
+            "subspace",
+            "n_codes_used",
+            F.round(F.lit(1e6) * F.col("maxc") / F.col("n_vectors"), 0)
+            .cast("long")
+            .alias("max_code_share_ppm"),
+            F.round(
+                F.col("sum_ppm").cast("double") / F.col("n_cos"), 0
+            )
+            .cast("long")
+            .alias("mean_cosine_ppm"),
+            "min_cosine_ppm",
+        )
+        .orderBy("subspace")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -506,3 +506,40 @@ def test_ivf_pq_contract_and_recall_vs_parents(spark, emb):
     # probing 4/8 cells of a PQ-scored corpus cannot beat full-scan PQ
     # on the same codes by more than rank-tie noise
     assert r_ivfpq <= r_pq + 1e-9, (r_ivfpq, r_pq)
+
+
+def test_pq_distortion_flags_collapsed_corpus(spark, tmp_path):
+    """Round 8: the PQ quality audit on a PLANTED collapsed corpus —
+    every vector identical => each subspace must quantize onto exactly
+    ONE code with full-corpus share and perfect reconstruction; and on
+    the normal fixture corpus the audit must show spread codebooks
+    (>1 code used, dominant share < 1e6 ppm). Pins that the
+    utilization columns actually move with fit quality."""
+    import math
+
+    from mknssh_11_bigdata_spark.queries_llm import (
+        EMB_DIM,
+        embedding_pq_distortion,
+    )
+
+    base = [math.sin(i + 1) for i in range(EMB_DIM)]
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in base]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = embedding_pq_distortion(spark, str(tmp_path)).collect()
+    assert [r["subspace"] for r in out] == [0, 1, 2, 3]
+    for r in out:
+        assert r["n_codes_used"] == 1
+        assert r["max_code_share_ppm"] == 10**6
+        assert r["mean_cosine_ppm"] == 10**6  # identical => cos = 1
+        assert r["min_cosine_ppm"] == 10**6
+
+    healthy = embedding_pq_distortion(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["n_codes_used"] > 1 for r in healthy)
+    assert all(r["max_code_share_ppm"] < 10**6 for r in healthy)
