@@ -56,6 +56,7 @@ __all__ = [
     "cms_estimate",
     "bottom_k_sample",
     "bottom_k_rows",
+    "kmv_pair_overlap",
 ]
 
 #: Range of the portable 60-bit md5 hash (first 15 hex chars), as the
@@ -601,4 +602,72 @@ def bottom_k_rows(
         key_col,
         F.col("__pair.h").alias(hash_col),
         F.col("__pair.v").alias(val_col),
+    )
+
+
+def kmv_pair_overlap(
+    sk_rows: DataFrame, key_col: str, hash_col: str, k: int
+) -> DataFrame:
+    """KMV SET-OPERATION algebra over per-key bottom-(k+1) sketch rows
+    ``(key, hash)`` — for every unordered key pair: union cardinality
+    (bottom-k of the merged hash sets, with the (k+1)-th slot
+    discriminating the exact arm exactly like
+    ``KmvDistinctMonitorSink``), Jaccard (the shared fraction of the
+    union's bottom-k — each union survivor is a uniform random
+    distinct member, so the fraction is an unbiased estimate with
+    O(1/sqrt(k)) error), and intersection = Jaccard × union.
+
+    Returns ``(key_a, key_b, shared, den, u_est, overlap_est,
+    jaccard_est)`` with ``key_a < key_b``. The input is EXACTLY the
+    state the streaming monitor persists and the batch query's
+    ``bottom_k_values`` slice — one operator serves both (the batch
+    query `event_kmv_type_overlap` and the monitor's
+    ``pair_overlaps`` view are e2e bit-equal through it). All work
+    after the input is (keys × (k+1))-sized: the pair spine is an
+    inequality join of per-key hash ARRAYS — nested-loop over a
+    key-cardinality sliver, never over data."""
+    sk = sk_rows.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(hash_col)).alias("hs")
+    )
+    a = sk.select(
+        F.col(key_col).alias("key_a"), F.col("hs").alias("hsa")
+    )
+    b = sk.select(
+        F.col(key_col).alias("key_b"), F.col("hs").alias("hsb")
+    )
+    p = a.join(b, F.col("key_a") < F.col("key_b")).withColumn(
+        "un",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("hsa", "hsb"))),
+            1,
+            k + 1,
+        ),
+    )
+    ku1 = F.size("un")
+    shared = F.size(
+        F.filter(
+            F.slice(F.col("un"), 1, k),
+            lambda x: F.array_contains(F.col("hsa"), x)
+            & F.array_contains(F.col("hsb"), x),
+        )
+    ).cast("long")
+    den = F.least(F.lit(k), ku1)
+    u_est = F.when(ku1 <= F.lit(k), ku1.cast("long")).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            * F.lit(KMV_HASH_RANGE)
+            / F.element_at("un", k),
+            0,
+        ).cast("long")
+    )
+    return p.select(
+        "key_a",
+        "key_b",
+        shared.alias("shared"),
+        den.alias("den"),
+        u_est.alias("u_est"),
+        F.round(
+            shared.cast("double") * u_est / den, 0
+        ).cast("long").alias("overlap_est"),
+        F.round(shared.cast("double") / den, 6).alias("jaccard_est"),
     )

@@ -1856,7 +1856,11 @@ def event_kmv_type_overlap(
     The pair spine is a type-cardinality sliver (T^2 rows), built by
     an inequality join of the per-type sketch arrays — nested-loop on
     a frame of T rows, never on data."""
-    from .operators.sketches import bottom_k_values, kmv_hash
+    from .operators.sketches import (
+        bottom_k_values,
+        kmv_hash,
+        kmv_pair_overlap,
+    )
 
     k = KMV_K
     d = _t(spark, sf_dir, "events")
@@ -1870,48 +1874,21 @@ def event_kmv_type_overlap(
     h = m.select(
         "event_type", kmv_hash(F.col("user_id"), KMV_SALT).alias("h")
     )
-    sk = (
-        bottom_k_values(h, "event_type", "h", k + 1)
-        .groupBy("event_type")
-        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
-    )
-    a = sk.select(
-        F.col("event_type").alias("type_a"), F.col("hs").alias("hsa")
-    )
-    b = sk.select(
-        F.col("event_type").alias("type_b"), F.col("hs").alias("hsb")
-    )
-    p = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(
-        "un",
-        F.slice(
-            F.array_sort(F.array_distinct(F.concat("hsa", "hsb"))),
-            1,
-            k + 1,
-        ),
-    )
-    ku1 = F.size("un")
-    shared = F.size(
-        F.filter(
-            F.slice(F.col("un"), 1, k),
-            lambda x: F.array_contains(F.col("hsa"), x)
-            & F.array_contains(F.col("hsb"), x),
-        )
-    ).cast("long")
-    den = F.least(F.lit(k), ku1)
-    u_est = F.when(ku1 <= F.lit(k), ku1.cast("long")).otherwise(
-        F.round(
-            F.lit(float(k - 1))
-            * F.lit(_KMV_RANGE)
-            / F.element_at("un", k),
-            0,
-        ).cast("long")
-    )
-    est = p.select(
-        "type_a",
-        "type_b",
-        shared.alias("shared"),
-        den.alias("den"),
-        u_est.alias("u_est"),
+    # the SHARED pair algebra (operators/sketches.kmv_pair_overlap) —
+    # KmvDistinctMonitorSink.pair_overlaps evaluates the same operator
+    # over its persisted state, so streamed pair estimates are this
+    # query's bit-for-bit (e2e-tested)
+    est = kmv_pair_overlap(
+        bottom_k_values(h, "event_type", "h", k + 1),
+        "event_type",
+        "h",
+        k,
+    ).select(
+        F.col("key_a").alias("type_a"),
+        F.col("key_b").alias("type_b"),
+        "u_est",
+        "overlap_est",
+        "jaccard_est",
     )
     cnt = m.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -1945,14 +1922,8 @@ def event_kmv_type_overlap(
             "n_exact_union",
             "n_exact_overlap",
             F.col("u_est").alias("kmv_union_estimate"),
-            F.round(
-                F.col("shared").cast("double") * F.col("u_est")
-                / F.col("den"),
-                0,
-            ).cast("long").alias("kmv_overlap_estimate"),
-            F.round(
-                F.col("shared").cast("double") / F.col("den"), 6
-            ).alias("jaccard_est"),
+            F.col("overlap_est").alias("kmv_overlap_estimate"),
+            "jaccard_est",
             F.round(
                 F.col("n_exact_overlap").cast("double")
                 / F.col("n_exact_union"),

@@ -2146,12 +2146,26 @@ def embedding_pq_distortion(
         emb, "vec_id", "embedding", EMB_DIM, PQ_SUB, PQ_CODES,
         iters=PQ_ITERS,
     )
+    # TWO projections: materialize the argmax code first, then look
+    # the codeword up from the materialized column — inlining the
+    # code expression into the cosine would re-evaluate the 8-cosine
+    # argmax tree 3x per subspace (dot + both norms reference the
+    # codeword) and was measured at ~2x the query's wall
+    enc = emb.select(
+        "embedding",
+        *[
+            nearest_centroid_expr(
+                F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim),
+                list(enumerate(books[s])),
+                id_type="int",
+            ).alias(f"__code{s}")
+            for s in range(PQ_SUB)
+        ],
+    )
     structs = []
     for s in range(PQ_SUB):
         sub = F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim)
-        code = nearest_centroid_expr(
-            sub, list(enumerate(books[s])), id_type="int"
-        )
+        code = F.col(f"__code{s}")
         cw = F.element_at(F.lit(books[s]), code + 1)
         ppm = F.round(
             F.lit(1e6) * F.round(_cos(sub, cw), 6), 0
@@ -2159,7 +2173,7 @@ def embedding_pq_distortion(
         structs.append(
             F.struct(code.alias("code"), ppm.alias("cos_ppm"))
         )
-    rows = emb.select(
+    rows = enc.select(
         F.posexplode(F.array(*structs)).alias("subspace", "x")
     ).select("subspace", F.col("x.code").alias("code"), "x.cos_ppm")
     cc = rows.groupBy("subspace", "code").agg(

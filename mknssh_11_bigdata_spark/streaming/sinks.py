@@ -958,6 +958,29 @@ class KmvDistinctMonitorSink(_CommitMarkerLedger):
             .alias("kmv_estimate"),
         ).orderBy(self.key_col)
 
+    def pair_overlaps(self, spark: SparkSession) -> DataFrame | None:
+        """Pairwise distinct-overlap view over the SAME persisted
+        state: ``(key_a, key_b, u_est, overlap_est, jaccard_est)`` via
+        the shared set-operation algebra
+        (``operators/sketches.kmv_pair_overlap``) — the state the sink
+        already maintains for per-key cardinality is exactly the
+        bottom-(k+1) slice the pair algebra needs, so audience overlap
+        across every key pair costs ledger-sized arithmetic, never a
+        corpus re-scan. Bit-equal to the batch
+        ``event_kmv_type_overlap`` sketch columns on the same streamed
+        rows (e2e-tested) because the streamed state IS the batch
+        bottom-(k+1) (the multiset-merge invariance)."""
+        from ..operators.sketches import kmv_pair_overlap
+
+        s = self.state(spark)
+        if s is None:
+            return None
+        return kmv_pair_overlap(
+            s, self.key_col, self.id_col + "_h", self.k
+        ).select(
+            "key_a", "key_b", "u_est", "overlap_est", "jaccard_est"
+        ).orderBy("key_a", "key_b")
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bottom_k_values, kmv_hash
 
@@ -1078,6 +1101,45 @@ class HllDistinctMonitorSink(_CommitMarkerLedger):
         return _hll_estimate_frame(s, self.key_col).orderBy(
             self.key_col
         )
+
+    def windowed_estimates(
+        self, spark: SparkSession, window_days: int = 7
+    ) -> DataFrame | None:
+        """Trailing-``window_days`` estimates per key for a sink keyed
+        by a DATE bucket (``key_col`` a date column, e.g. ``day``) —
+        the streaming face of ``event_hll_sliding_distinct``: each
+        window is a MAX-merge of the persisted per-day register
+        slices, state-sized work with no look at the raw stream (the
+        whole point of bucketing the registers by day). Only observed
+        buckets emit rows, identical to the batch query's day-set join
+        (e2e-tested bit-equal on the same streamed rows). Returns
+        ``(key, hll_estimate, n_empty_registers)``."""
+        from ..plans.layout import broadcast_if_small
+        from ..queries_events import _hll_estimate_frame
+
+        s = self.state(spark)
+        if s is None:
+            return None
+        key = self.key_col
+        # measured-count guard, not a bare hint: the bucket set is
+        # key-cardinality-sized but data-dependent
+        days = broadcast_if_small(s.select(key).distinct())
+        contrib = s.select(
+            F.explode(
+                F.sequence(
+                    F.col(key), F.date_add(F.col(key), window_days - 1)
+                )
+            ).alias("__wday"),
+            "reg",
+            "mreg",
+        )
+        wm = (
+            contrib.join(days, contrib["__wday"] == days[key])
+            .select(F.col("__wday").alias(key), "reg", "mreg")
+            .groupBy(key, "reg")
+            .agg(F.max("mreg").alias("mreg"))
+        )
+        return _hll_estimate_frame(wm, key).orderBy(key)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..queries_events import HLL_M, _HLL_RANK_CAP

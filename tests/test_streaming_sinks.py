@@ -598,6 +598,29 @@ def test_kmv_monitor_sink_matches_batch_query(spark, tmp_path):
     }
     assert after == before
 
+    # round 8: the SAME persisted state serves the pair-overlap
+    # algebra — streamed pair estimates must equal the batch
+    # event_kmv_type_overlap sketch columns bit-for-bit
+    ov_batch = {
+        (r["type_a"], r["type_b"]): (
+            r["kmv_union_estimate"],
+            r["kmv_overlap_estimate"],
+            r["jaccard_est"],
+        )
+        for r in QUERIES["event_kmv_type_overlap"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    ov_stream = {
+        (r["key_a"], r["key_b"]): (
+            r["u_est"],
+            r["overlap_est"],
+            r["jaccard_est"],
+        )
+        for r in sink.pair_overlaps(spark).collect()
+    }
+    assert ov_stream == ov_batch
+
 
 def test_kmv_monitor_estimator_arm_and_batch_split_invariance(
     spark, tmp_path
@@ -1256,3 +1279,67 @@ def test_quantile_monitor_sink_matches_batch_query(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="geometry"):
         bad(events, 99)
+
+
+def test_hll_monitor_windowed_view_matches_sliding_batch_query(
+    spark, tmp_path
+):
+    """Round 8: an HLL monitor keyed by DAY bucket is exactly the
+    state `event_hll_sliding_distinct` merges — the sink's
+    windowed_estimates view (trailing-7-day MAX-merge of the
+    persisted per-day registers) must equal the batch sliding query's
+    sketch columns bit-for-bit after streaming the same events, with
+    no look at the raw stream at view time."""
+    import pathlib
+
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.queries_events import HLL_WIN_DAYS
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        HllDistinctMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        sl = events.filter(f"user_id % 3 = {i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    sink = HllDistinctMonitorSink(
+        str(tmp_path / "hll"), key_col="day", id_col="user_id"
+    )
+    assert sink.windowed_estimates(spark) is None
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    batch = {
+        r["day"]: (r["hll_estimate"], r["n_empty_registers"])
+        for r in QUERIES["event_hll_sliding_distinct"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    got = {
+        r["day"]: (r["hll_estimate"], r["n_empty_registers"])
+        for r in sink.windowed_estimates(
+            spark, window_days=HLL_WIN_DAYS
+        ).collect()
+    }
+    assert got == batch
