@@ -2282,17 +2282,28 @@ QSK_SALT = "qsk-v1"
 _QSK_PS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
 
 
-def _quantile_sketch_oracle() -> str:
-    est_cols = ", ".join(
+def _qsk_est_sql() -> str:
+    """Sample-order-statistic SELECT columns (shared by the per-type
+    and sliding oracles)."""
+    return ", ".join(
         f"MAX(CASE WHEN vrn = ({num} * ns + {den} - 1) // {den} "
         f"THEN value END) AS {name}_est"
         for name, num, den in _QSK_PS
     )
-    ex_cols = ", ".join(
+
+
+def _qsk_ex_sql() -> str:
+    """Exact-order-statistic SELECT columns (shared likewise)."""
+    return ", ".join(
         f"MAX(CASE WHEN rn = ({num} * n_rows + {den} - 1) // {den} "
         f"THEN value END) AS {name}_exact"
         for name, num, den in _QSK_PS
     )
+
+
+def _quantile_sketch_oracle() -> str:
+    est_cols = _qsk_est_sql()
+    ex_cols = _qsk_ex_sql()
     return f"""
     WITH h AS (
         SELECT event_type, value,
@@ -2377,19 +2388,10 @@ def event_value_quantile_sketch(
     )
     samp = bottom_k_sample(base, "event_type", "h", "value", QSK_K)
     vals = F.array_sort("sample")
-    ns = F.size("sample")
-    est_cols = [
-        F.element_at(
-            vals,
-            ((F.lit(num) * ns + F.lit(den) - 1) / F.lit(den))
-            .cast("int"),
-        ).alias(f"{name}_est")
-        for name, num, den in _QSK_PS
-    ]
     est = samp.select(
         "event_type",
-        ns.cast("long").alias("n_sample"),
-        *est_cols,
+        F.size("sample").cast("long").alias("n_sample"),
+        *_qsk_est_cols(vals),
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = d.select("event_type", "value", "event_id").withColumn(
@@ -2401,21 +2403,7 @@ def event_value_quantile_sketch(
     ex = (
         ranked.join(cnt, "event_type")
         .groupBy("event_type")
-        .agg(
-            F.first("n_rows").alias("n_rows"),
-            *[
-                F.max(
-                    F.when(
-                        F.col("rn")
-                        == F.expr(
-                            f"({num} * n_rows + {den} - 1) DIV {den}"
-                        ),
-                        F.col("value"),
-                    )
-                ).alias(f"{name}_exact")
-                for name, num, den in _QSK_PS
-            ],
-        )
+        .agg(F.first("n_rows").alias("n_rows"), *_qsk_exact_cols())
     )
     return (
         est.join(ex, "event_type")
@@ -2431,4 +2419,208 @@ def event_value_quantile_sketch(
             "p99_exact",
         )
         .orderBy("event_type")
+    )
+
+
+def _qsk_est_cols(vals: F.Column) -> list[F.Column]:
+    """Sample order-statistic estimate columns over a SORTED value
+    array — the Spark twin of :func:`_qsk_est_sql`, shared by the
+    per-type and sliding quantile queries."""
+    ns = F.size(vals)
+    return [
+        F.element_at(
+            vals,
+            ((F.lit(num) * ns + F.lit(den) - 1) / F.lit(den)).cast(
+                "int"
+            ),
+        ).alias(f"{name}_est")
+        for name, num, den in _QSK_PS
+    ]
+
+
+def _qsk_exact_cols() -> list[F.Column]:
+    """Exact order-statistic columns over (rn, n_rows, value) — the
+    Spark twin of :func:`_qsk_ex_sql`."""
+    return [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr(f"({num} * n_rows + {den} - 1) DIV {den}"),
+                F.col("value"),
+            )
+        ).alias(f"{name}_exact")
+        for name, num, den in _QSK_PS
+    ]
+
+
+#: Sliding-window length for the quantile bucket-merge query (the
+#: HLL_WIN_DAYS analogue on the distribution member).
+QSK_WIN_DAYS = 7
+
+
+def _sliding_quantile_oracle() -> str:
+    w, k = QSK_WIN_DAYS, QSK_K
+    return f"""
+    WITH b AS (
+        SELECT CAST(ts AS DATE) AS day, value, event_id,
+               CAST(('0x' || substr(md5('{QSK_SALT}|'
+                    || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS h
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM b),
+    wo AS (
+        SELECT t.wday, t.h, t.value, t.event_id FROM (
+            SELECT b.day + CAST(r.i AS INTEGER) AS wday,
+                   b.h, b.value, b.event_id
+            FROM b CROSS JOIN range({w}) r(i)
+        ) t JOIN days d ON d.day = t.wday
+    ),
+    r AS (
+        SELECT wday, value,
+               ROW_NUMBER() OVER (PARTITION BY wday
+                                  ORDER BY h, value) AS rn
+        FROM wo
+    ),
+    sr AS (
+        SELECT wday, value,
+               ROW_NUMBER() OVER (PARTITION BY wday
+                                  ORDER BY value) AS vrn,
+               COUNT(*) OVER (PARTITION BY wday) AS ns
+        FROM r WHERE rn <= {k}
+    ),
+    est AS (
+        SELECT wday, CAST(MAX(ns) AS BIGINT) AS n_sample,
+               {_qsk_est_sql()}
+        FROM sr GROUP BY wday
+    ),
+    er AS (
+        SELECT wday, value,
+               ROW_NUMBER() OVER (PARTITION BY wday
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY wday) AS n_rows
+        FROM wo
+    ),
+    ex AS (
+        SELECT wday, CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+               {_qsk_ex_sql()}
+        FROM er GROUP BY wday
+    ),
+    nd AS (
+        SELECT t.wday, CAST(COUNT(*) AS INTEGER) AS n_days
+        FROM (SELECT d.day + CAST(r.i AS INTEGER) AS wday
+              FROM days d CROSS JOIN range({w}) r(i)) t
+        JOIN days dd ON dd.day = t.wday
+        GROUP BY t.wday
+    )
+    SELECT est.wday AS day, nd.n_days AS n_days_in_window,
+           ex.n_rows, est.n_sample,
+           p50_est, p50_exact, p90_est, p90_exact, p99_est, p99_exact
+    FROM est JOIN ex USING (wday) JOIN nd ON nd.wday = est.wday
+    ORDER BY est.wday
+    """
+
+
+@register("event_value_sliding_quantiles", _sliding_quantile_oracle())
+def event_value_sliding_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-{QSK_WIN_DAYS}-day value quantiles (p50/p90/p99) per
+    day from MERGED daily bottom-k row samples — the quantile member's
+    windowed composition, the exact analogue of
+    ``event_hll_sliding_distinct`` on the distribution sketch: ONE
+    scan builds (day x k) sample state
+    (``operators/sketches.bottom_k_rows`` — hashes kept, so slices
+    re-merge), and every sliding window re-reduces ≤{QSK_WIN_DAYS}
+    day slices with the same bottom-k operator. Because bottom-k is an
+    associative multiset merge, the merged window sample IS
+    bit-for-bit the sample direct sketching of the window's rows
+    would produce — which is exactly what the oracle replays (the
+    window-explode form), so the driver certifies the distributivity
+    itself, not just the arithmetic. The exact arm (full per-window
+    sort of the x{QSK_WIN_DAYS} row explosion) is the audit — the
+    cost the bucket merge avoids at 100 TB.
+
+    Head windows merge fewer buckets; ``n_days_in_window`` states it.
+    Day-keyed ``QuantileSketchMonitorSink`` state is this same
+    substrate, streamed."""
+    from .operators.sketches import bottom_k_rows, kmv_hash
+    from .plans.layout import broadcast_if_small
+
+    W = QSK_WIN_DAYS
+    d = _t(spark, sf_dir, "events")
+    base = d.select(
+        F.to_date("ts").alias("day"),
+        kmv_hash(F.col("event_id"), QSK_SALT).alias("h"),
+        "value",
+    )
+    day_rows = bottom_k_rows(base, "day", "h", "value", QSK_K)
+    # the observed-day set derives from the (day x k) STATE, not a
+    # second fact scan — state-sized by construction
+    days = broadcast_if_small(day_rows.select("day").distinct())
+    wdays = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), W - 1))
+    ).alias("wday")
+    contrib = day_rows.select(wdays, "h", "value")
+    wo = contrib.join(days, contrib["wday"] == days["day"]).select(
+        F.col("wday").alias("wd"), "h", "value"
+    )
+    wsamp = bottom_k_rows(wo, "wd", "h", "value", QSK_K)
+    samp = wsamp.groupBy("wd").agg(
+        F.array_sort(F.collect_list("value")).alias("__vals")
+    )
+    est = samp.select(
+        F.col("wd").alias("day"),
+        F.size("__vals").cast("long").alias("n_sample"),
+        *_qsk_est_cols(F.col("__vals")),
+    )
+    raw = d.select(
+        F.to_date("ts").alias("day"), "value", "event_id"
+    )
+    ex_rows = raw.select(wdays, "value", "event_id").join(
+        days, F.col("wday") == days["day"]
+    ).select(F.col("wday").alias("wd"), "value", "event_id")
+    win = Window.partitionBy("wd").orderBy("value", "event_id")
+    # n_rows via an unbounded count window over the SAME partitioning
+    # as the rank — one shuffle, one scan (a groupBy+rejoin here was
+    # a second scan of the exploded frame)
+    ranked = ex_rows.withColumn(
+        "rn", F.row_number().over(win)
+    ).withColumn(
+        "n_rows",
+        F.count(F.lit(1)).over(Window.partitionBy("wd")).cast("long"),
+    )
+    ex = (
+        ranked.groupBy("wd")
+        .agg(F.first("n_rows").alias("n_rows"), *_qsk_exact_cols())
+        .select(F.col("wd").alias("day"), "n_rows", *[
+            f"{name}_exact" for name, _, _ in _QSK_PS
+        ])
+    )
+    nd = (
+        days.select(wdays)
+        .join(days, F.col("wday") == days["day"])
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_days"))
+        .select(
+            F.col("wday").alias("day"),
+            F.col("n_days").alias("n_days_in_window"),
+        )
+    )
+    return (
+        est.join(ex, "day")
+        .join(nd, "day")
+        .select(
+            "day",
+            "n_days_in_window",
+            "n_rows",
+            "n_sample",
+            "p50_est",
+            "p50_exact",
+            "p90_est",
+            "p90_exact",
+            "p99_est",
+            "p99_exact",
+        )
+        .orderBy("day")
     )

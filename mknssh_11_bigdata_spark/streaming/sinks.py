@@ -1667,6 +1667,65 @@ class QuantileSketchMonitorSink(_CommitMarkerLedger):
             .orderBy(self.key_col)
         )
 
+    def windowed_estimates(
+        self, spark: SparkSession, window_days: int = 7
+    ) -> DataFrame | None:
+        """Trailing-``window_days`` quantile estimates per key for a
+        sink keyed by a DATE bucket — the streaming face of
+        ``event_value_sliding_quantiles``: each window re-reduces the
+        persisted per-day sample slices with the same bottom-k
+        operator (state-sized, no look at the raw stream), and the
+        merged sample IS the window's direct sample by the multiset
+        merge invariance. Window n_rows sums the additive day sidecar
+        over the same observed-bucket set. Returns ``(key, n_rows,
+        n_sample, p50_est, p90_est, p99_est)`` (e2e bit-equal to the
+        batch sliding query's sketch columns)."""
+        from ..operators.sketches import bottom_k_rows
+        from ..plans.layout import broadcast_if_small
+        from ..queries_events import _QSK_PS, _qsk_est_cols
+
+        s = self.state(spark)
+        if s is None:
+            return None
+        key = self.key_col
+        days = broadcast_if_small(s.select(key).distinct())
+        wdays = F.explode(
+            F.sequence(
+                F.col(key), F.date_add(F.col(key), window_days - 1)
+            )
+        ).alias("__wday")
+        wo = (
+            s.select(wdays, "__h", self.val_col)
+            .join(days, F.col("__wday") == days[key])
+            .select(F.col("__wday").alias(key), "__h", self.val_col)
+        )
+        wstate = bottom_k_rows(wo, key, "__h", self.val_col, self.k)
+        samp = wstate.groupBy(key).agg(
+            F.array_sort(F.collect_list(self.val_col)).alias("__vals")
+        )
+        wn = (
+            self.n_rows(spark)
+            .select(wdays, "n_rows")
+            .join(days, F.col("__wday") == days[key])
+            .groupBy(F.col("__wday").alias(key))
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        )
+        return (
+            samp.select(
+                key,
+                F.size("__vals").cast("long").alias("n_sample"),
+                *_qsk_est_cols(F.col("__vals")),
+            )
+            .join(wn, key)
+            .select(
+                key,
+                "n_rows",
+                "n_sample",
+                *[f"{name}_est" for name, _, _ in _QSK_PS],
+            )
+            .orderBy(key)
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.sketches import bottom_k_rows, kmv_hash
 

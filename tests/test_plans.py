@@ -863,3 +863,15 @@ def test_kmv_overlap_scans_once_via_checkpoint(spark):
     plan = _plan(spark, "event_kmv_type_overlap")
     assert "events.parquet" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_quantiles_merges_day_samples_not_rescans(spark):
+    """Round 8: the sliding-quantile sketch arm must ride the
+    (day x k) sample state — exactly TWO fact scans in the executed
+    plan (sketch-arm bucket build + the exact-audit window explode;
+    the observed-day set derives from state, and the audit's n_rows
+    rides a count window over the rank's partitioning instead of a
+    groupBy+rejoin second scan); no cartesian."""
+    plan = _plan(spark, "event_value_sliding_quantiles")
+    assert plan.count("events.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan

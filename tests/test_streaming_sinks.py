@@ -1343,3 +1343,71 @@ def test_hll_monitor_windowed_view_matches_sliding_batch_query(
         ).collect()
     }
     assert got == batch
+
+
+def test_quantile_monitor_windowed_view_matches_sliding_batch_query(
+    spark, tmp_path
+):
+    """Round 8: a quantile monitor keyed by DAY bucket is the sliding
+    query's substrate, streamed — windowed_estimates (trailing-7-day
+    bottom-k re-merge of the persisted day samples + summed n sidecar)
+    must equal event_value_sliding_quantiles' sketch columns
+    bit-for-bit after streaming the same events."""
+    import pathlib
+
+    from mknssh_11_bigdata_spark.queries import QUERIES
+    from mknssh_11_bigdata_spark.queries_events import (
+        QSK_K,
+        QSK_SALT,
+        QSK_WIN_DAYS,
+    )
+    from mknssh_11_bigdata_spark.streaming.sinks import (
+        QuantileSketchMonitorSink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("day"), "event_id", "value"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        sl = events.filter(f"event_id % 3 = {i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            pathlib.Path(tmp_path / f"stage{i}").glob("part-*.parquet")
+        )
+        part.rename(feed / f"{i:04d}.parquet")
+
+    sink = QuantileSketchMonitorSink(
+        str(tmp_path / "qsk"), key_col="day", k=QSK_K, salt=QSK_SALT
+    )
+    assert sink.windowed_estimates(spark) is None
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sink.committed_batches() == {0, 1, 2}
+
+    cols = ["n_rows", "n_sample", "p50_est", "p90_est", "p99_est"]
+    batch = {
+        r["day"]: tuple(r[c] for c in cols)
+        for r in QUERIES["event_value_sliding_quantiles"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    got = {
+        r["day"]: tuple(r[c] for c in cols)
+        for r in sink.windowed_estimates(
+            spark, window_days=QSK_WIN_DAYS
+        ).collect()
+    }
+    assert got == batch
