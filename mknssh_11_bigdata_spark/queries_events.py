@@ -2141,6 +2141,58 @@ def _hll_estimate_frame(m: DataFrame, key: str) -> DataFrame:
 HLL_WIN_DAYS = 7
 
 
+def trailing_window_explode(
+    df: DataFrame, day_col: str, window: int, days: DataFrame
+) -> DataFrame:
+    """Explode each row to the ``window`` trailing target days it
+    contributes to, keeping only targets present in ``days`` (the
+    observed-bucket set, column ``day_col``) — the ONE windowing block
+    every sliding bucket-merge member shares (sliding HLL and
+    quantiles, their monitor views, the per-window audit arms, and
+    the n_days spine: 9 call sites, previously 9 inline copies).
+    Returns ``df``'s other columns keyed by the target day under the
+    same ``day_col`` name."""
+    other = [c for c in df.columns if c != day_col]
+    wday = F.explode(
+        F.sequence(
+            F.col(day_col), F.date_add(F.col(day_col), window - 1)
+        )
+    ).alias("__wday")
+    return (
+        df.select(wday, *other)
+        .join(days, F.col("__wday") == days[day_col])
+        .select(F.col("__wday").alias(day_col), *other)
+    )
+
+
+def trailing_window_spine(
+    days: DataFrame, day_col: str, window: int
+) -> DataFrame:
+    """``(day, n_days_in_window)`` — how many observed buckets each
+    trailing window actually merges (honest partial-head-window
+    accounting), via the same explode."""
+    return (
+        trailing_window_explode(
+            days.select(day_col), day_col, window, days
+        )
+        .groupBy(day_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_days_in_window"))
+    )
+
+
+def _trailing_spine_cte(w: int) -> str:
+    """The n_days-per-window spine CTE shared by both sliding oracles
+    (assumes a ``days(day)`` CTE in scope) — the SQL twin of
+    :func:`trailing_window_spine`."""
+    return f"""nd AS (
+        SELECT t.wday AS day, CAST(COUNT(*) AS INTEGER) AS n_days
+        FROM (SELECT d.day + CAST(r.i AS INTEGER) AS wday
+              FROM days d CROSS JOIN range({w}) r(i)) t
+        JOIN days dd ON dd.day = t.wday
+        GROUP BY t.wday
+    )"""
+
+
 def _hll_sliding_oracle() -> str:
     est = _hll_est_case()
     w = HLL_WIN_DAYS
@@ -2156,13 +2208,7 @@ def _hll_sliding_oracle() -> str:
         FROM contrib c JOIN days d ON d.day = c.wday
         GROUP BY c.wday, c.reg
     ),
-    nd AS (
-        SELECT t.wday AS day, CAST(COUNT(*) AS INTEGER) AS n_days
-        FROM (SELECT d.day + CAST(r.i AS INTEGER) AS wday
-              FROM days d CROSS JOIN range({w}) r(i)) t
-        JOIN days dd ON dd.day = t.wday
-        GROUP BY t.wday
-    ),
+    {_trailing_spine_cte(w)},
     {_hll_fold_cte("day", "wm")},
     pairs AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
@@ -2219,36 +2265,24 @@ def event_hll_sliding_distinct(
         F.to_date("ts").alias("day"),
         kmv_hash(F.col("user_id"), HLL_SALT).alias("h"),
     )
-    m = _hll_registers(h, "day")
-    days = broadcast_if_small(
-        h.select("day").distinct()
-    )
-    wdays = F.explode(
-        F.sequence(F.col("day"), F.date_add(F.col("day"), HLL_WIN_DAYS - 1))
-    ).alias("wday")
-    contrib = m.select(wdays, "reg", "mreg")
+    # checkpoint the (days × 64) bucket STATE once — the window merge,
+    # the observed-day set, and the spine all read it instead of
+    # re-scanning/re-folding the fact table
+    m = _hll_registers(h, "day").localCheckpoint()
+    days = broadcast_if_small(m.select("day").distinct())
     wm = (
-        contrib.join(days, contrib["wday"] == days["day"])
-        .select(F.col("wday").alias("day"), "reg", "mreg")
+        trailing_window_explode(m, "day", HLL_WIN_DAYS, days)
         .groupBy("day", "reg")
         .agg(F.max("mreg").alias("mreg"))
     )
-    nd = (
-        days.select(wdays)
-        .join(days, F.col("wday") == days["day"])
-        .groupBy("wday")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_days"))
-        .select(F.col("wday").alias("day"), "n_days")
-    )
+    nd = trailing_window_spine(days, "day", HLL_WIN_DAYS)
     pairs = d.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
     ex = (
-        pairs.select(wdays, "user_id")
-        .join(days, F.col("wday") == days["day"])
-        .groupBy("wday")
+        trailing_window_explode(pairs, "day", HLL_WIN_DAYS, days)
+        .groupBy("day")
         .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
-        .select(F.col("wday").alias("day"), "n_exact")
     )
     return (
         _hll_estimate_frame(wm, "day")
@@ -2256,7 +2290,7 @@ def event_hll_sliding_distinct(
         .join(nd, "day")
         .select(
             "day",
-            F.col("n_days").alias("n_days_in_window"),
+            "n_days_in_window",
             F.col("n_exact").alias("n_exact_distinct"),
             "hll_estimate",
             "n_empty_registers",
@@ -2506,17 +2540,11 @@ def _sliding_quantile_oracle() -> str:
                {_qsk_ex_sql()}
         FROM er GROUP BY wday
     ),
-    nd AS (
-        SELECT t.wday, CAST(COUNT(*) AS INTEGER) AS n_days
-        FROM (SELECT d.day + CAST(r.i AS INTEGER) AS wday
-              FROM days d CROSS JOIN range({w}) r(i)) t
-        JOIN days dd ON dd.day = t.wday
-        GROUP BY t.wday
-    )
+    {_trailing_spine_cte(w)}
     SELECT est.wday AS day, nd.n_days AS n_days_in_window,
            ex.n_rows, est.n_sample,
            p50_est, p50_exact, p90_est, p90_exact, p99_est, p99_exact
-    FROM est JOIN ex USING (wday) JOIN nd ON nd.wday = est.wday
+    FROM est JOIN ex USING (wday) JOIN nd ON nd.day = est.wday
     ORDER BY est.wday
     """
 
@@ -2554,33 +2582,27 @@ def event_value_sliding_quantiles(
         kmv_hash(F.col("event_id"), QSK_SALT).alias("h"),
         "value",
     )
-    day_rows = bottom_k_rows(base, "day", "h", "value", QSK_K)
-    # the observed-day set derives from the (day x k) STATE, not a
-    # second fact scan — state-sized by construction
+    # checkpoint the (day × k) sample STATE once — the window merge
+    # and the observed-day set read it, never the fact table again
+    day_rows = bottom_k_rows(
+        base, "day", "h", "value", QSK_K
+    ).localCheckpoint()
     days = broadcast_if_small(day_rows.select("day").distinct())
-    wdays = F.explode(
-        F.sequence(F.col("day"), F.date_add(F.col("day"), W - 1))
-    ).alias("wday")
-    contrib = day_rows.select(wdays, "h", "value")
-    wo = contrib.join(days, contrib["wday"] == days["day"]).select(
-        F.col("wday").alias("wd"), "h", "value"
-    )
-    wsamp = bottom_k_rows(wo, "wd", "h", "value", QSK_K)
-    samp = wsamp.groupBy("wd").agg(
+    wo = trailing_window_explode(day_rows, "day", W, days)
+    wsamp = bottom_k_rows(wo, "day", "h", "value", QSK_K)
+    samp = wsamp.groupBy("day").agg(
         F.array_sort(F.collect_list("value")).alias("__vals")
     )
     est = samp.select(
-        F.col("wd").alias("day"),
+        "day",
         F.size("__vals").cast("long").alias("n_sample"),
         *_qsk_est_cols(F.col("__vals")),
     )
     raw = d.select(
         F.to_date("ts").alias("day"), "value", "event_id"
     )
-    ex_rows = raw.select(wdays, "value", "event_id").join(
-        days, F.col("wday") == days["day"]
-    ).select(F.col("wday").alias("wd"), "value", "event_id")
-    win = Window.partitionBy("wd").orderBy("value", "event_id")
+    ex_rows = trailing_window_explode(raw, "day", W, days)
+    win = Window.partitionBy("day").orderBy("value", "event_id")
     # n_rows via an unbounded count window over the SAME partitioning
     # as the rank — one shuffle, one scan (a groupBy+rejoin here was
     # a second scan of the exploded frame)
@@ -2588,25 +2610,12 @@ def event_value_sliding_quantiles(
         "rn", F.row_number().over(win)
     ).withColumn(
         "n_rows",
-        F.count(F.lit(1)).over(Window.partitionBy("wd")).cast("long"),
+        F.count(F.lit(1)).over(Window.partitionBy("day")).cast("long"),
     )
-    ex = (
-        ranked.groupBy("wd")
-        .agg(F.first("n_rows").alias("n_rows"), *_qsk_exact_cols())
-        .select(F.col("wd").alias("day"), "n_rows", *[
-            f"{name}_exact" for name, _, _ in _QSK_PS
-        ])
+    ex = ranked.groupBy("day").agg(
+        F.first("n_rows").alias("n_rows"), *_qsk_exact_cols()
     )
-    nd = (
-        days.select(wdays)
-        .join(days, F.col("wday") == days["day"])
-        .groupBy("wday")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_days"))
-        .select(
-            F.col("wday").alias("day"),
-            F.col("n_days").alias("n_days_in_window"),
-        )
-    )
+    nd = trailing_window_spine(days, "day", W)
     return (
         est.join(ex, "day")
         .join(nd, "day")

@@ -1115,7 +1115,10 @@ class HllDistinctMonitorSink(_CommitMarkerLedger):
         (e2e-tested bit-equal on the same streamed rows). Returns
         ``(key, hll_estimate, n_empty_registers)``."""
         from ..plans.layout import broadcast_if_small
-        from ..queries_events import _hll_estimate_frame
+        from ..queries_events import (
+            _hll_estimate_frame,
+            trailing_window_explode,
+        )
 
         s = self.state(spark)
         if s is None:
@@ -1124,18 +1127,8 @@ class HllDistinctMonitorSink(_CommitMarkerLedger):
         # measured-count guard, not a bare hint: the bucket set is
         # key-cardinality-sized but data-dependent
         days = broadcast_if_small(s.select(key).distinct())
-        contrib = s.select(
-            F.explode(
-                F.sequence(
-                    F.col(key), F.date_add(F.col(key), window_days - 1)
-                )
-            ).alias("__wday"),
-            "reg",
-            "mreg",
-        )
         wm = (
-            contrib.join(days, contrib["__wday"] == days[key])
-            .select(F.col("__wday").alias(key), "reg", "mreg")
+            trailing_window_explode(s, key, window_days, days)
             .groupBy(key, "reg")
             .agg(F.max("mreg").alias("mreg"))
         )
@@ -1682,32 +1675,27 @@ class QuantileSketchMonitorSink(_CommitMarkerLedger):
         batch sliding query's sketch columns)."""
         from ..operators.sketches import bottom_k_rows
         from ..plans.layout import broadcast_if_small
-        from ..queries_events import _QSK_PS, _qsk_est_cols
+        from ..queries_events import (
+            _QSK_PS,
+            _qsk_est_cols,
+            trailing_window_explode,
+        )
 
         s = self.state(spark)
         if s is None:
             return None
         key = self.key_col
         days = broadcast_if_small(s.select(key).distinct())
-        wdays = F.explode(
-            F.sequence(
-                F.col(key), F.date_add(F.col(key), window_days - 1)
-            )
-        ).alias("__wday")
-        wo = (
-            s.select(wdays, "__h", self.val_col)
-            .join(days, F.col("__wday") == days[key])
-            .select(F.col("__wday").alias(key), "__h", self.val_col)
-        )
+        wo = trailing_window_explode(s, key, window_days, days)
         wstate = bottom_k_rows(wo, key, "__h", self.val_col, self.k)
         samp = wstate.groupBy(key).agg(
             F.array_sort(F.collect_list(self.val_col)).alias("__vals")
         )
         wn = (
-            self.n_rows(spark)
-            .select(wdays, "n_rows")
-            .join(days, F.col("__wday") == days[key])
-            .groupBy(F.col("__wday").alias(key))
+            trailing_window_explode(
+                self.n_rows(spark), key, window_days, days
+            )
+            .groupBy(key)
             .agg(F.sum("n_rows").cast("long").alias("n_rows"))
         )
         return (
