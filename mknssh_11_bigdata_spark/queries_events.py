@@ -1754,34 +1754,41 @@ def event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-def _kmv_overlap_oracle() -> str:
-    k = KMV_K
+def _kmv_overlap_sql(
+    m_cte: str, a: str, b: str, salt: str, k: int = KMV_K
+) -> str:
+    """The full KMV pair-overlap replay (sketch algebra + exact audit)
+    parametrized over the domain: ``m_cte`` must yield ``m(k_, id_)``
+    — distinct (key, member) pairs. Shared by
+    ``event_kmv_type_overlap`` (types × users) and
+    ``doc_source_vocab_overlap`` (sources × vocabulary); the output
+    key columns are named ``a``/``b``."""
     return f"""
-    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH m AS ({m_cte}),
     h AS (
-        SELECT DISTINCT event_type,
-               CAST(('0x' || substr(md5('{KMV_SALT}|'
-                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        SELECT DISTINCT k_,
+               CAST(('0x' || substr(md5('{salt}|'
+                    || CAST(id_ AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM m
     ),
     sk AS (
-        SELECT event_type, list(h ORDER BY h) AS hs FROM (
-            SELECT event_type, h,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
+        SELECT k_, list(h ORDER BY h) AS hs FROM (
+            SELECT k_, h,
+                   ROW_NUMBER() OVER (PARTITION BY k_
                                       ORDER BY h) AS rn
             FROM h
         ) WHERE rn <= {k + 1}
-        GROUP BY event_type
+        GROUP BY k_
     ),
     p AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
+        SELECT a.k_ AS {a}, b.k_ AS {b},
                a.hs AS hsa, b.hs AS hsb,
                list_slice(list_sort(list_distinct(
                    list_concat(a.hs, b.hs))), 1, {k + 1}) AS un
-        FROM sk a JOIN sk b ON a.event_type < b.event_type
+        FROM sk a JOIN sk b ON a.k_ < b.k_
     ),
     calc AS (
-        SELECT type_a, type_b,
+        SELECT {a}, {b},
                len(un) AS ku1,
                CAST(len(list_filter(list_slice(un, 1, {k}),
                     x -> list_contains(hsa, x)
@@ -1792,32 +1799,32 @@ def _kmv_overlap_oracle() -> str:
         FROM p
     ),
     est AS (
-        SELECT type_a, type_b, shared, den,
+        SELECT {a}, {b}, shared, den,
                CASE WHEN ku1 <= {k} THEN CAST(ku1 AS BIGINT)
                     ELSE CAST(ROUND({k - 1} * {_KMV_RANGE!r} / hk, 0)
                               AS BIGINT) END AS u_est
         FROM calc
     ),
     cnt AS (
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-        FROM m GROUP BY event_type
+        SELECT k_, CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY k_
     ),
     ov AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
+        SELECT a.k_ AS {a}, b.k_ AS {b},
                CAST(COUNT(*) AS BIGINT) AS n_overlap
         FROM m a JOIN m b
-          ON a.user_id = b.user_id AND a.event_type < b.event_type
+          ON a.id_ = b.id_ AND a.k_ < b.k_
         GROUP BY 1, 2
     ),
     ex AS (
-        SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        SELECT ca.k_ AS {a}, cb.k_ AS {b},
                COALESCE(o.n_overlap, 0) AS n_exact_overlap,
                ca.n + cb.n - COALESCE(o.n_overlap, 0) AS n_exact_union
-        FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
-        LEFT JOIN ov o ON o.type_a = ca.event_type
-                      AND o.type_b = cb.event_type
+        FROM cnt ca JOIN cnt cb ON ca.k_ < cb.k_
+        LEFT JOIN ov o ON o.{a} = ca.k_
+                      AND o.{b} = cb.k_
     )
-    SELECT ex.type_a, ex.type_b,
+    SELECT ex.{a}, ex.{b},
            ex.n_exact_union, ex.n_exact_overlap,
            est.u_est AS kmv_union_estimate,
            CAST(ROUND(CAST(est.shared AS DOUBLE) * est.u_est
@@ -1825,9 +1832,18 @@ def _kmv_overlap_oracle() -> str:
            ROUND(CAST(est.shared AS DOUBLE) / est.den, 6) AS jaccard_est,
            ROUND(CAST(ex.n_exact_overlap AS DOUBLE)
                  / ex.n_exact_union, 6) AS jaccard_exact
-    FROM ex JOIN est USING (type_a, type_b)
-    ORDER BY ex.type_a, ex.type_b
+    FROM ex JOIN est USING ({a}, {b})
+    ORDER BY ex.{a}, ex.{b}
     """
+
+
+def _kmv_overlap_oracle() -> str:
+    return _kmv_overlap_sql(
+        "SELECT DISTINCT event_type AS k_, user_id AS id_ FROM events",
+        "type_a",
+        "type_b",
+        KMV_SALT,
+    )
 
 
 @register("event_kmv_type_overlap", _kmv_overlap_oracle())
@@ -1856,57 +1872,62 @@ def event_kmv_type_overlap(
     The pair spine is a type-cardinality sliver (T^2 rows), built by
     an inequality join of the per-type sketch arrays — nested-loop on
     a frame of T rows, never on data."""
+    d = _t(spark, sf_dir, "events")
+    m = d.select(
+        F.col("event_type").alias("k_"), F.col("user_id").alias("id_")
+    )
+    return kmv_overlap_with_exact(m, "type_a", "type_b", KMV_SALT)
+
+
+def kmv_overlap_with_exact(
+    m: DataFrame, a: str, b: str, salt: str, k: int = KMV_K
+) -> DataFrame:
+    """Full KMV pair-overlap frame (sketch algebra + exact audit) over
+    a ``(k_, id_)`` membership frame — the Spark twin of
+    :func:`_kmv_overlap_sql`, shared by ``event_kmv_type_overlap``
+    (types × users) and ``doc_source_vocab_overlap`` (sources ×
+    vocabulary). ``m`` need not be distinct; it is deduplicated and
+    localCheckpointed here (the Q15 discipline — the distinct pair
+    frame is the substrate of the sketch arm AND both exact-audit
+    arms; measured without it: 6 fact scans, with: 1)."""
     from .operators.sketches import (
         bottom_k_values,
         kmv_hash,
         kmv_pair_overlap,
     )
 
-    k = KMV_K
-    d = _t(spark, sf_dir, "events")
-    # the distinct (type, user) frame is the shared substrate of the
-    # sketch arm AND both exact-audit arms — checkpoint it once (Q15
-    # discipline) or every consumer re-scans and re-distincts the
-    # fact table (measured: 6 parquet scans without this, 1 with)
-    m = (
-        d.select("event_type", "user_id").distinct().localCheckpoint()
-    )
-    h = m.select(
-        "event_type", kmv_hash(F.col("user_id"), KMV_SALT).alias("h")
-    )
+    m = m.distinct().localCheckpoint()
+    h = m.select("k_", kmv_hash(F.col("id_"), salt).alias("h"))
     # the SHARED pair algebra (operators/sketches.kmv_pair_overlap) —
     # KmvDistinctMonitorSink.pair_overlaps evaluates the same operator
     # over its persisted state, so streamed pair estimates are this
-    # query's bit-for-bit (e2e-tested)
+    # frame's bit-for-bit (e2e-tested)
     est = kmv_pair_overlap(
-        bottom_k_values(h, "event_type", "h", k + 1),
-        "event_type",
-        "h",
-        k,
+        bottom_k_values(h, "k_", "h", k + 1), "k_", "h", k
     ).select(
-        F.col("key_a").alias("type_a"),
-        F.col("key_b").alias("type_b"),
+        F.col("key_a").alias(a),
+        F.col("key_b").alias(b),
         "u_est",
         "overlap_est",
         "jaccard_est",
     )
-    cnt = m.groupBy("event_type").agg(
+    cnt = m.groupBy("k_").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    mx = m.select(F.col("event_type").alias("type_a"), "user_id")
-    my = m.select(F.col("event_type").alias("type_b"), "user_id")
+    mx = m.select(F.col("k_").alias(a), "id_")
+    my = m.select(F.col("k_").alias(b), "id_")
     ov = (
-        mx.join(my, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        mx.join(my, "id_")
+        .filter(F.col(a) < F.col(b))
+        .groupBy(a, b)
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
-    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
-    spine = ca.join(cb, F.col("type_a") < F.col("type_b"))
-    ex = spine.join(ov, ["type_a", "type_b"], "left").select(
-        "type_a",
-        "type_b",
+    ca = cnt.select(F.col("k_").alias(a), F.col("n").alias("na"))
+    cb = cnt.select(F.col("k_").alias(b), F.col("n").alias("nb"))
+    spine = ca.join(cb, F.col(a) < F.col(b))
+    ex = spine.join(ov, [a, b], "left").select(
+        a,
+        b,
         F.coalesce("n_overlap", F.lit(0)).cast("long").alias(
             "n_exact_overlap"
         ),
@@ -1915,10 +1936,10 @@ def event_kmv_type_overlap(
         ).cast("long").alias("n_exact_union"),
     )
     return (
-        ex.join(est, ["type_a", "type_b"])
+        ex.join(est, [a, b])
         .select(
-            "type_a",
-            "type_b",
+            a,
+            b,
             "n_exact_union",
             "n_exact_overlap",
             F.col("u_est").alias("kmv_union_estimate"),
@@ -1930,7 +1951,7 @@ def event_kmv_type_overlap(
                 6,
             ).alias("jaccard_exact"),
         )
-        .orderBy("type_a", "type_b")
+        .orderBy(a, b)
     )
 
 

@@ -2208,6 +2208,53 @@ def embedding_pq_distortion(
     )
 
 
+VOCAB_KMV_SALT = "vocab-kmv-v1"
+
+
+def _vocab_overlap_oracle() -> str:
+    from .queries_events import _kmv_overlap_sql
+
+    toks = SQL_TOKS.format(col="text")
+    return _kmv_overlap_sql(
+        "SELECT DISTINCT source AS k_, t AS id_ FROM "
+        f"(SELECT source, unnest({toks}) AS t FROM documents)",
+        "source_a",
+        "source_b",
+        VOCAB_KMV_SALT,
+    )
+
+
+@register("doc_source_vocab_overlap", _vocab_overlap_oracle())
+def doc_source_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VOCABULARY overlap between every source pair from per-source
+    KMV sketches — the curation face of the sketch set-operation
+    algebra (``event_kmv_type_overlap`` is the audience face): how
+    much of two sources' distinct-token vocabularies coincide is the
+    register/domain-similarity signal a mixing-weight decision reads
+    (two mirrors share ~all vocabulary; a code source and a news
+    source share little), and the same pair algebra answers it from
+    (sources × (k+1)) state after ONE scan instead of a full
+    distinct-(source, token) self-join — which is exactly the exact
+    audit arm carried in-row. Shares
+    ``queries_events.kmv_overlap_with_exact`` /
+    ``operators/sketches.kmv_pair_overlap`` verbatim; only the
+    membership frame differs (distinct (source, token) pairs,
+    whitespace tokens — the repo-wide token convention)."""
+    from .functions import text as TX
+    from .queries_events import kmv_overlap_with_exact
+
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("source").alias("k_"),
+        F.explode(TX.tokens(F.col("text"))).alias("id_"),
+    )
+    return kmv_overlap_with_exact(
+        m, "source_a", "source_b", VOCAB_KMV_SALT
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
