@@ -1627,7 +1627,7 @@ class QuantileSketchMonitorSink(_CommitMarkerLedger):
         p90_est, p99_est)`` — the batch query's sketch-arm arithmetic
         (same probed quantiles, same integer ceil-rank) evaluated over
         the persisted sample."""
-        from ..queries_events import _QSK_PS
+        from ..queries_events import _QSK_PS, _qsk_est_cols
 
         s = self.state(spark)
         if s is None:
@@ -1635,20 +1635,11 @@ class QuantileSketchMonitorSink(_CommitMarkerLedger):
         agg = s.groupBy(self.key_col).agg(
             F.array_sort(F.collect_list(self.val_col)).alias("__vals")
         )
-        ns = F.size("__vals")
-        est_cols = [
-            F.element_at(
-                F.col("__vals"),
-                ((F.lit(num) * ns + F.lit(den) - 1) / F.lit(den))
-                .cast("int"),
-            ).alias(f"{name}_est")
-            for name, num, den in _QSK_PS
-        ]
         return (
             agg.select(
                 self.key_col,
-                ns.cast("long").alias("n_sample"),
-                *est_cols,
+                F.size("__vals").cast("long").alias("n_sample"),
+                *_qsk_est_cols(F.col("__vals")),
             )
             .join(self.n_rows(spark), self.key_col)
             .select(
