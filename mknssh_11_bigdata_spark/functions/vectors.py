@@ -13,6 +13,8 @@ driver-side pandas, ``/root/reference/scripts/embeddings_generation.py``).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -24,7 +26,49 @@ __all__ = [
     "max_abs",
     "quantize_int8",
     "int_dot",
+    "lit_double_array",
+    "lit_double_matrix",
+    "lit_int_array",
 ]
+
+
+def _sql_double(x: float) -> str:
+    # repr() round-trips binary64 exactly (shortest-repr guarantee) and
+    # Spark's D-suffixed literal parses via Double.parseDouble — the
+    # same bits come out (verified incl. -0.0, subnormals, exponents).
+    return repr(float(x)) + "D"
+
+
+def lit_double_array(xs: list[float]) -> Column:
+    """``array<double>`` literal in ONE driver call.
+
+    ``F.lit(list)`` builds one Py4J column object per ELEMENT (~400 ms
+    for a 8x64 model on this driver — measured, r8 optimization
+    round); a single parsed SQL string is ~2 ms with bit-identical
+    values. Non-finite values fall back to the slow exact path."""
+    if not xs or not all(math.isfinite(float(x)) for x in xs):
+        return F.lit([float(x) for x in xs])
+    return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
+
+
+def lit_double_matrix(mat: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal in ONE driver call (see
+    :func:`lit_double_array` for why not ``F.lit``)."""
+    if not mat or not all(
+        row and all(math.isfinite(float(x)) for x in row) for row in mat
+    ):
+        return F.lit([[float(x) for x in row] for row in mat])
+    body = ",".join(
+        "array(" + ",".join(_sql_double(x) for x in row) + ")"
+        for row in mat
+    )
+    return F.expr(f"array({body})")
+
+
+def lit_int_array(xs: list[int]) -> Column:
+    """``array<bigint>`` literal in ONE driver call — LongType to match
+    what ``F.lit`` infers for a list of Python ints."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -32,7 +32,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles_of, tokens
-from ..functions.vectors import dot, l2_norm
+from ..functions.vectors import (
+    dot,
+    l2_norm,
+    lit_double_array,
+    lit_double_matrix,
+)
 from ..plans.layout import broadcast_if_small, spread
 
 __all__ = [
@@ -658,21 +663,22 @@ def hyperplane_signatures(
     planes = hyperplane_coefficients(n_bits, dim, seed)
     # Measured (BASELINE.md round 4): the HOF fold's per-row cost is a
     # non-issue (160k rows × 32×64 in ~2 s executor-side) — wall time
-    # at bench SFs is dominated by PLANNING the 32-expression tree,
-    # and an unrolled-arithmetic rewrite (bit-identical, codegen-able)
-    # made planning 6× WORSE (4k-node tree). Keep the fold.
-    bit_chars = [
-        F.when(
-            dot(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in plane]),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return df.select(F.col(id_col), F.concat(*bit_chars).alias("sig"))
+    # at bench SFs is dominated by PLANNING the expression tree, and an
+    # unrolled-arithmetic rewrite (bit-identical, codegen-able) made
+    # planning 6× WORSE (4k-node tree). r8 optimization: fold the
+    # n_bits unrolled when-branches into ONE transform over a literal
+    # plane MATRIX — same per-bit expression evaluated per plane row at
+    # runtime, a ~n_bits× smaller tree for Catalyst and Py4J. Bit
+    # order, the dot's left-to-right fold, and the '1'/'0' mapping are
+    # unchanged, so signatures are bit-identical.
+    bits = F.transform(
+        lit_double_matrix(planes),
+        lambda p: F.when(dot(F.col(vec_col), p) > 0, F.lit("1"))
+        .otherwise(F.lit("0")),
+    )
+    return df.select(
+        F.col(id_col), F.array_join(bits, "").alias("sig")
+    )
 
 
 #: Target expected RANDOM bucket load for auto-sized SRP bands: pick the

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import (
+    cosine_similarity,
+    lit_double_array,
+    lit_double_matrix,
+    lit_int_array,
+)
 from ..plans.layout import spread
 
 __all__ = [
@@ -70,10 +75,10 @@ def nearest_centroid_expr(
     ordered = sorted(cents, key=lambda t: t[0])
     ids = [int(cid) for cid, _ in ordered]
     matrix = [[float(x) for x in cvec] for _, cvec in ordered]
-    # ONE nested-array literal (a handful of Py4J calls total) — per-
-    # element F.lit construction costs ~k×dim driver round-trips, which
-    # dominated the Lloyd loop's wall time before any executor ran.
-    mat = F.lit(matrix)
+    # ONE parsed-SQL literal (a single Py4J call): even F.lit(matrix)
+    # costs one driver round-trip per ELEMENT (~0.4 s per 8x64 model —
+    # measured r8), which dominated every literal-model query's wall.
+    mat = lit_double_matrix(matrix)
     sims = F.transform(mat, lambda c: F.round(_cos(vec, c), 6))
     # First occurrence of the max = smallest position; with centroids
     # sorted by id, that reproduces max_by(struct(sim, -cid))'s
@@ -85,7 +90,7 @@ def nearest_centroid_expr(
     pos = F.coalesce(
         F.array_position(sims, F.array_max(sims)).cast("int"), F.lit(1)
     )
-    return F.element_at(F.lit(ids), pos).cast(id_type)
+    return F.element_at(lit_int_array(ids), pos).cast(id_type)
 
 
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
@@ -172,10 +177,14 @@ def kmeans_centroids(
     )
     if sample_mod > 1:
         fit = fit.filter(F.col(id_col) % sample_mod == 0)
+    # Spread before the heavy per-row assignment expression: a compact
+    # one-file fit input otherwise evaluates every interpreted-HOF
+    # argmax on one core (see _pq_fit; no-op at real scale).
+    fit = spread(fit)
     # The fit frame is consumed once for init and once per Lloyd
-    # iteration; checkpoint so the scan+cast runs once (lazy — the init
-    # collect below materializes it, saving a separate job). At 100 TB
-    # the fit input is the sample_mod slice — sized to be
+    # iteration; checkpoint so the scan+cast+shuffle runs once (lazy —
+    # the init collect below materializes it, saving a separate job).
+    # At 100 TB the fit input is the sample_mod slice — sized to be
     # materializable.
     fit = fit.localCheckpoint(eager=False)
     schema = StructType(
@@ -721,7 +730,7 @@ def kcenter_coreset(
     ).localCheckpoint(eager=False)
 
     def dist_q(center: list[float]) -> F.Column:
-        lit_v = F.array(*[F.lit(float(x)) for x in center])
+        lit_v = lit_double_array([float(x) for x in center])
         d2 = F.aggregate(
             F.zip_with(
                 F.col("__v"), lit_v, lambda x, y: (x - y) * (x - y)
@@ -758,6 +767,131 @@ def kcenter_coreset(
     )
 
 
+def _pq_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int,
+    n_codes: int,
+    iters: int = 2,
+    sample_mod: int = 1,
+    full_k: int = 0,
+    round_to: int = 9,
+) -> tuple[list[list[list[float]]], list[list[float]]]:
+    """Batched deterministic Lloyd fit for product quantization: all
+    ``n_sub`` subspace codebooks (and, when ``full_k`` > 0, the coarse
+    full-vector centroids IVF-PQ also needs) fitted in ONE job per
+    iteration plus ONE init collect, instead of one 3-action
+    :func:`kmeans_centroids` run per subspace.
+
+    Numerically identical to the sequential per-subspace fits (same
+    contract the oracles replay): init is the ``n`` smallest-id
+    vectors — a subspace's init subvectors are slices of the SAME
+    rows, so one collect serves every subspace and the coarse fit;
+    assignment per subspace is the same rounded-cosine argmax
+    projection; new centroids are per-(space, cluster, dim) means over
+    exactly the multiset each independent fit averaged, rounded to
+    ``round_to`` digits (the order-insensitivity contract). Empty
+    clusters keep their previous centroid, as before.
+
+    Per iteration the fit input is scanned once and exploded to
+    (space, cid, dim, x) rows — the same total element count the
+    sequential fits exploded across their separate jobs — then one
+    partial-agg shuffle produces every space's means. Action count:
+    1 + ``iters`` collects for the whole model, vs
+    3 x (``n_sub`` [+1 coarse]) sequential."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    fit = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if sample_mod > 1:
+        fit = fit.filter(F.col(id_col) % sample_mod == 0)
+    # The per-iteration assignment is a heavy per-row expression (n_sub
+    # argmax trees of interpreted HOF cosines) over a COMPACT input — a
+    # one-file scan leaves every evaluation on one core. spread() is the
+    # repo's fix for exactly this shape (no-op once the scan yields
+    # >= cores splits at real scale).
+    fit = spread(fit)
+    # Consumed once per Lloyd iteration (plus init): checkpoint so the
+    # scan+cast+shuffle runs once. At 100 TB the fit input is the
+    # sample_mod slice — sized to be materializable.
+    fit = fit.localCheckpoint(eager=False)
+    n_init = max(n_codes, full_k)
+    init = fit.orderBy(F.col(id_col).asc()).limit(n_init).collect()
+    vecs = [list(r["__v"]) for r in init]
+    books: list[list[list[float]]] = [
+        [v[s * sub_dim : (s + 1) * sub_dim] for v in vecs[:n_codes]]
+        for s in range(n_sub)
+    ]
+    full: list[list[float]] = [list(v) for v in vecs[:full_k]]
+    for _ in range(iters):
+        structs = [
+            F.struct(
+                nearest_centroid_expr(
+                    F.slice(F.col("__v"), s * sub_dim + 1, sub_dim),
+                    list(enumerate(books[s])),
+                    id_type="int",
+                ).alias("cid"),
+                F.slice(F.col("__v"), s * sub_dim + 1, sub_dim).alias(
+                    "sv"
+                ),
+            )
+            for s in range(n_sub)
+        ]
+        if full_k:
+            structs.append(
+                F.struct(
+                    nearest_centroid_expr(
+                        F.col("__v"),
+                        list(enumerate(full)),
+                        id_type="int",
+                    ).alias("cid"),
+                    F.col("__v").alias("sv"),
+                )
+            )
+        # Three selects on purpose: the assignment structs materialize
+        # in their own projection before each posexplode (a generator
+        # sharing a select with the argmax struct trips Catalyst's
+        # generator extraction — see kmeans_centroids).
+        means = (
+            fit.select(F.array(*structs).alias("__spaces"))
+            .select(F.posexplode("__spaces").alias("space", "__x"))
+            .select(
+                "space",
+                F.col("__x.cid").alias("cid"),
+                F.posexplode("__x.sv").alias("dim", "x"),
+            )
+            .groupBy("space", "cid", "dim")
+            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .collect()
+        )
+        by_space: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            by_space.setdefault(r["space"], {}).setdefault(
+                r["cid"], {}
+            )[r["dim"]] = r["m"]
+        for s in range(n_sub):
+            got = by_space.get(s, {})
+            books[s] = [
+                [got[i][d] for d in sorted(got[i])]
+                if i in got
+                else books[s][i]
+                for i in range(n_codes)
+            ]
+        if full_k:
+            got = by_space.get(n_sub, {})
+            full = [
+                [got[i][d] for d in sorted(got[i])]
+                if i in got
+                else full[i]
+                for i in range(full_k)
+            ]
+    return books, full
+
+
 def pq_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -770,33 +904,23 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """Fit product-quantization codebooks: split the ``dim``-dim vector
     into ``n_sub`` contiguous subspaces and run the repo's
-    DETERMINISTIC Lloyd fit (:func:`kmeans_centroids` — min-id init,
-    fixed iterations, rounded-cosine assignment, rounded-9 means) on
-    each subspace's subvectors independently. Returns the model as
-    plain Python lists (n_sub x n_codes x dim/n_sub floats) — like any
-    broadcast ML model, the codebooks are model-sized by construction
-    (n_sub x n_codes x sub_dim doubles), never corpus-shaped."""
-    if dim % n_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    sub_dim = dim // n_sub
-    books: list[list[list[float]]] = []
-    for s in range(n_sub):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
-                "__sv"
-            ),
-        )
-        cdf = kmeans_centroids(
-            sub,
-            id_col,
-            "__sv",
-            n_centroids=n_codes,
-            iters=iters,
-            sample_mod=sample_mod,
-        )
-        rows = sorted(cdf.collect(), key=lambda r: r["centroid_id"])
-        books.append([list(r["__cent"]) for r in rows])
+    DETERMINISTIC Lloyd fit (min-id init, fixed iterations,
+    rounded-cosine assignment, rounded-9 means) on each subspace's
+    subvectors independently — all subspaces batched into one job per
+    iteration (:func:`_pq_fit`). Returns the model as plain Python
+    lists (n_sub x n_codes x dim/n_sub floats) — like any broadcast ML
+    model, the codebooks are model-sized by construction (n_sub x
+    n_codes x sub_dim doubles), never corpus-shaped."""
+    books, _ = _pq_fit(
+        corpus,
+        id_col,
+        vec_col,
+        dim,
+        n_sub,
+        n_codes,
+        iters=iters,
+        sample_mod=sample_mod,
+    )
     return books
 
 
@@ -873,7 +997,7 @@ def pq_topk(
     # code_vec), each a literal-array lookup; left-associated so the
     # oracle's (((n0 + n1) + n2) + n3) reproduces it exactly
     selfdots = [
-        F.transform(F.lit(books[s]), lambda cv: dot(cv, cv))
+        F.transform(lit_double_matrix(books[s]), lambda cv: dot(cv, cv))
         for s in range(n_sub)
     ]
     rnorm2 = F.element_at(selfdots[0], F.col("__code0") + 1)
@@ -897,7 +1021,7 @@ def pq_topk(
         return per_code
 
     lut_cols = [
-        F.transform(F.lit(books[s]), _lut(s)).alias(f"__lut{s}")
+        F.transform(lit_double_matrix(books[s]), _lut(s)).alias(f"__lut{s}")
         for s in range(n_sub)
     ]
     q = q.select(
@@ -962,16 +1086,21 @@ def ivf_pq_topk(
     if dim % n_sub != 0:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_dim = dim // n_sub
-    coarse = kmeans_centroids(
-        corpus, id_col, vec_col, n_centroids=n_centroids, iters=iters
+    # One batched fit: the coarse full-vector centroids ride the same
+    # per-iteration job as the subspace codebooks (identical values to
+    # the sequential kmeans_centroids + pq_codebooks runs — same init
+    # rows, same assignment argmax, same rounded means).
+    books, full = _pq_fit(
+        corpus,
+        id_col,
+        vec_col,
+        dim,
+        n_sub,
+        n_codes,
+        iters=iters,
+        full_k=n_centroids,
     )
-    cents = [
-        (int(r["centroid_id"]), list(r["__cent"]))
-        for r in coarse.collect()
-    ]
-    books = pq_codebooks(
-        corpus, id_col, vec_col, dim, n_sub, n_codes, iters=iters
-    )
+    cents = [(i, cv) for i, cv in enumerate(full)]
 
     def _sub(col: F.Column, s: int) -> F.Column:
         return F.slice(col, s * sub_dim + 1, sub_dim)
@@ -998,7 +1127,7 @@ def ivf_pq_topk(
         *code_cols,
     )
     selfdots = [
-        F.transform(F.lit(books[s]), lambda cv: dot(cv, cv))
+        F.transform(lit_double_matrix(books[s]), lambda cv: dot(cv, cv))
         for s in range(n_sub)
     ]
     rnorm2 = F.element_at(selfdots[0], F.col("__code0") + 1)
@@ -1010,8 +1139,8 @@ def ivf_pq_topk(
 
     # queries: probed cells (top n_probe by rounded cosine, id ties
     # toward the smaller cell — (-sim, cid) struct sort) + ADC LUTs
-    cent_mat = F.lit([cv for _, cv in sorted(cents)])
-    cent_ids = F.lit([cid for cid, _ in sorted(cents)])
+    cent_mat = lit_double_matrix([cv for _, cv in sorted(cents)])
+    cent_ids = lit_int_array([cid for cid, _ in sorted(cents)])
     from ..functions.vectors import cosine_similarity as _cos
 
     q = queries.select(
@@ -1042,7 +1171,7 @@ def ivf_pq_topk(
         return per_code
 
     lut_cols = [
-        F.transform(F.lit(books[s]), _lut(s)).alias(f"__lut{s}")
+        F.transform(lit_double_matrix(books[s]), _lut(s)).alias(f"__lut{s}")
         for s in range(n_sub)
     ]
     q = q.select(

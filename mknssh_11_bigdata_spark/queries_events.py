@@ -2146,7 +2146,7 @@ def _hll_estimate_frame(m: DataFrame, key: str) -> DataFrame:
         1 << cap
     ).cast("long")
     raw = F.round(F.lit(_HLL_NUM) / s_total, 0).cast("long")
-    lc = F.array(*[F.lit(x).cast("long") for x in _HLL_LC])
+    lc = F.expr("array(" + ",".join(f"{int(x)}L" for x in _HLL_LC) + ")")
     est = F.when(
         (raw <= F.lit(5 * HLL_M // 2)) & (v > F.lit(0)),
         F.element_at(lc, v),

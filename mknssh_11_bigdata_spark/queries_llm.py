@@ -2139,6 +2139,7 @@ def embedding_pq_distortion(
         pq_codebooks,
     )
     from .functions.vectors import cosine_similarity as _cos
+    from .functions.vectors import lit_double_matrix
 
     sub_dim = EMB_DIM // PQ_SUB
     emb = _t(spark, sf_dir, "embeddings")
@@ -2166,7 +2167,7 @@ def embedding_pq_distortion(
     for s in range(PQ_SUB):
         sub = F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim)
         code = F.col(f"__code{s}")
-        cw = F.element_at(F.lit(books[s]), code + 1)
+        cw = F.element_at(lit_double_matrix(books[s]), code + 1)
         ppm = F.round(
             F.lit(1e6) * F.round(_cos(sub, cw), 6), 0
         ).cast("long")
