@@ -66,6 +66,23 @@ def get_spark(
         # main.py:12; we turn on the full set).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions toward the advisory SIZE
+        # rather than preserving parallelism (the Spark tuning guide's
+        # own production recommendation): parallelismFirst=true keeps
+        # dozens of near-empty reduce tasks alive on every small
+        # exchange — pure scheduling overhead at bench SFs, and at
+        # cluster scale the same setting is what bounds the M×R tiny-
+        # block blowup (fewer, larger reduce partitions). The advisory
+        # size stays env-tunable for cluster profiles; 64m is Spark's
+        # default and the right local value.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic timestamp semantics regardless of host TZ.

@@ -546,10 +546,15 @@ class BloomPrefilteredIncrementalDedupSink(
             flags.filter("__suspect").select(self.id_col), self.id_col
         )
         cleared = flags.filter(~F.col("__suspect")).select(self.id_col)
-        # telemetry: two cached-block counts on the checkpointed flags
-        n_suspect = flags.filter("__suspect").count()
+        # telemetry: ONE agg over the checkpointed flags (total +
+        # suspect count in the same cached-block scan — was two jobs)
+        trow = flags.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__suspect").cast("long")).alias("__ns"),
+        ).collect()[0]
+        n_suspect = int(trow["__ns"] or 0)
         self.last_prefilter_stats = (
-            flags.count() - n_suspect,
+            int(trow["__n"]) - n_suspect,
             n_suspect,
         )
         st_clear = cleared.select(
@@ -1059,9 +1064,14 @@ class BloomPrefilteredEmbeddingDedupSink(IncrementalEmbeddingDedupSink):
         suspects = inc.join(
             flags.filter("__suspect").select(self.id_col), self.id_col
         )
-        n_suspect = flags.filter("__suspect").count()
+        # ONE agg for both telemetry counts (see the text sink above)
+        trow = flags.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__suspect").cast("long")).alias("__ns"),
+        ).collect()[0]
+        n_suspect = int(trow["__ns"] or 0)
         self.last_prefilter_stats = (
-            flags.count() - n_suspect,
+            int(trow["__n"]) - n_suspect,
             n_suspect,
         )
         st_clear = flags.filter(~F.col("__suspect")).select(
