@@ -66,19 +66,16 @@ def get_spark(
         # main.py:12; we turn on the full set).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions toward the advisory SIZE
-        # rather than preserving parallelism (the Spark tuning guide's
-        # own production recommendation): parallelismFirst=true keeps
-        # dozens of near-empty reduce tasks alive on every small
-        # exchange — pure scheduling overhead at bench SFs, and at
-        # cluster scale the same setting is what bounds the M×R tiny-
-        # block blowup (fewer, larger reduce partitions). The advisory
-        # size stays env-tunable for cluster profiles; 64m is Spark's
-        # default and the right local value.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
-        )
+        # coalescePartitions.parallelismFirst stays at Spark's default
+        # (true). Measured in the r8 optimization round: =false
+        # (coalesce toward the advisory size, the tuning guide's
+        # production suggestion) showed a -10% mix win in ONE load
+        # window that did NOT reproduce across windows, while its harm
+        # was reproducible — the Python-state streaming arm
+        # (stateful_sessionization) lost ~40% in every interleaved A/B
+        # (CPU-heavy small-byte stages get coalesced onto too few
+        # partitions: advisory sizing assumes cost ∝ bytes). Advisory
+        # size itself is env-tunable for cluster profiles.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
