@@ -142,6 +142,26 @@ def main() -> int:
             fh.write(full_line + "\n")
     except OSError:
         pass  # sidecar is best-effort; stdout layers still stand
+    # Compact per-query layer (VERDICT r8 #2): the full 200+-entry map
+    # above does not survive the driver's ~2 KB stdout tail capture, so
+    # round-over-round PERF comparison lost its per-query table. Print
+    # the 25 slowest medians as ONE short line (~1.2 KB) right before
+    # the final summary — both fit the tail together. The headline
+    # summary stays the LAST line so the driver's "one JSON line with
+    # metric/value" parse is untouched (additions-only).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "top25_slowest_query_median_seconds",
+                "unit": "sec",
+                "sf": summary["sf"],
+                "queries_top25": slowest,
+            }
+        )
+    )
     # Compact summary LAST: survives tail-capture truncation.
     print(json.dumps(summary))
     spark.stop()

@@ -45,17 +45,27 @@ def lit_double_array(xs: list[float]) -> Column:
     ``F.lit(list)`` builds one Py4J column object per ELEMENT (~400 ms
     for a 8x64 model on this driver — measured, r8 optimization
     round); a single parsed SQL string is ~2 ms with bit-identical
-    values. Non-finite values fall back to the slow exact path."""
-    if not xs or not all(math.isfinite(float(x)) for x in xs):
+    values. Non-finite values fall back to the slow exact path.
+
+    Empty input raises (ADVICE r8): ``F.lit([])`` would produce an
+    ``array<void>`` literal that silently fails type unification in any
+    ``zip_with``/``aggregate`` against ``array<double>`` — callers
+    always have dim > 0, so fail loudly instead."""
+    if not xs:
+        raise ValueError("lit_double_array: empty input")
+    if not all(math.isfinite(float(x)) for x in xs):
         return F.lit([float(x) for x in xs])
     return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
 
 
 def lit_double_matrix(mat: list[list[float]]) -> Column:
     """``array<array<double>>`` literal in ONE driver call (see
-    :func:`lit_double_array` for why not ``F.lit``)."""
-    if not mat or not all(
-        row and all(math.isfinite(float(x)) for x in row) for row in mat
+    :func:`lit_double_array` for why not ``F.lit``; empty input/rows
+    raise for the same ``array<void>`` reason — ADVICE r8)."""
+    if not mat or not all(mat):
+        raise ValueError("lit_double_matrix: empty matrix or empty row")
+    if not all(
+        all(math.isfinite(float(x)) for x in row) for row in mat
     ):
         return F.lit([[float(x) for x in row] for row in mat])
     body = ",".join(

@@ -750,19 +750,25 @@ def embedding_near_dup_pairs(
     caps away true pairs along with noise — fix the geometry, don't
     lean on the guard.
     """
-    if bands is None:
-        rows = srp_rows_per_band(df.count(), n_bits)
-        bands = max(1, n_bits // rows)
-    rows = n_bits // bands
+    from ..plans.layout import checkpoint_with_count
+
     # Same materialization discipline as minhash_dedup_pairs: the band
     # self-join consumes the signature frame from two concurrent
     # stages, and the verification stage consumes the candidate set
     # from several join branches — both are NARROW (id + bitstring /
     # id pairs) and checkpointing them prevents the hyperplane dot
-    # products from re-running per consumer.
-    sigs = hyperplane_signatures(
-        df, id_col, vec_col, dim, n_bits, seed
-    ).localCheckpoint(eager=True)
+    # products from re-running per consumer. The corpus count that
+    # sizes the auto-banded geometry is read off the SAME fused
+    # materialization job (signatures are a pure projection — one row
+    # per input row), so the bands=None path no longer pays a separate
+    # column-pruned count scan of the raw input.
+    sigs, n_rows = checkpoint_with_count(
+        hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed)
+    )
+    if bands is None:
+        rows = srp_rows_per_band(n_rows, n_bits)
+        bands = max(1, n_bits // rows)
+    rows = n_bits // bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -797,12 +803,74 @@ def embedding_near_dup_pairs(
     )
 
 
+#: Edge-count ceiling under which :func:`duplicate_components` solves
+#: the components driver-side (union-find over the COLLECTED canonical
+#: edge list) instead of running the distributed star loop. Same memory
+#: class as :data:`..plans.layout.BROADCAST_ROW_THRESHOLD`: every
+#: downstream consumer feeds the component map through a guarded
+#: ``F.broadcast`` anyway, and a broadcast COLLECTS the rows to the
+#: driver first — so the collect here admits nothing the existing plan
+#: did not already ship driver-side. Above the ceiling the log-round
+#: star loop runs unchanged (the 100 TB arm).
+DRIVER_CC_EDGE_THRESHOLD = 1_000_000
+
+
+def _driver_components(
+    edges: DataFrame, _stats: dict | None
+) -> DataFrame:
+    """Union-find over a measured-small collected edge list — one
+    driver pass instead of 5-8 distributed star rounds whose each
+    convergence count spawns ~5 AQE stage jobs (measured: the star loop
+    is ~40 of ``dedup_collapsed_components``' 50 construction jobs at
+    bench SF while the graph is a few thousand edges). Union always
+    keeps the SMALLER root as parent, so each final root is exactly the
+    component minimum — the star forest's labels, bit-for-bit."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    if _stats is not None:
+        _stats["rounds"] = 0
+        _stats["converged"] = True
+        _stats["driver_collapse"] = True
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("component", id_type),
+        ]
+    )
+    data = [(v, find(v)) for v in nodes]
+    return edges.sparkSession.createDataFrame(data, schema)
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
     _stats: dict | None = None,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → duplicate
     GROUPS (doc_id, component), component = min doc id reachable.
@@ -834,6 +902,20 @@ def duplicate_components(
 
     ``_stats``, when given, receives ``{"rounds": k, "converged": b}``
     (test/observability hook).
+
+    **Driver arm** (r9 optimization, guide §1.2 "remove passes"): the
+    canonical edge list's measured count — read off the same fused
+    checkpoint job that always ran — arms a driver-side union-find when
+    the graph fits :data:`DRIVER_CC_EDGE_THRESHOLD` (identical labels:
+    min-id per component; see :func:`_driver_components` for why the
+    collect is memory-equivalent to the guarded broadcast every
+    consumer already applies to the RESULT). A verified near-dup pair
+    graph is a corpus SLIVER by construction (it is what LSH exists to
+    produce), so at bench SFs this removes the entire star loop; a
+    boilerplate-heavy crawl whose graph exceeds the ceiling takes the
+    distributed loop unchanged. ``driver_threshold`` overrides the
+    ceiling (0 disables — the round-bound test pins the distributed
+    arm explicitly).
     """
     import warnings
 
@@ -841,26 +923,33 @@ def duplicate_components(
     # loops, distinct. Both star operations preserve this invariant
     # (they only ever emit (v, m) with m < v), so the star forest at
     # convergence reads off directly as (node, component-min).
-    edges = (
+    from ..plans.layout import checkpoint_with_count
+
+    edges, prev_n = checkpoint_with_count(
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
             F.least(F.col(id_a), F.col(id_b)).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    limit = (
+        DRIVER_CC_EDGE_THRESHOLD
+        if driver_threshold is None
+        else driver_threshold
+    )
+    if prev_n <= limit:
+        return _driver_components(edges, _stats)
     converged = False
     rounds = 0
-    prev_n = edges.count()
     for rounds in range(1, max_iters + 1):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(
-            eager=True
+        # checkpoint_with_count fuses each round's materialization and
+        # its convergence count into ONE job (the count carried from the
+        # previous round already saved the recount; the exceptAll check
+        # short-circuits away whenever the counts differ).
+        new_edges, n = checkpoint_with_count(
+            _small_star(_large_star(edges))
         )
-        # Carry the previous round's count instead of recounting the
-        # old checkpoint — one fewer job per round; the exceptAll
-        # check short-circuits away whenever the counts differ.
-        n = new_edges.count()
         converged = (
             n == prev_n
             and new_edges.exceptAll(edges).limit(1).count() == 0
@@ -1284,8 +1373,9 @@ def kcore_peel(
     need cross-engine parity pin it (the loop's early exit on a stable
     edge count is value-identical to running the remaining rounds).
     """
-    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    n_edges = e.count()
+    from ..plans.layout import checkpoint_with_count
+
+    e, n_edges = checkpoint_with_count(edges.select("id_a", "id_b"))
     for _ in range(max_rounds):
         if n_edges == 0:
             break
@@ -1296,13 +1386,12 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         alive = deg.filter(F.col("deg") >= k).select("node")
-        e = (
+        # one job per peel round: materialize + count fused
+        e, n_now = checkpoint_with_count(
             e.join(alive.withColumnRenamed("node", "id_a"), "id_a")
             .join(alive.withColumnRenamed("node", "id_b"), "id_b")
             .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
         )
-        n_now = e.count()
         if n_now == n_edges:  # converged: further rounds are no-ops
             break
         n_edges = n_now
@@ -1385,18 +1474,26 @@ def min_label_propagation(
                 ),
                 (F.col("cand") < F.col("lbl")).alias("__improved"),
             )
-            .localCheckpoint(eager=True)  # flat lineage per superstep
+            # LAZY checkpoint: the agg below is the frame's first (and
+            # only concurrent) action, so ONE job materializes the
+            # superstep's blocks AND measures both counts — vs three
+            # jobs (eager checkpoint, round-1 size count, frontier
+            # count) before. Lineage still truncates per superstep.
+            .localCheckpoint(eager=False)
         )
-        # Round 1's size is the label-set count; read it off the
-        # just-checkpointed `updated` (one row per node, identical
-        # count) so it's a cached block scan, never a recompute of the
-        # caller's raw `labels` lineage (ADVICE r5).
+        # node count = round 1's label-set size (one row per node,
+        # never a recompute of the caller's raw `labels` lineage —
+        # ADVICE r5); improved-true count = the next frontier's size.
+        counts = updated.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("__improved"), True)).alias("__imp"),
+        ).first()
         sizes.append(
-            n_frontier if n_frontier is not None else updated.count()
+            n_frontier if n_frontier is not None else counts["__n"]
         )
         frontier = updated.filter("__improved").select("node", "lbl")
         labels = updated.select("node", "lbl")
-        n_frontier = frontier.count()  # checkpointed: cheap block scan
+        n_frontier = counts["__imp"]
         if n_frontier == 0:  # fixpoint: the superstep changed nothing
             return labels, rounds, sizes
     raise RuntimeError(

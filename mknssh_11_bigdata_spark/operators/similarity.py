@@ -251,10 +251,10 @@ def ivf_topk(
     tested against ``brute_force_topk`` (tests/test_similarity.py).
     """
     # The centroid model is collected ONCE (k rows — model-sized) and
-    # serves both consumers: corpus assignment reads it as a literal
-    # matrix, query probing as a driver-built broadcast frame. One
-    # action total; float→double widening through collect is exact, so
-    # the literals reproduce the in-plan cast bit-for-bit.
+    # serves both consumers — corpus assignment AND query probing — as
+    # literal matrices. One action total; float→double widening through
+    # collect is exact, so the literals reproduce the in-plan cast
+    # bit-for-bit.
     if centroids is not None:
         cent_rows = centroids.collect()
     else:
@@ -271,9 +271,6 @@ def ivf_topk(
     cent_model = [
         (r["centroid_id"], list(r["__cent"])) for r in cent_rows
     ]
-    cent = corpus.sparkSession.createDataFrame(
-        cent_model, "centroid_id long, __cent array<double>"
-    )
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -294,18 +291,41 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__qsim").desc(), F.col("centroid_id").asc()
+    # Probe = top n_probe cells by (rounded cosine desc, id asc), as a
+    # literal array_sort + slice + explode over the SAME centroid model
+    # the assignment uses — ``ivf_pq_topk``'s probe shape (r8 "not yet"
+    # list). The previous crossJoin(broadcast(cent)) + row_number form
+    # paid a window Exchange on query_id plus a driver-built broadcast
+    # frame; this one is a map-only projection over the query scan —
+    # one fewer Exchange, no broadcast build. Values are identical:
+    # rounded-6 cosine, ties toward the smaller centroid id (the
+    # (-sim, cid) struct sort ≡ ORDER BY sim DESC, cid ASC).
+    ordered = sorted(cent_model, key=lambda t: t[0])
+    cent_mat = lit_double_matrix([list(cv) for _, cv in ordered])
+    cent_ids = lit_int_array([cid for cid, _ in ordered])
+    sims = F.transform(
+        cent_mat,
+        lambda cv: F.round(cosine_similarity(F.col("__qv"), cv), 6),
     )
-    probed = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "__qsim",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cent")), 6),
-        )
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "centroid_id")
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                sims,
+                cent_ids,
+                lambda s_, i: F.struct(
+                    (-s_).alias("neg"), i.alias("cid")
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probed = q.select(
+        "query_id",
+        "__qv",
+        F.explode(ranked_cells).alias("__pc"),
+    ).select(
+        "query_id", "__qv", F.col("__pc.cid").alias("centroid_id")
     )
     scored = assigned.join(probed, "centroid_id").withColumn(
         "cosine",

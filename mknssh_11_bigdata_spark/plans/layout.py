@@ -19,13 +19,42 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread", "salted_agg", "zorder_key", "broadcast_if_small"]
+__all__ = [
+    "spread",
+    "salted_agg",
+    "zorder_key",
+    "broadcast_if_small",
+    "checkpoint_with_count",
+]
 
 #: Default row-count ceiling under which :func:`broadcast_if_small` arms
 #: the broadcast hint. 1M narrow (id, component) rows ≈ tens of MB — well
 #: inside executor broadcast budgets; above it the plain join lets AQE
 #: decide from runtime size statistics.
 BROADCAST_ROW_THRESHOLD = 1_000_000
+
+
+def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize a localCheckpoint AND measure its row count in ONE
+    Spark job (guide §1.2: remove passes). ``localCheckpoint(eager=False)``
+    marks the plan's RDD persist-on-first-compute; the immediate
+    ``count()`` IS that first compute, so the single job both caches
+    every block and returns the count. The eager+count form the
+    checkpointed loops used before costs two jobs per call site
+    (materialize, then re-scan the cached blocks to count) — at bench SF
+    that doubles the per-round job overhead of every guarded broadcast
+    and every iterative-algorithm round; at cluster scale it is one
+    scheduler round-trip instead of two.
+
+    Safe because the count is the frame's FIRST action and its only
+    concurrent consumer at that moment — later consumers (joins, aggs,
+    next rounds) read the already-persisted blocks exactly as with
+    ``eager=True``. (A LAZY checkpoint handed to multiple concurrent
+    first consumers would race and recompute — the measured 6× failure
+    mode that keeps ``minhash_dedup_pairs``' checkpoints eager.)
+    """
+    df = df.localCheckpoint(eager=False)
+    return df, df.count()
 
 
 def broadcast_if_small(
@@ -39,15 +68,16 @@ def broadcast_if_small(
     scale (the map is a pair-graph sliver) but a fleet-wide OOM on a
     boilerplate-heavy crawl, where dup members run 30–50% of the corpus
     and the map is corpus-scale. This helper localCheckpoints the frame
-    (eager — so the count below AND the downstream join both read cached
-    blocks instead of recomputing the LSH/components lineage) and
-    attaches the hint only when the measured count fits ``threshold``.
-    Over the limit it returns the checkpointed frame plain: AQE is still
-    free to broadcast if its runtime size stats say it fits — we only
-    refuse to FORCE it.
+    (via :func:`checkpoint_with_count` — the count that arms the hint
+    and the block materialization are ONE job, and the downstream join
+    reads the cached blocks instead of recomputing the LSH/components
+    lineage) and attaches the hint only when the measured count fits
+    ``threshold``. Over the limit it returns the checkpointed frame
+    plain: AQE is still free to broadcast if its runtime size stats say
+    it fits — we only refuse to FORCE it.
     """
-    df = df.localCheckpoint(eager=True)
-    return F.broadcast(df) if df.count() <= threshold else df
+    df, n = checkpoint_with_count(df)
+    return F.broadcast(df) if n <= threshold else df
 
 
 def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:

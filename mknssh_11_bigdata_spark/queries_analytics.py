@@ -846,6 +846,12 @@ def _contamination_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .join(hits, "doc_id", "left")
         .withColumn("nhit", F.coalesce(F.col("nhit"), F.lit(0)))
+        # EAGER stays: ``doc_contamination_tiers`` consumes this frame
+        # from two concurrent branches of one plan (the total-count
+        # broadcast and the tier agg) — a lazy first materialization
+        # there would race both branches into recomputing the corpus
+        # explode+join. Single-consumer call sites fuse their own
+        # downstream checkpoints instead.
         .localCheckpoint(eager=True)  # doc-count-sized; feeds consumers
     )
 
@@ -981,8 +987,10 @@ def decontaminated_split_assignments(
     # inner join: non-eval docs only. The frame feeds BOTH the
     # group-max agg and the final reroute join — narrow (3 cols,
     # doc-count-sized), so checkpoint once instead of re-running the
-    # contamination + components lineage per consumer.
-    j = base.join(a, "doc_id").localCheckpoint(eager=True)
+    # contamination + components lineage per consumer. LAZY: its first
+    # action is the group-max guard count below (single consumer),
+    # which materializes these blocks in the same job.
+    j = base.join(a, "doc_id").localCheckpoint(eager=False)
     ghit = j.groupBy("group_id").agg(F.max("nhit").alias("g_nhit"))
     return j.join(broadcast_if_small(ghit), "group_id").select(
         "doc_id",
@@ -1136,8 +1144,10 @@ def curation_decontaminated_assignments(
     base = _contamination_base(spark, sf_dir).select("doc_id", "nhit")
     # inner join: survivors only (all non-eval by construction). The
     # frame feeds the group-max agg AND the split projection — narrow
-    # (3 cols, survivor-count-sized), checkpoint once.
-    j = g.join(base, "doc_id").localCheckpoint(eager=True)
+    # (3 cols, survivor-count-sized), checkpoint once. LAZY: the
+    # group-max guard count below is its first (single) consumer and
+    # materializes the blocks in the same job.
+    j = g.join(base, "doc_id").localCheckpoint(eager=False)
     a = deterministic_split(j, "group_id")
     ghit = j.groupBy("group_id").agg(F.max("nhit").alias("g_nhit"))
     return a.join(broadcast_if_small(ghit), "group_id").select(
@@ -1984,11 +1994,15 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    rows = srp_rows_per_band(emb.count(), SRP_BITS)
+    from .plans.layout import checkpoint_with_count
+
+    # The band-sizing count rides the signature materialization job
+    # (pure projection — same row count as `emb`): one job, not two.
+    sigs, n_emb = checkpoint_with_count(
+        hyperplane_signatures(emb, "vec_id", "v", EMB_DIM, SRP_BITS)
+    )
+    rows = srp_rows_per_band(n_emb, SRP_BITS)
     bands_n = SRP_BITS // rows
-    sigs = hyperplane_signatures(
-        emb, "vec_id", "v", EMB_DIM, SRP_BITS
-    ).localCheckpoint(eager=True)
     banded = sigs.select(
         "vec_id",
         F.posexplode(
@@ -2858,11 +2872,24 @@ def _pagerank_ranks(
             links.select(F.col("p").alias("src"), F.col("s").alias("dst"))
         )
         .repartition(parallelism, "dst")  # one shuffle, reused 8 rounds
-        .localCheckpoint(eager=True)  # feeds deg + every round
+        .localCheckpoint(eager=True)  # feeds deg + the deg-attach join
     )
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    # Attach each src's degree to the edge table ONCE (broadcast join —
+    # no exchange, so the dst hash-partitioning survives into the
+    # checkpoint). Every round's share is then computed per edge row as
+    # ``pr DIV deg`` — bit-identical integer floor division on the same
+    # (pr, deg) pairs — and the per-round broadcast side shrinks to the
+    # plain rank sliver: the previous shape rebuilt a ranks⋈deg shares
+    # join inside every round's broadcast build (guide §1.2: that pass
+    # repeats 8× for a value that never changes).
+    edges = (
+        edges.join(F.broadcast(deg), edges.src == deg.node)
+        .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
     ranks = deg.select(
@@ -2870,17 +2897,14 @@ def _pagerank_ranks(
     )
     deltas: list[DataFrame] = []
     for rnd in range(1, _PAGERANK_ROUNDS + 1):
-        shares = ranks.join(deg, "node").select(
-            "node", F.expr("pr DIV deg").alias("share")
-        )
         prev = ranks
         ranks = (
-            edges.join(F.broadcast(shares), edges.src == shares.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
                     F.lit(_PAGERANK_BASE)
-                    + F.expr("(85 * sum(share)) DIV 100")
+                    + F.expr("(85 * sum(pr DIV deg)) DIV 100")
                 )
                 .cast("long")
                 .alias("pr")

@@ -112,16 +112,24 @@ def normalize_event_time(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
-#: Resolved-table memo: (applicationId, path, size, mtime) -> DataFrame.
-#: A DataFrame is an immutable PLAN — reusing it is the reference's own
-#: load-once pattern (data_processing.load_tables) and skips the
-#: ~50-100 ms per call that spark.read.parquet spends re-resolving the
-#: source (footer schema read + file listing) — a pure driver-side cost
-#: paid by every query's construction. No DATA is cached: every action
-#: on the returned frame still scans the parquet files. Keyed on the
-#: file's (size, mtime) so a regenerated table re-resolves, and on the
-#: applicationId so a new SparkContext never sees a stale plan.
-_TABLE_PLAN_MEMO: dict[tuple[str, str, int, int], DataFrame] = {}
+#: Resolved-table memo: (applicationId, session id, path, size, mtime)
+#: -> DataFrame. A DataFrame is an immutable PLAN — reusing it is the
+#: reference's own load-once pattern (data_processing.load_tables) and
+#: skips the ~50-100 ms per call that spark.read.parquet spends
+#: re-resolving the source (footer schema read + file listing) — a pure
+#: driver-side cost paid by every query's construction. No DATA is
+#: cached: every action on the returned frame still scans the parquet
+#: files. Keyed on the file's (size, mtime) so a regenerated table
+#: re-resolves, on the applicationId so a new SparkContext never sees a
+#: stale plan, and on id(spark) so a sibling session (spark.newSession()
+#: — different session-level confs at analysis time) never receives a
+#: plan analyzed under another session's confs (ADVICE r8).
+#:
+#: SINGLE-FILE assumption (ADVICE r8): testdata tables are one parquet
+#: FILE each, so (size, mtime_ns) of the path is a content fingerprint.
+#: For a directory-style dataset an in-place part-file rewrite would not
+#: bump the directory stat — directory paths therefore bypass the memo.
+_TABLE_PLAN_MEMO: dict[tuple[str, int, str, int, int], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -129,6 +137,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
+        if not os.path.isfile(path):
+            raise OSError  # directory dataset: stat key unsafe, skip memo
         sc = spark.sparkContext
         # applicationId is a Py4J round-trip (~5 ms); pin it on the
         # context object once — a new SparkContext is a new object.
@@ -138,6 +148,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             sc.__dict__["_mknssh_app_id"] = app_id
         key = (
             app_id,
+            id(spark),
             os.path.abspath(path),
             st.st_size,
             st.st_mtime_ns,

@@ -327,12 +327,52 @@ def test_duplicate_components_long_chain_log_rounds(spark):
     stats: dict = {}
     out = {
         r.doc_id: r.component
-        for r in duplicate_components(pairs, _stats=stats).collect()
+        # driver_threshold=0 pins the DISTRIBUTED star loop — this test
+        # certifies its round bound, which the r9 driver union-find arm
+        # would otherwise bypass on a 63-edge graph.
+        for r in duplicate_components(
+            pairs, _stats=stats, driver_threshold=0
+        ).collect()
     }
     assert set(out.values()) == {0}
     assert len(out) == 64
     assert stats["converged"]
     assert stats["rounds"] <= 8, stats  # log₂(64)=6 + slack, ≪ 63
+
+
+def test_duplicate_components_driver_arm_matches_distributed(spark):
+    """The measured-count-guarded driver union-find (r9 optimization)
+    must produce EXACTLY the distributed star loop's labels — min doc
+    id per component, one row per node that appears in any edge."""
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    # chains, a cycle, a star, singleton pairs, duplicate + reversed
+    # edges and self-loops (canonicalization must collapse them)
+    raw = (
+        [(i, i + 1) for i in range(10, 20)]
+        + [(30, 31), (31, 32), (32, 30)]
+        + [(40, 41), (40, 42), (40, 43)]
+        + [(50, 51), (51, 50), (7, 7), (60, 61), (61, 60), (60, 61)]
+    )
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+    stats_drv: dict = {}
+    drv = {
+        (r.doc_id, r.component)
+        for r in duplicate_components(pairs, _stats=stats_drv).collect()
+    }
+    dist = {
+        (r.doc_id, r.component)
+        for r in duplicate_components(
+            pairs, driver_threshold=0
+        ).collect()
+    }
+    assert stats_drv.get("driver_collapse") is True
+    assert stats_drv["converged"] and stats_drv["rounds"] == 0
+    assert drv == dist
+    # self-loop node 7 must NOT appear (no real edge)
+    assert all(d != 7 for d, _ in drv)
 
 
 def test_hot_bucket_guard_drops_pathological_bucket(spark):

@@ -1,8 +1,10 @@
 """Per-query profile: driver-side construction time (incl. fit actions)
 vs noop-sink execution time, plus job counts. Usage:
     python tools/query_profile.py name1 name2 ... [--sf DIR]
-Prints one line per query: name construct_s exec_s jobs (median of 2
-recorded passes after one warmup pass)."""
+Prints one line per query: name construct_s exec_s jobs — a true median
+of 3 recorded passes after one warmup pass (ADVICE r8: 2 recorded
+samples made sorted[n//2] the MAX); jobs columns are from the first
+recorded pass only (job counts are deterministic per query shape)."""
 import os, sys, time
 
 sys.path.insert(0, "/root/repo")
@@ -36,7 +38,7 @@ def one(name):
     return t1 - t0, t2 - t1, j1 - j0, j2 - j1
 
 results = {}
-for sweep in range(3):
+for sweep in range(4):  # 1 warmup + 3 recorded: odd count => true median
     for name in names:
         r = one(name)
         if sweep:
