@@ -1102,7 +1102,14 @@ def incremental_dedup_status(
         F.col(id_col).alias("__cid"),
     )
     # Tiny output (one row per duplicated increment doc); consumed by
-    # the anti-join AND the final status select — materialize once.
+    # the anti-join AND the final status select — checkpoint once.
+    # LAZY (r9): unlike minhash_dedup_pairs' SELF-joined signatures,
+    # nothing here is consumed twice inside one job before it is
+    # materialized — `exact` and `sig_i` sit on the increment side of
+    # the band join, `sig_c` on the corpus side, each in exactly one
+    # stage of the `cands` materialization below, which computes and
+    # persists all three in that single action (3 construction jobs
+    # removed; every later consumer reads the cached blocks).
     exact = (
         increment.select(
             F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
@@ -1110,18 +1117,16 @@ def incremental_dedup_status(
         .join(cfp, "fp")
         .groupBy(id_col)
         .agg(F.min("__cid").alias("__ex"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     surv = increment.join(exact.select(id_col), id_col, "left_anti")
 
-    # Same materialization discipline as minhash_dedup_pairs: both
-    # signature frames are narrow and each feeds multiple stages.
     sig_c = minhash_signatures(
         corpus, id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sig_i = minhash_signatures(
         surv, id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     melt_c = melt_band_keys(sig_c, id_col, bands, rows)
     if max_bucket_size is not None:
         melt_c = cap_bucket_size(melt_c, max_bucket_size)
@@ -1416,11 +1421,73 @@ def _superstep_candidates(
     )
 
 
+def _driver_label_propagation(
+    labels: DataFrame,
+    edges: DataFrame,
+    max_rounds: int,
+) -> tuple[DataFrame, int, list[int]]:
+    """The superstep loop simulated driver-side over COLLECTED label
+    and edge slivers — round-for-round identical to the distributed
+    loop (same left-join-keyed update, same frontier definition, same
+    sizes telemetry, same non-convergence error), so the convergence
+    query's rows and the election's labels are bit-equal. Armed only
+    under measured counts (see :func:`min_label_propagation`); the
+    collect is the same driver-memory class as the broadcast the
+    distributed loop's own guard would force at these sizes."""
+    from collections import defaultdict
+
+    lbl = {r[0]: r[1] for r in labels.collect()}
+    adj = defaultdict(list)
+    for r in edges.select("src", "dst").collect():
+        adj[r[0]].append(r[1])
+    frontier = dict(lbl)  # round 1 considers every label "new"
+    n_frontier: int | None = None
+    sizes: list[int] = []
+    for rounds in range(1, max_rounds + 1):
+        cand: dict = {}
+        for s, l in frontier.items():
+            for d in adj.get(s, ()):
+                c = cand.get(d)
+                if c is None or l < c:
+                    cand[d] = l
+        sizes.append(n_frontier if n_frontier is not None else len(lbl))
+        frontier = {}
+        for d, c in cand.items():
+            # left-join semantics: candidates for nodes outside the
+            # label table are dropped, exactly as the distributed join
+            if d in lbl and c < lbl[d]:
+                lbl[d] = c
+                frontier[d] = c
+        n_frontier = len(frontier)
+        if n_frontier == 0:
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", labels.schema[0].dataType),
+                    StructField("lbl", labels.schema[1].dataType),
+                ]
+            )
+            out = labels.sparkSession.createDataFrame(
+                list(lbl.items()), schema
+            )
+            return out, rounds, sizes
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} "
+        "supersteps — this graph has high-diameter chains; use "
+        "duplicate_components (large-star/small-star, log rounds) "
+        "to build components instead of plain propagation."
+    )
+
+
 def min_label_propagation(
     labels: DataFrame,
     edges: DataFrame,
     max_rounds: int = 12,
     broadcast_threshold: int = 1_000_000,
+    n_labels: int | None = None,
+    n_edges: int | None = None,
+    driver_threshold: int | None = None,
 ) -> tuple[DataFrame, int, list[int]]:
     """Frontier-style min-label propagation to FIXPOINT — the plain
     Pregel superstep loop (vs :func:`duplicate_components`'s
@@ -1458,7 +1525,30 @@ def min_label_propagation(
     fixpoint superstep re-propagated — convergence telemetry, exposed
     as data by the registered ``dedup_label_propagation_convergence``
     query).
+
+    **Driver arm** (r9, same discipline as ``duplicate_components``):
+    when the caller supplies MEASURED ``n_labels``/``n_edges`` (read
+    for free off its own fused checkpoint jobs) and both fit
+    ``driver_threshold`` (default :data:`DRIVER_CC_EDGE_THRESHOLD`),
+    the superstep loop runs driver-side over the collected slivers —
+    identical labels, rounds and sizes, none of the per-round
+    distributed job overhead. At these sizes the distributed loop's
+    own broadcast guard would force the whole frontier driver-side
+    anyway. Without the counts (or above the ceiling) the distributed
+    loop runs unchanged.
     """
+    limit = (
+        DRIVER_CC_EDGE_THRESHOLD
+        if driver_threshold is None
+        else driver_threshold
+    )
+    if (
+        n_labels is not None
+        and n_edges is not None
+        and n_labels <= limit
+        and n_edges <= limit
+    ):
+        return _driver_label_propagation(labels, edges, max_rounds)
     frontier = labels  # round 1 considers every label "new"
     n_frontier: int | None = None  # unknown until measured — never force
     sizes: list[int] = []
@@ -1563,6 +1653,9 @@ def incremental_dedup_status_indexed(
     operator's behavior at a fraction of the cost.
     """
     rows = num_hashes // bands
+    # LAZY (r9): `exact`'s first consumer is sig_i's eager
+    # materialization just below (single stage), which computes and
+    # persists it in the same job — one construction job removed.
     exact = (
         increment.select(
             F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
@@ -1570,9 +1663,12 @@ def incremental_dedup_status_indexed(
         .join(fp_index.withColumnRenamed(id_col, "__cid"), "fp")
         .groupBy(id_col)
         .agg(F.min("__cid").alias("__ex"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     surv = increment.join(exact.select(id_col), id_col, "left_anti")
+    # EAGER stays: sig_i feeds BOTH sides of the cands join below (the
+    # increment band melt AND, via probe_keys, the index restriction) —
+    # two concurrent stages would race a lazy first materialization.
     sig_i = minhash_signatures(
         surv, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
@@ -1682,18 +1778,16 @@ def incremental_embedding_dedup_status(
     persisted index pins its geometry; re-index when the n-scaling
     ladder steps).
     """
-    if bands is None:
-        if corpus_band_index is not None:
-            raise ValueError(
-                "corpus_band_index pins the band geometry — pass the "
-                "explicit `bands` it was built with, or n-scaled "
-                "increment bands will silently probe the wrong keys."
-            )
-        rows = srp_rows_per_band(corpus.count(), n_bits)
-        bands = max(1, n_bits // rows)
-    rows = n_bits // bands
+    if bands is None and corpus_band_index is not None:
+        raise ValueError(
+            "corpus_band_index pins the band geometry — pass the "
+            "explicit `bands` it was built with, or n-scaled "
+            "increment bands will silently probe the wrong keys."
+        )
 
     def _banded(sig_df: DataFrame) -> DataFrame:
+        # late-bound: called only after `bands` is resolved below
+        rows = n_bits // bands
         return sig_df.select(
             F.col(id_col),
             F.posexplode(
@@ -1727,8 +1821,23 @@ def incremental_embedding_dedup_status(
                     increment, id_col, vec_col, dim, n_bits, seed
                 ).withColumn("__side", F.lit(1))
             )
-            .localCheckpoint(eager=True)
         )
+        if bands is None:
+            # n-scale from the CORPUS count, read off the union's own
+            # fused materialization (lazy checkpoint + single-consumer
+            # agg = ONE job) instead of a separate corpus scan. All
+            # later consumers — including the concurrent band self-join
+            # stages — read the blocks this agg persisted.
+            both = both.localCheckpoint(eager=False)
+            n_corpus = both.agg(
+                F.count(F.when(F.col("__side") == 0, True))
+            ).first()[0]
+            rows = srp_rows_per_band(n_corpus, n_bits)
+            bands = max(1, n_bits // rows)
+        else:
+            # Explicit geometry: nothing to fuse with — materialize
+            # eagerly (bi below feeds two concurrent join stages).
+            both = both.localCheckpoint(eager=True)
         sig_i = both.filter("__side = 1").drop("__side")
         bc_full = _banded(both.filter("__side = 0").drop("__side"))
     bi = _banded(sig_i)

@@ -3291,7 +3291,11 @@ def dedup_canonical_label_propagation(
         ),
         "doc_id",
     )
-    rk = (
+    from .plans.layout import checkpoint_with_count
+
+    # feeds the loop AND the final join; the count rides the same
+    # materialization job and arms the propagation's driver arm
+    rk, n_nodes = checkpoint_with_count(
         global_rank_cumsum(
             scored,
             order_by=[
@@ -3301,23 +3305,24 @@ def dedup_canonical_label_propagation(
             ],
             value_col="n_chars",  # rank only; the prefix sum is unused
             rank_out="lbl",
-        )
-        .select(F.col("doc_id").alias("node"), F.col("lbl"))
-        .localCheckpoint(eager=True)  # feeds the loop AND the final join
+        ).select(F.col("doc_id").alias("node"), F.col("lbl"))
     )
     parallelism = spark.sparkContext.defaultParallelism
-    edges = (
+    edges, n_edges = checkpoint_with_count(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .repartition(parallelism, "dst")  # one shuffle, reused every round
-        .localCheckpoint(eager=True)
     )
     from .operators.dedup import min_label_propagation
 
     labels, _rounds, _sizes = min_label_propagation(
-        rk, edges, max_rounds=_LP_MAX_ROUNDS
+        rk,
+        edges,
+        max_rounds=_LP_MAX_ROUNDS,
+        n_labels=n_nodes,
+        n_edges=n_edges,
     )
     return (
         labels.join(rk.select(F.col("node").alias("canonical_id"), "lbl"), "lbl")
@@ -3399,7 +3404,9 @@ def dedup_label_propagation_convergence(
         ),
         "doc_id",
     )
-    rk = (
+    from .plans.layout import checkpoint_with_count
+
+    rk, n_nodes = checkpoint_with_count(
         global_rank_cumsum(
             scored,
             order_by=[
@@ -3409,21 +3416,22 @@ def dedup_label_propagation_convergence(
             ],
             value_col="n_chars",
             rank_out="lbl",
-        )
-        .select(F.col("doc_id").alias("node"), F.col("lbl"))
-        .localCheckpoint(eager=True)
+        ).select(F.col("doc_id").alias("node"), F.col("lbl"))
     )
     parallelism = spark.sparkContext.defaultParallelism
-    edges = (
+    edges, n_edges = checkpoint_with_count(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .repartition(parallelism, "dst")
-        .localCheckpoint(eager=True)
     )
     _labels, _rounds, sizes = min_label_propagation(
-        rk, edges, max_rounds=_LP_MAX_ROUNDS
+        rk,
+        edges,
+        max_rounds=_LP_MAX_ROUNDS,
+        n_labels=n_nodes,
+        n_edges=n_edges,
     )
     return spark.createDataFrame(
         [(i + 1, int(n)) for i, n in enumerate(sizes)],

@@ -803,6 +803,54 @@ def test_min_label_propagation_fixpoint_and_rounds(spark):
     assert all(a >= b for a, b in zip(sizes2, sizes2[1:]))
 
 
+def test_min_label_propagation_driver_arm_matches_distributed(spark):
+    """The measured-count-armed driver superstep loop (r9) must return
+    the SAME labels, round count, sizes telemetry — and the same
+    non-convergence error — as the distributed loop."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    edges_ud = [(1, 2), (2, 3), (1, 3), (10, 11), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        edges_ud + [(b, a) for a, b in edges_ud], ["src", "dst"]
+    )
+    labels = spark.createDataFrame(
+        [(1, 30), (2, 20), (3, 10), (10, 50), (11, 40), (4, 9), (5, 8), (6, 7)],
+        ["node", "lbl"],
+    ).withColumn("lbl", F.col("lbl").cast("long"))
+    dist = min_label_propagation(labels, edges, max_rounds=12)
+    drv = min_label_propagation(
+        labels,
+        edges,
+        max_rounds=12,
+        n_labels=8,
+        n_edges=12,
+    )
+    assert {tuple(r) for r in drv[0].collect()} == {
+        tuple(r) for r in dist[0].collect()
+    }
+    assert drv[1] == dist[1] and drv[2] == dist[2]
+    # schema parity: consumers join on these columns/types
+    assert drv[0].schema == dist[0].schema
+
+    # non-convergence must raise identically on the driver arm
+    path = [(i, i + 1) for i in range(100, 119)]
+    pedges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], ["src", "dst"]
+    )
+    plabels = spark.createDataFrame(
+        [(n, n) for n in range(100, 120)], ["node", "lbl"]
+    ).withColumn("lbl", F.col("lbl").cast("long"))
+    with pytest.raises(RuntimeError, match="duplicate_components"):
+        min_label_propagation(
+            plabels, pedges, max_rounds=12, n_labels=20, n_edges=38
+        )
+
+
 def test_incremental_embedding_dedup_status_arms_and_cap(spark):
     """Planted certification of every routing arm of the SRP
     incremental probe — verbatim copy (cosine 1.0), perturbed near-dup

@@ -111,16 +111,19 @@ _DTYPE_OK = {
 }
 
 
-def test_fleet_dtype_parity(spark, duck):
+def test_fleet_dtype_parity(fleet_frames, duck):
     """ONE pass over every oracle query comparing the Spark schema
     against the DuckDB result types (schema-only on the DuckDB side:
-    LIMIT 0 execution, no data computed)."""
+    LIMIT 0 execution, no data computed). Spark schemas come from the
+    shared ``fleet_frames`` compile pass (sf0.001) — a query's schema
+    is SF-independent, and rebuilding every frame at sf0.01 was the
+    suite's single slowest test."""
     bad = []
     for name in ORACLE_QUERIES:
         spec = QUERIES[name]
         stypes = {
             f.name.lower(): f.dataType.simpleString()
-            for f in spec.spark(spark, SF_ORACLE).schema.fields
+            for f in fleet_frames[name][0].fields
         }
         rel = duck.execute(
             f"SELECT * FROM ({spec.oracle}) __t LIMIT 0"

@@ -186,19 +186,21 @@ _spec.loader.exec_module(_plan_audit)
 _BOUNDED_WINDOW_OK = _plan_audit.BOUNDED_WINDOW_OK
 
 
-def test_fleet_plan_invariants(spark):
+def test_fleet_plan_invariants(fleet_frames):
     """ONE compile pass over every registered query enforcing the
     fleet-wide scale invariants: (1) no CartesianProduct — every cross
     join must carry a broadcast side; (2) no single-partition window
     (ntile/rank over Window.orderBy with no partition — the one-task
     sort) outside the documented bounded-input set; use
-    operators.relational.global_ntile for global ranking instead."""
+    operators.relational.global_ntile for global ranking instead.
+    (The compile pass itself is the shared session-scoped
+    ``fleet_frames`` fixture — r9: three fleet sweeps each rebuilt
+    every query's frame, tripling ~100 s of construction.)"""
     import re
 
     offenders = []
     for name in QUERIES:
-        df = QUERIES[name].spark(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = fleet_frames[name][1]
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
         if name not in _BOUNDED_WINDOW_OK:
@@ -227,13 +229,13 @@ _PYTHON_STAGE_OK = {
 }
 
 
-def test_no_python_stages_outside_declared_operators(spark):
+def test_no_python_stages_outside_declared_operators(fleet_frames):
     """Fleet-wide invariant: zero row-at-a-time Python UDFs anywhere,
-    and Arrow-batched Python stages only in the declared set."""
+    and Arrow-batched Python stages only in the declared set. (Plans
+    come from the shared ``fleet_frames`` compile pass.)"""
     offenders = []
     for name in QUERIES:
-        df = QUERIES[name].spark(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = fleet_frames[name][1]
         if "BatchEvalPython" in plan:
             offenders.append((name, "row-at-a-time PythonUDF"))
         if (
