@@ -805,14 +805,19 @@ def embedding_near_dup_pairs(
 
 #: Edge-count ceiling under which :func:`duplicate_components` solves
 #: the components driver-side (union-find over the COLLECTED canonical
-#: edge list) instead of running the distributed star loop. Same memory
-#: class as :data:`..plans.layout.BROADCAST_ROW_THRESHOLD`: every
+#: edge list) instead of running the distributed star loop. Every
 #: downstream consumer feeds the component map through a guarded
 #: ``F.broadcast`` anyway, and a broadcast COLLECTS the rows to the
-#: driver first — so the collect here admits nothing the existing plan
-#: did not already ship driver-side. Above the ceiling the log-round
-#: star loop runs unchanged (the 100 TB arm).
-DRIVER_CC_EDGE_THRESHOLD = 1_000_000
+#: driver first — so the collect here ships the same ROWS driver-side
+#: the existing plan already did; but a PYTHON collect pays Row-object
+#: overhead (~hundreds of bytes/row vs tens in the JVM relation), so
+#: the ceiling is set an order of magnitude below
+#: :data:`..plans.layout.BROADCAST_ROW_THRESHOLD` (200k edges ≈ low
+#: tens of MB of Python objects — post-round review sizing). Above the
+#: ceiling the log-round star loop runs unchanged (the 100 TB arm).
+#: Bench-SF pair graphs are a few THOUSAND edges, far under either
+#: number.
+DRIVER_CC_EDGE_THRESHOLD = 200_000
 
 
 def _driver_components(
@@ -938,7 +943,11 @@ def duplicate_components(
         if driver_threshold is None
         else driver_threshold
     )
-    if prev_n <= limit:
+    # limit > 0: driver_threshold=0 must disable the driver arm even
+    # for an EMPTY edge list (0 <= 0 would otherwise still take it —
+    # post-round review finding; the round-bound tests pin the
+    # distributed arm and deserve the arm they asked for).
+    if 0 < limit and prev_n <= limit:
         return _driver_components(edges, _stats)
     converged = False
     rounds = 0
@@ -1543,7 +1552,8 @@ def min_label_propagation(
         else driver_threshold
     )
     if (
-        n_labels is not None
+        0 < limit  # 0 disables, even on an empty graph
+        and n_labels is not None
         and n_edges is not None
         and n_labels <= limit
         and n_edges <= limit

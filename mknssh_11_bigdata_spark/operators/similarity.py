@@ -299,7 +299,12 @@ def ivf_topk(
     # frame; this one is a map-only projection over the query scan —
     # one fewer Exchange, no broadcast build. Values are identical:
     # rounded-6 cosine, ties toward the smaller centroid id (the
-    # (-sim, cid) struct sort ≡ ORDER BY sim DESC, cid ASC).
+    # (-sim, cid) struct sort ≡ ORDER BY sim DESC, cid ASC). A NULL
+    # cosine (zero-norm query or centroid) coalesces to +Inf so the
+    # degenerate cell sorts LAST — struct comparison orders a NULL
+    # field FIRST, which would otherwise invert the window form's
+    # `desc()` NULLS-LAST and burn probe slots on empty cells
+    # (post-round review finding; no certified dataset hits it).
     ordered = sorted(cent_model, key=lambda t: t[0])
     cent_mat = lit_double_matrix([list(cv) for _, cv in ordered])
     cent_ids = lit_int_array([cid for cid, _ in ordered])
@@ -313,7 +318,8 @@ def ivf_topk(
                 sims,
                 cent_ids,
                 lambda s_, i: F.struct(
-                    (-s_).alias("neg"), i.alias("cid")
+                    F.coalesce(-s_, F.lit(float("inf"))).alias("neg"),
+                    i.alias("cid"),
                 ),
             )
         ),
@@ -1158,7 +1164,9 @@ def ivf_pq_topk(
     enc = enc.withColumn("__rn2", rnorm2)
 
     # queries: probed cells (top n_probe by rounded cosine, id ties
-    # toward the smaller cell — (-sim, cid) struct sort) + ADC LUTs
+    # toward the smaller cell — (-sim, cid) struct sort; NULL cosine
+    # coalesces to +Inf = ranked last, matching `desc()` NULLS LAST —
+    # see ivf_topk's probe note) + ADC LUTs
     cent_mat = lit_double_matrix([cv for _, cv in sorted(cents)])
     cent_ids = lit_int_array([cid for cid, _ in sorted(cents)])
     from ..functions.vectors import cosine_similarity as _cos
@@ -1175,7 +1183,8 @@ def ivf_pq_topk(
                 sims,
                 cent_ids,
                 lambda s_, i: F.struct(
-                    (-s_).alias("neg"), i.alias("cid")
+                    F.coalesce(-s_, F.lit(float("inf"))).alias("neg"),
+                    i.alias("cid"),
                 ),
             )
         ),

@@ -19,6 +19,7 @@ S1-S3 in SURVEY.md §2.1) with scale-safe equivalents:
 from __future__ import annotations
 
 import os
+import stat as _stat
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,7 +138,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        if not os.path.isfile(path):
+        # One stat, race-free: the regular-file check reads the SAME
+        # stat result the key is built from (a second isfile() call
+        # opened a swap window where the key described an old file
+        # while spark.read resolved a new directory — review finding).
+        if not _stat.S_ISREG(st.st_mode):
             raise OSError  # directory dataset: stat key unsafe, skip memo
         sc = spark.sparkContext
         # applicationId is a Py4J round-trip (~5 ms); pin it on the

@@ -1169,3 +1169,29 @@ def test_pair_source_crosstab_counts_unordered_pairs_once(spark):
     assert sum(r["n_pairs"] for r in out) == minhash_pair_graph(
         spark, sf
     ).count()
+
+
+def test_driver_threshold_zero_disables_even_on_empty_graph(spark):
+    """driver_threshold=0 is documented as 'disables the driver arm';
+    an EMPTY edge list must still take the distributed path (0 <= 0
+    previously slipped through the guard — post-r9-review pin)."""
+    from mknssh_11_bigdata_spark.operators.dedup import (
+        duplicate_components,
+        min_label_propagation,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    stats: dict = {}
+    out = duplicate_components(
+        empty, _stats=stats, driver_threshold=0
+    ).collect()
+    assert out == []
+    assert stats.get("driver_collapse") is None, stats
+    assert stats["rounds"] >= 1  # the distributed loop actually ran
+
+    labels = spark.createDataFrame([], "node long, lbl long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    _, rounds, _ = min_label_propagation(
+        labels, edges, n_labels=0, n_edges=0, driver_threshold=0
+    )
+    assert rounds >= 1  # distributed superstep, not the driver sim

@@ -111,13 +111,37 @@ _DTYPE_OK = {
 }
 
 
+def test_testdata_table_schemas_sf_invariant(spark):
+    """Every testdata table's parquet schema is identical at sf0.001
+    and sf0.01. This is the premise that lets ``test_fleet_dtype_parity``
+    compile Spark frames at sf0.001 (the shared fixture) while the
+    DuckDB side runs at sf0.01: query output types are functions of the
+    input table types plus static expressions, so equal table schemas
+    across SFs ⇒ equal query schemas across SFs (post-r9-review gap
+    closure). Footer reads only — no data scanned."""
+    from mknssh_11_bigdata_spark.sources.readers import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+    from conftest import SF_ORACLE, SF_SMOKE
+
+    diff = [
+        t
+        for t in TESTDATA_TABLES
+        if load_table(spark, SF_SMOKE, t).schema
+        != load_table(spark, SF_ORACLE, t).schema
+    ]
+    assert diff == [], diff
+
+
 def test_fleet_dtype_parity(fleet_frames, duck):
     """ONE pass over every oracle query comparing the Spark schema
     against the DuckDB result types (schema-only on the DuckDB side:
     LIMIT 0 execution, no data computed). Spark schemas come from the
     shared ``fleet_frames`` compile pass (sf0.001) — a query's schema
-    is SF-independent, and rebuilding every frame at sf0.01 was the
-    suite's single slowest test."""
+    is SF-independent GIVEN SF-invariant table schemas, which
+    ``test_testdata_table_schemas_sf_invariant`` pins; rebuilding every
+    frame at sf0.01 was the suite's single slowest test."""
     bad = []
     for name in ORACLE_QUERIES:
         spec = QUERIES[name]

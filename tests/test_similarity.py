@@ -543,3 +543,39 @@ def test_pq_distortion_flags_collapsed_corpus(spark, tmp_path):
     ).collect()
     assert all(r["n_codes_used"] > 1 for r in healthy)
     assert all(r["max_code_share_ppm"] < 10**6 for r in healthy)
+
+
+def test_ivf_probe_ranks_zero_norm_centroid_last(spark):
+    """The literal array_sort probe must rank a NULL-cosine (zero-norm)
+    centroid LAST — the window form's ``desc()`` NULLS-LAST semantics.
+    Struct comparison orders a NULL field FIRST, so without the
+    coalesce-to-+Inf the degenerate cell would be probed ahead of every
+    real cell (post-r9-review regression pin: with n_probe=1 the query
+    must probe the true nearest cell, not the empty one)."""
+    from mknssh_11_bigdata_spark.operators.similarity import ivf_topk
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "centroid_id long, __cent array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.05]), (20, [0.05, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(99, [1.0, 0.1])], "vec_id long, v array<double>"
+    )
+    got = ivf_topk(
+        corpus,
+        queries,
+        "vec_id",
+        "v",
+        k=1,
+        n_centroids=3,
+        n_probe=1,
+        exclude_self=False,
+        centroids=cents,
+    ).collect()
+    # probing cell 1 (nearest) finds corpus vec 10; probing the
+    # zero-norm cell 0 would find nothing at all
+    assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(99, 10)]
